@@ -1,0 +1,262 @@
+"""Closed-form and baseline agents (counterparts of
+``mbt_gym/agents/BaselineAgents.py``) as pure policies
+``policy(params, obs, state) -> (N, A)`` compatible with
+:func:`mbt_gym_tpu.rollout.rollout`.
+
+Agents read the *raw* (unnormalised) observation columns; when the env
+normalises observations, wrap with :func:`raw_obs_policy`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mbt_gym_tpu.env import EnvConfig
+from mbt_gym_tpu.types import ASK_INDEX, BID_INDEX, CASH_INDEX, INVENTORY_INDEX, TIME_INDEX, ASSET_PRICE_INDEX
+
+
+def raw_obs_policy(cfg: EnvConfig, policy):
+    """Adapt a raw-observation policy to an env with normalised observations."""
+    if not cfg.normalise_observation_space:
+        return policy
+    low, high = cfg.observation_bounds()
+    gradient = (high - low) / 2
+
+    def wrapped(params, obs, state):
+        return policy(params, (obs + 1.0) * gradient + low, state)
+
+    return wrapped
+
+
+def fixed_action_policy(fixed_action) -> Tuple:
+    """Constant action for every trajectory (BaselineAgents.py:25-31)."""
+    fixed = jnp.asarray(fixed_action)
+
+    def policy(params, obs, state):
+        n = obs.shape[0]
+        return jnp.broadcast_to(fixed, (n, fixed.shape[-1]))
+
+    return policy
+
+
+def fixed_spread_policy(half_spread: float = 1.0, offset: float = 0.0):
+    """Symmetric quotes ``half_spread -/+ offset`` (BaselineAgents.py:34-42)."""
+    return fixed_action_policy([half_spread - offset, half_spread + offset])
+
+
+def random_policy(cfg: EnvConfig):
+    """Uniform samples from the action space, shared across trajectories per
+    step (BaselineAgents.py:15-22 repeats one sample over N)."""
+    low, high = cfg.action_bounds()
+
+    def policy(params, obs, state):
+        key = jax.random.fold_in(state.key, state.step + (1 << 20))
+        sample = jax.random.uniform(
+            key, (1, len(low)), dtype=obs.dtype,
+            minval=jnp.asarray(low), maxval=jnp.asarray(high),
+        )
+        return jnp.broadcast_to(sample, (obs.shape[0], len(low)))
+
+    return policy
+
+
+# ------------------------------------------------------------ Avellaneda-Stoikov
+@dataclasses.dataclass(frozen=True)
+class AvellanedaStoikovAgent:
+    """AS-2008 closed-form market maker (BaselineAgents.py:52-83).
+
+    Quotes a reservation-price skew ``q * gamma * sigma^2 * (T - t)`` plus
+    half the optimal spread ``gamma sigma^2 (T-t) + (2/gamma) ln(1+gamma/k)``.
+    Parameters are read off the env config (volatility from the midprice
+    model, fill exponent from the fill model), as the reference does.
+    """
+
+    risk_aversion: float = 0.1
+    volatility: float = 2.0
+    fill_exponent: float = 1.5
+    terminal_time: float = 1.0
+
+    @classmethod
+    def from_config(cls, cfg: EnvConfig, risk_aversion: float = 0.1) -> "AvellanedaStoikovAgent":
+        return cls(
+            risk_aversion=risk_aversion,
+            volatility=cfg.dynamics.midprice_model.volatility,
+            fill_exponent=cfg.dynamics.fill_probability_model.fill_exponent,
+            terminal_time=cfg.terminal_time,
+        )
+
+    def policy(self):
+        gamma, sigma, k, T = self.risk_aversion, self.volatility, self.fill_exponent, self.terminal_time
+
+        def policy_fn(params, obs, state):
+            inventory = obs[:, INVENTORY_INDEX]
+            time = obs[:, TIME_INDEX]
+            skew = inventory * gamma * sigma**2 * (T - time)
+            if gamma == 0:
+                spread = jnp.full_like(time, 2.0 / k)  # risk-neutral limit
+            else:
+                spread = gamma * sigma**2 * (T - time) + (2.0 / gamma) * np.log(1 + gamma / k)
+            return jnp.stack([skew + spread / 2, -skew + spread / 2], axis=1)
+
+        return policy_fn
+
+
+# --------------------------------------------------------- Cartea-Jaimungal MM
+@dataclasses.dataclass(frozen=True)
+class CarteaJaimungalMmAgent:
+    """CJP-2015 ch.10 closed-form market maker (BaselineAgents.py:86-170).
+
+    The reference computes ``omega(t) = expm(A (T - t)) z`` per query with
+    ``scipy.linalg.expm`` over a ``(2Q+1)^2`` tridiagonal matrix.  Here the
+    whole ``h(t, q) = (1/kappa) ln omega`` surface is precomputed *once* on
+    the episode's time grid via an eigendecomposition of A (one host-side
+    ``eig`` + a matmul per time point), and the policy is a pure gather —
+    the natural shape for a `scan`-resident TPU policy.
+    """
+
+    kappa: float
+    phi: float
+    alpha: float
+    lambdas: Tuple[float, float]
+    terminal_time: float
+    n_steps: int
+    max_inventory: int
+    inventory_neutral: bool = False
+    large_depth: float = 10_000.0
+
+    @classmethod
+    def from_config(cls, cfg: EnvConfig, max_inventory: Optional[int] = None) -> "CarteaJaimungalMmAgent":
+        from mbt_gym_tpu import rewards as rw
+
+        reward = cfg.reward_function
+        inventory_neutral = isinstance(reward, rw.PnL)
+        if not inventory_neutral:
+            assert reward.inventory_exponent == 2.0, "Inventory exponent must be 2."
+        return cls(
+            kappa=cfg.dynamics.fill_probability_model.fill_exponent,
+            phi=0.0 if inventory_neutral else reward.per_step_inventory_aversion,
+            alpha=0.0 if inventory_neutral else reward.terminal_inventory_aversion,
+            lambdas=tuple(cfg.dynamics.arrival_model.intensity),
+            terminal_time=cfg.terminal_time,
+            n_steps=cfg.n_steps,
+            max_inventory=int(max_inventory if max_inventory is not None else cfg.max_inventory),
+            inventory_neutral=inventory_neutral,
+        )
+
+    def _a_and_z(self):
+        """Tridiagonal generator A and terminal vector z over the inventory
+        grid [max_inventory, ..., -max_inventory] (BaselineAgents.py:147-159)."""
+        q = self.max_inventory
+        size = 2 * q + 1
+        inventories = q - np.arange(size)
+        a = np.zeros((size, size))
+        a[np.arange(size), np.arange(size)] = -self.phi * self.kappa * inventories**2
+        a[np.arange(size - 1), np.arange(1, size)] = self.lambdas[BID_INDEX] * np.exp(-1)
+        a[np.arange(1, size), np.arange(size - 1)] = self.lambdas[ASK_INDEX] * np.exp(-1)
+        z = np.exp(-self.alpha * self.kappa * inventories**2)
+        return a, z
+
+    def h_table(self, dtype=np.float64) -> np.ndarray:
+        """(n_steps + 1, 2Q+1) table of h(t_i, q) on the episode time grid.
+
+        Uses ``expm(A s) = V diag(e^{w s}) V^{-1}`` with one eigendecomposition,
+        so the cost is O(T * Q^2) instead of T matrix exponentials.
+        """
+        a, z = self._a_and_z()
+        w, v = np.linalg.eig(a)
+        v_inv_z = np.linalg.solve(v, z)
+        times_left = self.terminal_time - np.linspace(0.0, self.terminal_time, self.n_steps + 1)
+        omega = np.real(np.exp(np.outer(times_left, w)) * v_inv_z[None, :] @ v.T)
+        omega = np.maximum(omega, 1e-300)
+        return (np.log(omega) / self.kappa).astype(dtype)
+
+    def policy(self):
+        if self.inventory_neutral:
+            risk_neutral = 1.0 / self.kappa
+
+            def policy_fn(params, obs, state):
+                n = obs.shape[0]
+                return jnp.full((n, 2), risk_neutral, dtype=obs.dtype)
+
+            return policy_fn
+
+        h_tab = jnp.asarray(self.h_table())
+        q_max = self.max_inventory
+        dt = self.terminal_time / self.n_steps
+        kappa, large = self.kappa, self.large_depth
+
+        def policy_fn(params, obs, state):
+            time = obs[:, TIME_INDEX]
+            inventories = obs[:, INVENTORY_INDEX]
+            t_idx = jnp.clip(jnp.round(time / dt).astype(jnp.int32), 0, h_tab.shape[0] - 1)
+            h_t = h_tab[t_idx]  # (N, 2Q+1)
+            idx = jnp.clip(q_max + inventories, 0, 2 * q_max).astype(jnp.int32)
+            idx_m1 = jnp.clip(idx - 1, 0, 2 * q_max)
+            idx_p1 = jnp.clip(idx + 1, 0, 2 * q_max)
+            h_0 = jnp.take_along_axis(h_t, idx[:, None], axis=1)[:, 0]
+            h_p1 = jnp.take_along_axis(h_t, idx_p1[:, None], axis=1)[:, 0]
+            h_m1 = jnp.take_along_axis(h_t, idx_m1[:, None], axis=1)[:, 0]
+            at_max_bid = (h_p1 == h_0).astype(obs.dtype)
+            at_max_ask = (h_m1 == h_0).astype(obs.dtype)
+            bid = 1.0 / kappa - h_p1 + h_0 + large * at_max_bid
+            ask = 1.0 / kappa - h_m1 + h_0 + large * at_max_ask
+            return jnp.stack([bid, ask], axis=1).astype(obs.dtype)
+
+        return policy_fn
+
+    def true_value_function(self, obs) -> jax.Array:
+        """Analytic value ``h(t, q) + cash + q * S`` — the CJP replication
+        oracle (BaselineAgents.py:161-170)."""
+        h_tab = jnp.asarray(self.h_table())
+        dt = self.terminal_time / self.n_steps
+        time = obs[:, TIME_INDEX]
+        t_idx = jnp.clip(jnp.round(time / dt).astype(jnp.int32), 0, h_tab.shape[0] - 1)
+        idx = jnp.clip(self.max_inventory + obs[:, INVENTORY_INDEX], 0, 2 * self.max_inventory).astype(jnp.int32)
+        h_0 = jnp.take_along_axis(h_tab[t_idx], idx[:, None], axis=1)[:, 0]
+        return h_0 + obs[:, CASH_INDEX] + obs[:, INVENTORY_INDEX] * obs[:, ASSET_PRICE_INDEX]
+
+
+# --------------------------------------------------------- Cartea-Jaimungal OE
+@dataclasses.dataclass(frozen=True)
+class CarteaJaimungalOeAgent:
+    """CJP-2015 p.147 closed-form optimal-execution schedule
+    (BaselineAgents.py:173-210)."""
+
+    phi: float = 2e-4
+    alpha: float = 1e-4
+    temporary_impact: float = 0.01
+    permanent_impact: float = 0.01
+    terminal_time: float = 1.0
+    initial_inventory: float = 0.0
+
+    @classmethod
+    def from_config(cls, cfg: EnvConfig, phi: float = 2e-4, alpha: float = 1e-4) -> "CarteaJaimungalOeAgent":
+        impact = cfg.dynamics.price_impact_model
+        return cls(
+            phi=phi,
+            alpha=alpha,
+            temporary_impact=impact.temporary_impact_coefficient,
+            permanent_impact=impact.permanent_impact_coefficient,
+            terminal_time=cfg.terminal_time,
+            initial_inventory=float(cfg.initial_inventory),
+        )
+
+    def policy(self):
+        gamma = np.sqrt(self.phi / self.temporary_impact)
+        root = np.sqrt(self.temporary_impact * self.phi)
+        zeta = (self.alpha - 0.5 * self.permanent_impact + root) / (
+            self.alpha - 0.5 * self.permanent_impact - root
+        )
+        q0, T = self.initial_inventory, self.terminal_time
+        denom = zeta * np.exp(gamma * T) - np.exp(-gamma * T)
+
+        def policy_fn(params, obs, state):
+            time_left = T - obs[:, TIME_INDEX]
+            speed = gamma * q0 * (zeta * jnp.exp(gamma * time_left) + jnp.exp(-gamma * time_left)) / denom
+            return (-np.sign(q0) * speed)[:, None]
+
+        return policy_fn

@@ -1,0 +1,66 @@
+"""Reference-exact noise replay harness.
+
+The reference gives each stochastic process its own NumPy
+``Generator(PCG64(seed + slot_index + 1))`` (TradingEnvironment.py:345-348)
+and consumes, per step: arrival uniforms (N,2), fill uniforms (N,2), then the
+midprice normal in ``update`` (call-stack order, TradingEnvironment.py:198-211).
+Streams are independent per process, so replaying the reference bit-for-bit
+only requires reproducing each stream's *within-stream* order.
+
+:func:`reference_noise_cube` pre-generates every draw for a whole episode on
+the host with the exact per-slot PCG64 streams, shaped ``(T, N, k)`` per slot,
+ready to feed ``rollout(..., noise=...)``.  Combined with ``dtype="float64"``
+(under ``jax.experimental.enable_x64``) the jitted engine then reproduces the
+reference's trajectories bitwise — the testable "seed-exact vs reference"
+property, without re-implementing NumPy's ziggurat sampler inside XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from mbt_gym_tpu.env import EnvConfig, noise_specs
+from mbt_gym_tpu.types import SlotNoise, StepNoise
+
+
+def reference_noise_cube(
+    cfg: EnvConfig, seed: int, n_steps: Optional[int] = None, dtype=None
+) -> StepNoise:
+    """Generate an episode's noise with the reference's per-process streams.
+
+    Slot ``i`` (state-layout order midprice/arrival/fill/impact) uses
+    ``default_rng(seed + i + 1)``.  Within a slot, each step draws normals
+    then uniforms — matching every reference process, each of which draws a
+    single array per step.
+    """
+    n_steps = n_steps or cfg.n_steps
+    n = cfg.num_trajectories
+    dtype = dtype or cfg.dtype
+    slots = []
+    for i, (_, (n_norm, n_unif)) in enumerate(noise_specs(cfg)):
+        rng = np.random.default_rng(seed + i + 1)
+        normals = np.empty((n_steps, n, n_norm), dtype=np.float64) if n_norm else None
+        uniforms = np.empty((n_steps, n, n_unif), dtype=np.float64) if n_unif else None
+        for t in range(n_steps):
+            if n_norm:
+                normals[t] = rng.normal(size=(n, n_norm))
+            if n_unif:
+                uniforms[t] = rng.uniform(size=(n, n_unif))
+        slots.append(
+            SlotNoise(
+                normal=None if normals is None else normals.astype(dtype),
+                uniform=None if uniforms is None else uniforms.astype(dtype),
+            )
+        )
+    return tuple(slots)
+
+
+def reference_initial_inventory(cfg: EnvConfig, seed: int) -> np.ndarray:
+    """The reference's reset-time inventory draw for tuple specs: env-level
+    ``default_rng(seed).integers(low, high, size=N)``
+    (TradingEnvironment.py:72,270-273)."""
+    assert isinstance(cfg.initial_inventory, tuple)
+    rng = np.random.default_rng(seed)
+    lo, hi = cfg.initial_inventory
+    return rng.integers(int(lo), int(hi), size=cfg.num_trajectories).astype(cfg.dtype)

@@ -1,0 +1,117 @@
+"""Rollout = `lax.scan` over the fused env step (counterpart of
+``mbt_gym/gym/helpers/generate_trajectory.py``).
+
+The reference's Python loop (generate_trajectory.py:21-34) executes
+``n_steps`` interpreter round-trips per episode; here the whole episode —
+policy forward + env step x n_steps — is one compiled XLA program, so the
+only host<->device traffic is the initial state and the stacked trajectory.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mbt_gym_tpu import env as env_lib
+from mbt_gym_tpu.env import EnvConfig
+from mbt_gym_tpu.types import EnvState, StepNoise, Trajectory
+
+# policy(params, obs (N,S), state: EnvState) -> action (N, A)
+PolicyFn = Callable[..., jax.Array]
+
+
+class RolloutResult(NamedTuple):
+    trajectory: Trajectory
+    final_state: EnvState
+
+
+def _episode_steps(cfg: EnvConfig) -> int:
+    if isinstance(cfg.start_time, tuple):
+        return cfg.n_steps  # random start: scan full horizon, mask post-done
+    start_steps = round(float(cfg.start_time) / cfg.step_size)
+    return cfg.n_steps - start_steps
+
+
+def rollout(
+    cfg: EnvConfig,
+    policy: PolicyFn,
+    policy_params,
+    key: jax.Array,
+    noise: Optional[StepNoise] = None,
+) -> RolloutResult:
+    """Roll one full episode for all N trajectories.
+
+    ``noise``, if given, is a :class:`StepNoise` pytree with a leading
+    time axis on every leaf (shape ``(T, N, k)``) — e.g. from
+    ``mbt_gym_tpu.ops.compat.reference_noise_cube`` for reference-exact
+    replay.  Otherwise counter-based noise is derived per step.
+
+    Wrap in ``jax.jit(..., static_argnums=(0,))`` or use
+    :func:`jit_rollout`; `cfg` and `policy` are static.
+    """
+    state0, obs0 = env_lib.reset(cfg, key)
+    n_scan = _episode_steps(cfg)
+    random_start = isinstance(cfg.start_time, tuple)
+
+    def body(carry, step_noise):
+        state, obs = carry
+        action = policy(policy_params, obs, state)
+        res = env_lib.step(cfg, state, action, noise=step_noise)
+        if random_start:
+            # Freeze post-done steps so a random (late) start behaves like the
+            # reference's shorter episode; rewards after done are zeroed.
+            was_done = state.time[0] >= cfg.terminal_time - cfg.step_size / 2
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(was_done, old, new), res.state, state
+            )
+            reward = jnp.where(was_done, jnp.zeros_like(res.reward), res.reward)
+            new_obs = jnp.where(was_done, obs, res.obs)
+            carry = (new_state, new_obs)
+            return carry, (new_obs, action, reward)
+        return (res.state, res.obs), (res.obs, action, res.reward)
+
+    (final_state, _), (obs_seq, actions, rewards) = jax.lax.scan(
+        body, (state0, obs0), xs=noise, length=None if noise is not None else n_scan
+    )
+    observations = jnp.concatenate([obs0[None], obs_seq], axis=0)
+    return RolloutResult(
+        trajectory=Trajectory(observations=observations, actions=actions, rewards=rewards),
+        final_state=final_state,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def jit_rollout(cfg: EnvConfig, policy: PolicyFn, policy_params, key: jax.Array) -> RolloutResult:
+    return rollout(cfg, policy, policy_params, key)
+
+
+def to_reference_layout(traj: Trajectory) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Transpose to the reference's trajectory-major buffers
+    (observations (N, S, T+1), actions (N, A, T), rewards (N, 1, T) —
+    generate_trajectory.py:11-15)."""
+    return (
+        jnp.transpose(traj.observations, (1, 2, 0)),
+        jnp.transpose(traj.actions, (1, 2, 0)),
+        jnp.transpose(traj.rewards, (1, 0))[:, None, :],
+    )
+
+
+def episode_stats(cfg: EnvConfig, traj: Trajectory) -> dict:
+    """The AS-replication summary table (helpers/plotting.py:94-110):
+    mean spread (2x mean half-spread over all actions), mean/std total
+    reward, mean/std terminal inventory."""
+    total_rewards = traj.rewards.sum(axis=0)  # (N,)
+    terminal_inventory = traj.observations[-1, :, 1]
+    if cfg.normalise_observation_space:
+        low, high = cfg.observation_bounds()
+        terminal_inventory = (terminal_inventory + 1.0) * (high[1] - low[1]) / 2 + low[1]
+    half_spreads = traj.actions.mean()
+    return {
+        "mean_spread": 2.0 * half_spreads,
+        "mean_pnl": total_rewards.mean(),
+        "std_pnl": total_rewards.std(),
+        "mean_terminal_inventory": terminal_inventory.mean(),
+        "std_terminal_inventory": terminal_inventory.std(),
+    }
