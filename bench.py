@@ -1,0 +1,95 @@
+"""Headline benchmark (driver contract): prints ONE JSON line.
+
+Metric: env-steps/s on the flagship Avellaneda-Stoikov market-making config
+(BM midprice + Poisson(140,140) arrivals + exponential fill, 200-step
+episodes) at 16k envs/chip — the BASELINE.json metric.  The whole episode
+(closed-form AS policy + fused env step, trajectory buffers included) runs
+as one compiled XLA program; timing forces a scalar checksum to the host
+each iteration so nothing is measured asynchronously.
+
+``vs_baseline`` is the speedup over the reference implementation's
+single-process NumPy hot loop (mbt_gym's README headline is its vectorized
+NumPy step; the package itself is not importable here — gym/SB3 absent — so
+the loop is reproduced faithfully in tests/reference_oracle.py and measured
+in-process on this machine's CPU at the same batch size).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_engine(num_trajectories: int = 16384, iters: int = 10) -> float:
+    import jax
+
+    from mbt_gym_tpu import env as env_lib
+    from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent
+    from mbt_gym_tpu.rollout import rollout
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    cfg = as_env_config(num_trajectories=num_trajectories)
+    policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+
+    @jax.jit
+    def episode(key):
+        res = rollout(cfg, policy, None, key)
+        traj = res.trajectory
+        # Consume every buffer so nothing is dead-code-eliminated.
+        return (
+            traj.rewards.sum()
+            + traj.observations[-1].sum()
+            + traj.actions.mean()
+            + res.final_state.cash.mean()
+        )
+
+    float(episode(jax.random.PRNGKey(999)))  # compile
+    t0 = time.time()
+    for i in range(iters):
+        checksum = float(episode(jax.random.PRNGKey(i)))
+    elapsed = (time.time() - t0) / iters
+    print(f"engine: {elapsed*1e3:.1f} ms/episode, checksum {checksum:.2f}", file=sys.stderr)
+    return num_trajectories * cfg.n_steps / elapsed
+
+
+def measure_reference_numpy(num_trajectories: int = 16384, n_steps: int = 25) -> float:
+    """The reference's per-step NumPy cost at the same batch size (shortened
+    horizon, per-step cost is horizon-independent)."""
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from reference_oracle import oracle_limit_order_rollout
+
+    def policy(obs):
+        inv, t = obs[:, 1], obs[:, 2]
+        skew = inv * 0.1 * 4.0 * (1.0 - t)
+        spread = 0.1 * 4.0 * (1.0 - t) + 20.0 * np.log(1 + 0.1 / 1.5)
+        return np.stack([skew + spread / 2, -skew + spread / 2], axis=1)
+
+    oracle_limit_order_rollout(policy, 1, num_trajectories=256, n_steps=2)  # warm
+    t0 = time.time()
+    oracle_limit_order_rollout(policy, 1, num_trajectories=num_trajectories, n_steps=n_steps)
+    per_step = (time.time() - t0) / n_steps
+    return num_trajectories / per_step
+
+
+def main():
+    value = measure_engine()
+    ref = measure_reference_numpy()
+    print(f"reference numpy: {ref/1e6:.2f}M steps/s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s_per_chip_as16k",
+                "value": round(value, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(value / ref, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Minimal pure-JAX MLP policy/value networks.
+
+Replaces the reference's SB3/torch policies (experiments/helpers.py:68-96
+uses 256x256 pi/vf nets).  Pure pytree params + apply functions keep the
+whole learner jittable and shardable: with a ``("data", "model")`` mesh the
+hidden dimension can be sharded over the ``model`` axis (tensor parallelism)
+via :func:`mbt_gym_tpu.parallel.mesh.shard_mlp_params`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MlpParams = List[Dict[str, jax.Array]]
+
+
+def init_mlp(key: jax.Array, sizes: Sequence[int], dtype=jnp.float32) -> MlpParams:
+    """Orthogonal-ish (scaled normal) init for [in, h1, ..., out] sizes."""
+    params = []
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        key, sub = jax.random.split(key)
+        scale = jnp.sqrt(2.0 / fan_in) if i < len(sizes) - 2 else 0.01
+        params.append(
+            {
+                "w": scale * jax.random.normal(sub, (fan_in, fan_out), dtype=dtype),
+                "b": jnp.zeros((fan_out,), dtype=dtype),
+            }
+        )
+    return params
+
+
+def mlp_apply(params: MlpParams, x: jax.Array, activation=jnp.tanh) -> jax.Array:
+    for i, layer in enumerate(params):
+        x = x @ layer["w"] + layer["b"]
+        if i < len(params) - 1:
+            x = activation(x)
+    return x
+
+
+class ActorCriticParams(Dict[str, Any]):
+    """dict pytree: {"pi": MlpParams, "vf": MlpParams, "log_std": (A,)}"""
+
+
+def init_actor_critic(
+    key: jax.Array,
+    obs_dim: int,
+    action_dim: int,
+    hidden: Sequence[int] = (256, 256),
+    init_log_std: float = -0.5,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    k_pi, k_vf = jax.random.split(key)
+    return {
+        "pi": init_mlp(k_pi, [obs_dim, *hidden, action_dim], dtype),
+        "vf": init_mlp(k_vf, [obs_dim, *hidden, 1], dtype),
+        "log_std": jnp.full((action_dim,), init_log_std, dtype=dtype),
+    }
+
+
+def policy_mean(params, obs: jax.Array) -> jax.Array:
+    return mlp_apply(params["pi"], obs)
+
+
+def value(params, obs: jax.Array) -> jax.Array:
+    return mlp_apply(params["vf"], obs)[..., 0]
+
+
+def sample_action(params, obs: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Gaussian policy sample + log-prob (diagonal, state-independent std)."""
+    mean = policy_mean(params, obs)
+    std = jnp.exp(params["log_std"])
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    action = mean + std * eps
+    log_prob = gaussian_log_prob(params, mean, action)
+    return action, log_prob
+
+
+def gaussian_log_prob(params, mean: jax.Array, action: jax.Array) -> jax.Array:
+    log_std = params["log_std"]
+    z = (action - mean) * jnp.exp(-log_std)
+    return jnp.sum(-0.5 * z**2 - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
+
+
+def entropy(params) -> jax.Array:
+    return jnp.sum(params["log_std"] + 0.5 * jnp.log(2 * jnp.pi * jnp.e))

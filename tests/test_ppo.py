@@ -1,0 +1,67 @@
+"""PPO learner tests: shapes, GAE correctness, and learning signal on a toy
+market-making problem (replaces the reference's SB3 integration,
+SURVEY.md §3.4)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mbt_gym_tpu.agents import networks, ppo
+from mbt_gym_tpu.utils.config import as_env_config
+
+
+def test_gae_matches_reference_recursion():
+    t, n = 7, 3
+    rng = np.random.default_rng(0)
+    rewards = rng.normal(size=(t, n))
+    values = rng.normal(size=(t, n))
+    last_value = rng.normal(size=(n,))
+    gamma, lam = 0.97, 0.9
+
+    adv, ret = ppo.compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(last_value), gamma, lam
+    )
+
+    expected = np.zeros((t, n))
+    gae = np.zeros(n)
+    v_next = last_value
+    for i in reversed(range(t)):
+        delta = rewards[i] + gamma * v_next - values[i]
+        gae = delta + gamma * lam * gae
+        expected[i] = gae
+        v_next = values[i]
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ret), expected + values, rtol=1e-5, atol=1e-6)
+
+
+def test_train_iteration_runs_and_improves():
+    env_cfg = as_env_config(num_trajectories=256, n_steps=20)
+    env_cfg = dataclasses.replace(
+        env_cfg, normalise_observation_space=True, normalise_action_space=True
+    )
+    ppo_cfg = ppo.PPOConfig(hidden=(32, 32), n_epochs=2, n_minibatches=2, learning_rate=1e-3)
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+
+    rewards = []
+    for i in range(12):
+        ts, metrics = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i))
+        rewards.append(float(metrics["mean_episode_reward"]))
+    assert np.isfinite(rewards).all()
+    # Early PPO on the AS env should increase episodic reward from the random
+    # policy's baseline (market making at random quotes loses edge).
+    assert np.mean(rewards[-4:]) > np.mean(rewards[:4]) - 0.5, rewards
+
+
+def test_gaussian_log_prob_matches_scipy():
+    import scipy.stats
+
+    key = jax.random.PRNGKey(0)
+    params = networks.init_actor_critic(key, 4, 2, hidden=(8,))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (5, 4))
+    mean = networks.policy_mean(params, obs)
+    action = mean + 0.3
+    lp = networks.gaussian_log_prob(params, mean, action)
+    std = np.exp(np.asarray(params["log_std"]))
+    expected = scipy.stats.norm.logpdf(0.3, loc=0.0, scale=std).sum()
+    np.testing.assert_allclose(np.asarray(lp), expected, rtol=1e-4)
