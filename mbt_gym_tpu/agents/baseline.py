@@ -64,6 +64,31 @@ def random_policy(cfg: EnvConfig):
     return policy
 
 
+def human_policy(cfg: EnvConfig):
+    """stdin-driven quotes, one pair broadcast to all trajectories
+    (HumanAgent, BaselineAgents.py:45-49).  Host-side by nature — for
+    interactive inspection only, not for jitted rollouts."""
+
+    def policy(params, obs, state):
+        bid = float(input(f"Current state is {np.asarray(obs[0])}. Midprice-bid half spread? "))
+        ask = float(input(f"Current state is {np.asarray(obs[0])}. Ask-midprice half spread? "))
+        return jnp.broadcast_to(jnp.asarray([bid, ask], dtype=obs.dtype), (obs.shape[0], 2))
+
+    return policy
+
+
+def expected_action(policy, params, obs, state, key, n_samples: int = 1000):
+    """Monte-Carlo mean action of a stochastic policy (Agent.py:11-12).
+    Deterministic policies return their action unchanged."""
+    import jax as _jax
+
+    def one(k):
+        return policy(params, obs, state)
+
+    actions = _jax.vmap(one)(_jax.random.split(key, n_samples))
+    return actions.mean(axis=0)
+
+
 # ------------------------------------------------------------ Avellaneda-Stoikov
 @dataclasses.dataclass(frozen=True)
 class AvellanedaStoikovAgent:

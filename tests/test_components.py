@@ -1,0 +1,206 @@
+"""Coverage for the wider component inventory: analytics, wrappers, gym
+adapters, REINFORCE, reward scaling, checkpointing, OE schedule."""
+import dataclasses
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbt_gym_tpu import jit_rollout
+from mbt_gym_tpu.agents.baseline import (
+    AvellanedaStoikovAgent,
+    CarteaJaimungalOeAgent,
+    fixed_action_policy,
+    fixed_spread_policy,
+    random_policy,
+)
+from mbt_gym_tpu.utils.config import as_env_config, oe_env_config
+
+
+@pytest.fixture(scope="module")
+def as_rollout():
+    cfg = as_env_config(num_trajectories=128, n_steps=50)
+    # Nonzero initial cash keeps portfolio values away from 0 — the return-pct
+    # backtest stats divide by the value path (as the reference does, which
+    # warns on |value| < 1e-6, backtesting.py:20-22).
+    cfg = dataclasses.replace(cfg, initial_cash=1000.0)
+    policy = AvellanedaStoikovAgent.from_config(cfg).policy()
+    res = jit_rollout(cfg, policy, None, jax.random.PRNGKey(0))
+    return cfg, res.trajectory
+
+
+def test_backtesting_stats(as_rollout):
+    from mbt_gym_tpu.analytics import backtesting
+
+    cfg, traj = as_rollout
+    sharpe = np.asarray(backtesting.sharpe_ratio(traj))
+    sortino = np.asarray(backtesting.sortino_ratio(traj))
+    mdd = np.asarray(backtesting.maximum_drawdown(traj))
+    assert sharpe.shape == (128,)
+    assert np.isfinite(sharpe).all()
+    # Sortino is NaN for trajectories with < 2 negative returns (the
+    # reference's empty-loss std is NaN too); most should be finite.
+    assert np.isfinite(sortino).mean() > 0.9
+    assert (mdd <= 0).all() and (mdd > -1).all()
+
+
+def test_maximum_drawdown_known_path():
+    """Hand-computable path 100 -> 110 -> 99 -> 120 with the reference's
+    return convention (diff / *ending* value, backtesting.py:23) gives a
+    single drawdown of -11/99."""
+    from mbt_gym_tpu.analytics.backtesting import maximum_drawdown
+    from mbt_gym_tpu.types import Trajectory
+
+    values = np.array([100.0, 110.0, 99.0, 120.0])[:, None]
+    obs = np.zeros((4, 1, 4))
+    obs[:, :, 0] = values  # cash carries the whole portfolio value
+    obs[:, :, 3] = 100.0
+    traj = Trajectory(observations=jnp.asarray(obs), actions=jnp.zeros((3, 1, 2)), rewards=jnp.zeros((3, 1)))
+    np.testing.assert_allclose(float(maximum_drawdown(traj)[0]), -11.0 / 99.0, atol=1e-6)
+
+
+def test_results_table_and_infos(as_rollout):
+    from mbt_gym_tpu.analytics.info import episode_return_infos, mean_action_infos
+    from mbt_gym_tpu.analytics.plotting import generate_results_table_and_hist
+
+    cfg, traj = as_rollout
+    results, fig, total_rewards = generate_results_table_and_hist(cfg, traj)
+    assert results.loc["Inventory", "Mean spread"] > 0
+    assert total_rewards.shape == (128,)
+    infos = mean_action_infos(traj)
+    assert len(infos) == 128 and "action_0" in infos[0]
+    r_infos = episode_return_infos(traj)
+    np.testing.assert_allclose(r_infos[0]["episode"]["r"], total_rewards[0], rtol=1e-5)
+
+
+def test_reduced_obs_policy(as_rollout):
+    from mbt_gym_tpu.wrappers import reduce_observation, reduced_obs_policy
+
+    cfg, traj = as_rollout
+    obs = traj.observations[0]
+    reduced = reduce_observation(obs)
+    assert reduced.shape == (128, 2)
+    pol = reduced_obs_policy(lambda p, o, s: o * 2.0)
+    np.testing.assert_allclose(np.asarray(pol(None, obs, None)), np.asarray(reduced) * 2.0)
+
+
+def test_terminal_reward_scaling():
+    from mbt_gym_tpu.rewards import AgentStateView, PnL, RewardAux
+    from mbt_gym_tpu.wrappers import TerminalRewardScaling
+
+    cur = AgentStateView(*[jnp.asarray([v]) for v in (0.0, 0.0, 0.0, 100.0)])
+    nxt = AgentStateView(*[jnp.asarray([v]) for v in (10.0, 0.0, 0.5, 100.0)])
+    aux = RewardAux(jnp.zeros(1), jnp.asarray(1.0))
+    wrapped = TerminalRewardScaling(base=PnL(), scale=0.1)
+    mid = float(wrapped.calculate(cur, None, nxt, False, aux)[0])
+    term = float(wrapped.calculate(cur, None, nxt, True, aux)[0])
+    assert mid == pytest.approx(10.0)
+    assert term == pytest.approx(1.0)
+
+
+def test_gym_adapter_episode():
+    from mbt_gym_tpu.gym_compat import GymTradingEnv
+
+    cfg = as_env_config(num_trajectories=16, n_steps=20)
+    env = GymTradingEnv(cfg, seed=0)
+    obs, info = env.reset()
+    assert obs.shape == (16, 4)
+    done = False
+    steps = 0
+    while not done:
+        obs, reward, terminated, truncated, _ = env.step(np.ones((16, 2)))
+        done = bool(terminated[0])
+        steps += 1
+    assert steps == 20
+
+
+def test_vec_env_adapter_autoreset():
+    from mbt_gym_tpu.gym_compat import VecTradingEnv
+
+    cfg = as_env_config(num_trajectories=8, n_steps=5)
+    env = VecTradingEnv(cfg, seed=0)
+    obs = env.reset()
+    for _ in range(4):
+        obs, rewards, dones, infos = env.step(np.ones((8, 2)))
+        assert not dones.any()
+    obs, rewards, dones, infos = env.step(np.ones((8, 2)))
+    assert dones.all()
+    assert "terminal_observation" in infos[0]
+    # autoreset: obs is a fresh initial observation (time column back to 0)
+    np.testing.assert_allclose(obs[:, 2], 0.0, atol=1e-6)
+
+
+def test_reinforce_trains():
+    from mbt_gym_tpu.agents import reinforce
+
+    cfg = as_env_config(num_trajectories=64, n_steps=20)
+    rf_cfg = reinforce.ReinforceConfig(hidden=(16,), action_std=0.05, learning_rate=1e-3)
+    state = reinforce.init_train_state(cfg, rf_cfg, jax.random.PRNGKey(0))
+    for i in range(3):
+        state, metrics = reinforce.jit_train_epoch(cfg, rf_cfg, state, jax.random.PRNGKey(i), 3)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.epoch) == 3
+
+
+def test_reward_to_go():
+    from mbt_gym_tpu.agents.reinforce import reward_to_go
+
+    rewards = jnp.asarray([[1.0], [2.0], [3.0]])
+    np.testing.assert_allclose(np.asarray(reward_to_go(rewards)), [[6.0], [5.0], [3.0]])
+
+
+def test_reward_scaling_utility():
+    from mbt_gym_tpu.utils.reward_scaling import compute_inventory_neutral_reward_scaling
+
+    cfg = as_env_config(num_trajectories=64, n_steps=50)
+    scaling = compute_inventory_neutral_reward_scaling(cfg, jax.random.PRNGKey(0), 2048)
+    # Risk-neutral quoting at 1/k earns positive expected PnL -> positive scaling.
+    assert 0 < scaling < 1
+
+
+def test_checkpoint_roundtrip():
+    from mbt_gym_tpu import env as env_lib
+    from mbt_gym_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = as_env_config(num_trajectories=8, n_steps=5)
+    state, obs = env_lib.reset(cfg, jax.random.PRNGKey(3))
+    bundle = {"env_state": state, "step": jnp.asarray(7)}
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "ckpt")
+        save_checkpoint(path, bundle)
+        restored = restore_checkpoint(path, template=bundle)
+    np.testing.assert_allclose(np.asarray(restored["env_state"].cash), np.asarray(state.cash))
+    assert int(restored["step"]) == 7
+    assert isinstance(restored["env_state"], env_lib.EnvState.__mro__[0]) or hasattr(
+        restored["env_state"], "cash"
+    )
+
+
+def test_oe_schedule_matches_analytic_inventory():
+    """CJ-OE closed form: terminal inventory must equal
+    q0 (zeta - 1) / (zeta e^{gamma T} - e^{-gamma T})."""
+    cfg = oe_env_config(num_trajectories=64, n_steps=100, initial_inventory=10)
+    agent = CarteaJaimungalOeAgent.from_config(cfg, phi=2e-4, alpha=0.01)
+    res = jit_rollout(cfg, agent.policy(), None, jax.random.PRNGKey(0))
+    ti = float(np.asarray(res.trajectory.observations[-1, :, 1]).mean())
+    gamma = np.sqrt(agent.phi / agent.temporary_impact)
+    root = np.sqrt(agent.temporary_impact * agent.phi)
+    zeta = (agent.alpha - 0.005 + root) / (agent.alpha - 0.005 - root)
+    expected = 10 * (zeta - 1) / (zeta * np.exp(gamma) - np.exp(-gamma))
+    assert ti == pytest.approx(expected, rel=0.02)
+
+
+def test_random_and_fixed_policies():
+    cfg = as_env_config(num_trajectories=8, n_steps=5)
+    res = jit_rollout(cfg, random_policy(cfg), None, jax.random.PRNGKey(0))
+    actions = np.asarray(res.trajectory.actions)
+    low, high = cfg.action_bounds()
+    assert (actions >= low).all() and (actions <= high).all()
+    # one sample repeated across trajectories per step (BaselineAgents.py:15-22)
+    assert np.allclose(actions[0], actions[0][0])
+
+    res2 = jit_rollout(cfg, fixed_spread_policy(1.0, 0.25), None, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(res2.trajectory.actions[0, 0]), [0.75, 1.25])
