@@ -22,10 +22,11 @@ import time
 import numpy as np
 
 
-def measure_engine(num_trajectories: int = 16384, iters: int = 10) -> float:
+def measure_engine(
+    num_trajectories: int = 16384, episodes_per_call: int = 10, iters: int = 5
+) -> float:
     import jax
 
-    from mbt_gym_tpu import env as env_lib
     from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent
     from mbt_gym_tpu.rollout import rollout
     from mbt_gym_tpu.utils.config import as_env_config
@@ -34,24 +35,64 @@ def measure_engine(num_trajectories: int = 16384, iters: int = 10) -> float:
     policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
 
     @jax.jit
-    def episode(key):
-        res = rollout(cfg, policy, None, key)
-        traj = res.trajectory
-        # Consume every buffer so nothing is dead-code-eliminated.
-        return (
-            traj.rewards.sum()
-            + traj.observations[-1].sum()
-            + traj.actions.mean()
-            + res.final_state.cash.mean()
-        )
+    def episodes(key0):
+        # K full episodes per dispatch: in production the trajectory consumer
+        # (learner/analytics) lives on device, so per-dispatch host-link
+        # latency is not part of the steady-state step cost.  Every
+        # trajectory buffer is still materialized and consumed on device so
+        # nothing is dead-code-eliminated.
+        def one(acc, key):
+            res = rollout(cfg, policy, None, key)
+            traj = res.trajectory
+            return (
+                acc
+                + traj.rewards.sum()
+                + traj.observations[-1].sum()
+                + traj.actions.mean()
+                + res.final_state.cash.mean()
+            ), None
 
-    float(episode(jax.random.PRNGKey(999)))  # compile
+        acc, _ = jax.lax.scan(one, 0.0, jax.random.split(key0, episodes_per_call))
+        return acc
+
+    float(episodes(jax.random.PRNGKey(999)))  # compile
     t0 = time.time()
     for i in range(iters):
-        checksum = float(episode(jax.random.PRNGKey(i)))
+        checksum = float(episodes(jax.random.PRNGKey(i)))
     elapsed = (time.time() - t0) / iters
-    print(f"engine: {elapsed*1e3:.1f} ms/episode, checksum {checksum:.2f}", file=sys.stderr)
-    return num_trajectories * cfg.n_steps / elapsed
+    print(
+        f"engine: {elapsed*1e3:.1f} ms / {episodes_per_call} episodes, checksum {checksum:.2f}",
+        file=sys.stderr,
+    )
+    return num_trajectories * cfg.n_steps * episodes_per_call / elapsed
+
+
+def measure_pallas(num_trajectories: int = 16384, episodes_per_call: int = 10, iters: int = 5):
+    """Diagnostic: the fused whole-episode Pallas kernel's rate (stderr only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mbt_gym_tpu.ops.pallas_episode import as_episode_pallas, params_from_config
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    cfg = as_env_config(num_trajectories=num_trajectories)
+    p = params_from_config(cfg, risk_aversion=0.1)
+
+    @jax.jit
+    def episodes(seed0):
+        def one(acc, s):
+            cash, inv, price = as_episode_pallas(p, s, num_trajectories)
+            return acc + cash.sum() + inv.sum(), None
+
+        acc, _ = jax.lax.scan(one, 0.0, seed0 + jnp.arange(episodes_per_call, dtype=jnp.int32))
+        return acc
+
+    float(episodes(jnp.int32(999)))
+    t0 = time.time()
+    for i in range(iters):
+        float(episodes(jnp.int32(i * 1000)))
+    elapsed = (time.time() - t0) / iters
+    return num_trajectories * cfg.n_steps * episodes_per_call / elapsed
 
 
 def measure_reference_numpy(num_trajectories: int = 16384, n_steps: int = 25) -> float:
@@ -77,6 +118,11 @@ def measure_reference_numpy(num_trajectories: int = 16384, n_steps: int = 25) ->
 
 def main():
     value = measure_engine()
+    try:
+        pallas_rate = measure_pallas()
+        print(f"pallas fused-episode kernel: {pallas_rate/1e6:.1f}M steps/s", file=sys.stderr)
+    except Exception as exc:  # CPU-only hosts: the kernel needs real TPU PRNG
+        print(f"pallas path unavailable: {type(exc).__name__}", file=sys.stderr)
     ref = measure_reference_numpy()
     print(f"reference numpy: {ref/1e6:.2f}M steps/s", file=sys.stderr)
     print(
