@@ -199,6 +199,20 @@ class CarteaJaimungalMmAgent:
         omega = np.maximum(omega, 1e-300)
         return (np.log(omega) / self.kappa).astype(dtype)
 
+    def depth_table(self) -> np.ndarray:
+        """(n_steps+1, 2Q+1, 2) table of [bid, ask] depths by (time, inventory
+        index).  The reference's large-depth boundary override
+        (BaselineAgents.py:131-137: ``h[idx+-1] == h[idx]`` after clipping)
+        fires exactly at the clipped inventory bounds, so it is index-based
+        and precomputable."""
+        h = self.h_table()  # (T+1, 2Q+1)
+        inv_k = 1.0 / self.kappa
+        bid = inv_k - np.roll(h, -1, axis=1) + h
+        bid[:, -1] = inv_k + self.large_depth  # q >= +Q: quote huge bid depth
+        ask = inv_k - np.roll(h, 1, axis=1) + h
+        ask[:, 0] = inv_k + self.large_depth  # q <= -Q: quote huge ask depth
+        return np.stack([bid, ask], axis=2)
+
     def policy(self):
         if self.inventory_neutral:
             risk_neutral = 1.0 / self.kappa
@@ -209,27 +223,25 @@ class CarteaJaimungalMmAgent:
 
             return policy_fn
 
-        h_tab = jnp.asarray(self.h_table())
         q_max = self.max_inventory
         dt = self.terminal_time / self.n_steps
-        kappa, large = self.kappa, self.large_depth
+        size = 2 * q_max + 1
+        depth_tab = jnp.asarray(self.depth_table(), dtype=jnp.float32)
 
         def policy_fn(params, obs, state):
-            time = obs[:, TIME_INDEX]
-            inventories = obs[:, INVENTORY_INDEX]
-            t_idx = jnp.clip(jnp.round(time / dt).astype(jnp.int32), 0, h_tab.shape[0] - 1)
-            h_t = h_tab[t_idx]  # (N, 2Q+1)
-            idx = jnp.clip(q_max + inventories, 0, 2 * q_max).astype(jnp.int32)
-            idx_m1 = jnp.clip(idx - 1, 0, 2 * q_max)
-            idx_p1 = jnp.clip(idx + 1, 0, 2 * q_max)
-            h_0 = jnp.take_along_axis(h_t, idx[:, None], axis=1)[:, 0]
-            h_p1 = jnp.take_along_axis(h_t, idx_p1[:, None], axis=1)[:, 0]
-            h_m1 = jnp.take_along_axis(h_t, idx_m1[:, None], axis=1)[:, 0]
-            at_max_bid = (h_p1 == h_0).astype(obs.dtype)
-            at_max_ask = (h_m1 == h_0).astype(obs.dtype)
-            bid = 1.0 / kappa - h_p1 + h_0 + large * at_max_bid
-            ask = 1.0 / kappa - h_m1 + h_0 + large * at_max_ask
-            return jnp.stack([bid, ask], axis=1).astype(obs.dtype)
+            # All trajectories share the clock (TradingEnvironment.py:218-220)
+            # => scalar time index, one dynamic row slice.  The per-env
+            # inventory lookup is a one-hot matmul on the MXU — TPU gathers
+            # over (N,) indices are far slower than a (N, 2Q+1)x(2Q+1, 2)
+            # contraction.
+            t_source = state.time[0] if state is not None else obs[0, TIME_INDEX]
+            t_idx = jnp.clip(jnp.round(t_source / dt).astype(jnp.int32), 0, depth_tab.shape[0] - 1)
+            row = jax.lax.dynamic_index_in_dim(depth_tab, t_idx, axis=0, keepdims=False)
+            idx = jnp.clip(q_max + obs[:, INVENTORY_INDEX], 0, 2 * q_max).astype(jnp.int32)
+            onehot = (idx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]).astype(
+                jnp.float32
+            )
+            return jnp.dot(onehot, row, preferred_element_type=jnp.float32).astype(obs.dtype)
 
         return policy_fn
 

@@ -130,23 +130,38 @@ def noise_specs(cfg: EnvConfig) -> Tuple[Tuple[str, Tuple[int, int]], ...]:
 
 
 def draw_step_noise(cfg: EnvConfig, key: jax.Array, n: int) -> StepNoise:
-    """Counter-based native noise for one step: slot i draws from
-    ``fold_in(key, i)``, normals then uniforms from distinct sub-keys."""
+    """Counter-based native noise for one step.
+
+    All slots' normal columns come from ONE batched draw and all uniform
+    columns from a second (two threefry invocations per step instead of one
+    or two per slot) — the per-column assignment is fixed by slot order, so
+    results are deterministic in (key, config) even though the stream layout
+    differs from per-slot draws."""
     dtype = cfg.jdtype
+    specs = noise_specs(cfg)
+    total_norm = sum(s[1][0] for s in specs)
+    total_unif = sum(s[1][1] for s in specs)
+    normals = (
+        jax.random.normal(jax.random.fold_in(key, 0), (n, total_norm), dtype=dtype)
+        if total_norm
+        else None
+    )
+    uniforms = (
+        jax.random.uniform(jax.random.fold_in(key, 1), (n, total_unif), dtype=dtype)
+        if total_unif
+        else None
+    )
     slots = []
-    for i, (_, (n_norm, n_unif)) in enumerate(noise_specs(cfg)):
-        slot_key = jax.random.fold_in(key, i)
-        normal = (
-            jax.random.normal(jax.random.fold_in(slot_key, 0), (n, n_norm), dtype=dtype)
-            if n_norm
-            else None
+    i_n = i_u = 0
+    for _, (n_norm, n_unif) in specs:
+        slots.append(
+            SlotNoise(
+                normal=normals[:, i_n : i_n + n_norm] if n_norm else None,
+                uniform=uniforms[:, i_u : i_u + n_unif] if n_unif else None,
+            )
         )
-        uniform = (
-            jax.random.uniform(jax.random.fold_in(slot_key, 1), (n, n_unif), dtype=dtype)
-            if n_unif
-            else None
-        )
-        slots.append(SlotNoise(normal=normal, uniform=uniform))
+        i_n += n_norm
+        i_u += n_unif
     return tuple(slots)
 
 

@@ -40,13 +40,18 @@ def reference_noise_cube(
     slots = []
     for i, (_, (n_norm, n_unif)) in enumerate(noise_specs(cfg)):
         rng = np.random.default_rng(seed + i + 1)
-        normals = np.empty((n_steps, n, n_norm), dtype=np.float64) if n_norm else None
-        uniforms = np.empty((n_steps, n, n_unif), dtype=np.float64) if n_unif else None
-        for t in range(n_steps):
-            if n_norm:
+        if n_norm and n_unif:
+            # Mixed-kind slot: per-step interleaving matters, keep the loop.
+            normals = np.empty((n_steps, n, n_norm), dtype=np.float64)
+            uniforms = np.empty((n_steps, n, n_unif), dtype=np.float64)
+            for t in range(n_steps):
                 normals[t] = rng.normal(size=(n, n_norm))
-            if n_unif:
                 uniforms[t] = rng.uniform(size=(n, n_unif))
+        else:
+            # Single-kind slot: one batched draw is bitwise-identical to the
+            # per-step sequence (NumPy Generators fill C-order sequentially).
+            normals = rng.normal(size=(n_steps, n, n_norm)) if n_norm else None
+            uniforms = rng.uniform(size=(n_steps, n, n_unif)) if n_unif else None
         slots.append(
             SlotNoise(
                 normal=None if normals is None else normals.astype(dtype),

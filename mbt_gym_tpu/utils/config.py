@@ -3,13 +3,17 @@ experiment configurations (notebooks/Test_1, Test_2; experiments/helpers.py).
 """
 from __future__ import annotations
 
-from mbt_gym_tpu.dynamics import LimitOrderDynamics, TradingWithSpeedDynamics
+from mbt_gym_tpu.dynamics import (
+    LimitAndMarketOrderDynamics,
+    LimitOrderDynamics,
+    TradingWithSpeedDynamics,
+)
 from mbt_gym_tpu.env import EnvConfig
-from mbt_gym_tpu.processes.arrivals import PoissonArrivals
-from mbt_gym_tpu.processes.fills import ExponentialFill
-from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+from mbt_gym_tpu.processes.arrivals import HawkesArrivals, PoissonArrivals
+from mbt_gym_tpu.processes.fills import ExogenousMmFill, ExponentialFill
+from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice, OuMidprice
 from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
-from mbt_gym_tpu.rewards import CjMmCriterion, CjOeCriterion, PnL
+from mbt_gym_tpu.rewards import CjMmCriterion, CjOeCriterion, PnL, RunningInventoryPenalty
 
 
 def as_env_config(
@@ -128,6 +132,51 @@ def oe_env_config(
         terminal_time=terminal_time,
         n_steps=n_steps,
         initial_inventory=initial_inventory,
+        num_trajectories=num_trajectories,
+        normalise_action_space=False,
+        normalise_observation_space=False,
+        dtype=dtype,
+    )
+
+
+def composite_env_config(
+    num_trajectories: int = 65536,
+    initial_price: float = 100.0,
+    terminal_time: float = 1.0,
+    sigma: float = 2.0,
+    n_steps: int = 200,
+    baseline_arrival_rate: float = 10.0,
+    fill_exponent: float = 1.5,
+    dtype: str = "float32",
+) -> EnvConfig:
+    """Composite stress config (BASELINE.json config #4): Hawkes
+    self-exciting arrivals + stochastic (exogenous competing-MM) fill
+    probability + limit-and-market-order action space, 64k envs/chip."""
+    exo_bid = OuMidprice(
+        initial_price=0.8, mean_reversion_level=0.8, mean_reversion_speed=1.0,
+        volatility=0.1, terminal_time=terminal_time, dt_scaled_drift=True,
+    )
+    exo_ask = OuMidprice(
+        initial_price=0.8, mean_reversion_level=0.8, mean_reversion_speed=1.0,
+        volatility=0.1, terminal_time=terminal_time, dt_scaled_drift=True,
+    )
+    dynamics = LimitAndMarketOrderDynamics(
+        midprice_model=BrownianMotionMidprice(
+            initial_price=initial_price, volatility=sigma, terminal_time=terminal_time
+        ),
+        arrival_model=HawkesArrivals(
+            baseline_arrival_rate=(baseline_arrival_rate, baseline_arrival_rate)
+        ),
+        fill_probability_model=ExogenousMmFill(
+            bid_process=exo_bid, ask_process=exo_ask, fill_exponent=fill_exponent
+        ),
+    )
+    return EnvConfig(
+        dynamics=dynamics,
+        reward_function=RunningInventoryPenalty(0.01, 0.001),
+        terminal_time=terminal_time,
+        n_steps=n_steps,
+        max_inventory=100.0,
         num_trajectories=num_trajectories,
         normalise_action_space=False,
         normalise_observation_space=False,

@@ -1,0 +1,134 @@
+"""Full benchmark suite over the five BASELINE.json configurations.
+
+Prints a markdown table (stdout) of amortized env-steps/s per config on the
+current default JAX backend (real TPU chip under the platform default, or
+CPU for smoke runs with --small).
+
+Configs (BASELINE.json "configs"):
+ 1. AS market making, 16k envs, 200-step episodes (headline; also bench.py)
+ 2. CJP market making with CjMm reward, 1000 steps
+ 3. Optimal execution, speed dynamics + impact, 8192 envs
+ 4. Composite: Hawkes + exogenous-MM fills + limit-and-market, 64k envs
+ 5. Pod scale: 1M envs feeding the on-device PPO-style rollout consumer
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(name, cfg, policy, episodes_per_call, iters=3):
+    from mbt_gym_tpu.utils.profiling import _episode_thunk
+
+    thunk = _episode_thunk(cfg, policy, episodes_per_call)
+    t0 = time.time()
+    float(thunk(jax.random.PRNGKey(0)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(iters):
+        float(thunk(jax.random.PRNGKey(1 + i)))
+    dt = (time.time() - t0) / iters
+    rate = cfg.num_trajectories * cfg.n_steps * episodes_per_call / dt
+    return {"config": name, "envs": cfg.num_trajectories, "n_steps": cfg.n_steps,
+            "env_steps_per_s": rate, "ms_per_call": dt * 1e3, "compile_s": compile_s}
+
+
+def measure_ppo(name, env_cfg, iters=3, n_minibatches=4):
+    from mbt_gym_tpu.agents import ppo
+
+    ppo_cfg = ppo.PPOConfig(hidden=(256, 256), n_epochs=1, n_minibatches=n_minibatches)
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    t0 = time.time()
+    new_ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1))
+    jax.block_until_ready(new_ts)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(iters):
+        ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(ts)
+    dt = (time.time() - t0) / iters
+    rate = env_cfg.num_trajectories * env_cfg.n_steps / dt
+    return {"config": name, "envs": env_cfg.num_trajectories, "n_steps": env_cfg.n_steps,
+            "env_steps_per_s": rate, "ms_per_call": dt * 1e3, "compile_s": compile_s}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true", help="tiny shapes for CPU smoke")
+    parser.add_argument("--json", action="store_true", help="emit JSON lines instead of markdown")
+    args = parser.parse_args()
+    scale = 64 if args.small else 1
+
+    from mbt_gym_tpu.agents.baseline import (
+        AvellanedaStoikovAgent,
+        CarteaJaimungalMmAgent,
+        CarteaJaimungalOeAgent,
+    )
+    from mbt_gym_tpu.utils.config import (
+        as_env_config,
+        cj_env_config,
+        composite_env_config,
+        oe_env_config,
+    )
+
+    rows = []
+
+    cfg1 = as_env_config(num_trajectories=16384 // scale)
+    rows.append(measure("1. AS market making (16k envs)", cfg1,
+                        AvellanedaStoikovAgent.from_config(cfg1).policy(), 8))
+
+    cfg2 = cj_env_config(num_trajectories=16384 // scale, max_inventory=100.0)
+    rows.append(measure("2. CJP MM, CjMm reward (1000 steps)", cfg2,
+                        CarteaJaimungalMmAgent.from_config(cfg2, max_inventory=100).policy(), 2))
+
+    cfg3 = oe_env_config(num_trajectories=8192 // scale)
+    rows.append(measure("3. Optimal execution (8192 envs)", cfg3,
+                        CarteaJaimungalOeAgent.from_config(cfg3, alpha=0.01).policy(), 8))
+
+    cfg4 = composite_env_config(num_trajectories=65536 // scale)
+
+    def composite_policy(params, obs, state):
+        n = obs.shape[0]
+        quotes = jnp.full((n, 2), 0.6, dtype=obs.dtype)
+        mos = jnp.zeros((n, 2), dtype=obs.dtype)
+        return jnp.concatenate([quotes, mos], axis=1)
+
+    rows.append(measure("4. Composite Hawkes+ExoMM+L&M (64k envs)", cfg4, composite_policy, 4))
+
+    # Config 5 is the pod-scale setting (1M+ envs over N>=2 hosts); a single
+    # chip runs its share of a 4-chip 1M-env pod.  Minibatch count is sized
+    # so PPO activation memory fits HBM (52M transitions/iteration).
+    cfg5 = as_env_config(num_trajectories=(1 << 18) // scale)
+    ppo_cfg5 = dataclasses.replace(
+        cfg5, normalise_observation_space=True, normalise_action_space=True
+    )
+    rows.append(
+        measure_ppo(
+            "5. PPO consumer, 262k envs/chip (1M-env pod share)",
+            ppo_cfg5,
+            n_minibatches=4 if args.small else 64,
+        )
+    )
+
+    if args.json:
+        for r in rows:
+            print(json.dumps(r))
+    else:
+        print("| config | envs | steps | env-steps/s | ms/call | compile s |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r['config']} | {r['envs']} | {r['n_steps']} "
+                f"| {r['env_steps_per_s']/1e6:,.1f}M | {r['ms_per_call']:.1f} "
+                f"| {r['compile_s']:.1f} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,67 @@ def oracle_limit_order_rollout(
         rew_buf[t] = rew
 
     return {"observations": obs_buf, "actions": act_buf, "rewards": rew_buf}
+
+
+def oracle_speed_rollout(
+    policy,
+    seed: int,
+    num_trajectories: int = 64,
+    n_steps: int = 50,
+    terminal_time: float = 1.0,
+    initial_price: float = 100.0,
+    drift: float = 0.0,
+    volatility: float = 2.0,
+    temporary_impact: float = 0.01,
+    permanent_impact: float = 0.01,
+    initial_inventory: float = 10.0,
+    phi: float = 2e-4,
+    alpha: float = 0.01,
+):
+    """Speed-dynamics (optimal execution) mirror: TradinghWithSpeedModelDynamics
+    bookkeeping (ModelDynamics.py:262-267), TemporaryAndPermanentPriceImpact
+    recursion (price_impact_models.py:88-92), CjOeCriterion reward
+    (RewardFunctions.py:55-70).  RNG stream: only the midprice draws
+    (slot 0 -> seed+1); the impact model has no noise (slot 1)."""
+    n = num_trajectories
+    dt = terminal_time / n_steps
+    rng_mid = np.random.default_rng(seed + 1)
+
+    cash = np.zeros(n)
+    inventory = np.full(n, float(initial_inventory))
+    time = np.zeros(n)
+    price = np.full(n, initial_price)
+    impact_state = np.zeros(n)
+    q0 = inventory.copy()
+    episode_length = terminal_time
+
+    obs_buf = np.zeros((n_steps + 1, n, 5))
+    rew_buf = np.zeros((n_steps, n))
+    obs_buf[0] = np.stack([cash, inventory, time, price, impact_state], axis=1)
+
+    for t in range(n_steps):
+        obs = np.stack([cash, inventory, time, price, impact_state], axis=1)
+        action = policy(obs)  # (n, 1) signed speed
+        speed = action[:, 0]
+
+        prev = (cash.copy(), inventory.copy(), time.copy(), price.copy())
+        exec_price = price + (temporary_impact * speed + impact_state)
+        volume = speed * dt
+        cash = cash - volume * exec_price
+        inventory = inventory + volume
+        time = time + dt
+        # market update order: midprice first, then impact (slot order)
+        price = price + drift * dt + volatility * np.sqrt(dt) * rng_mid.normal(size=(n, 1))[:, 0]
+        impact_state = impact_state + permanent_impact * speed * dt
+
+        pnl = (cash + inventory * price) - (prev[0] + prev[1] * prev[3])
+        step_dt = time - prev[2]
+        rew = (
+            pnl
+            - step_dt * phi * inventory**2
+            - step_dt * alpha * (2.0 * speed * prev[1] + q0**2 * episode_length)
+        )
+        obs_buf[t + 1] = np.stack([cash, inventory, time, price, impact_state], axis=1)
+        rew_buf[t] = rew
+
+    return {"observations": obs_buf, "rewards": rew_buf}

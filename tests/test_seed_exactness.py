@@ -93,3 +93,33 @@ def test_inventory_masking_at_bounds():
         inv = np.asarray(res.trajectory.observations[:, :, 1])
         np.testing.assert_array_equal(inv, oracle["observations"][:, :, 1])
         assert np.abs(inv).max() <= 2.0
+
+
+def test_oe_env_bitwise_vs_oracle():
+    """Speed dynamics + temporary/permanent impact + CjOe reward, bitwise."""
+    from mbt_gym_tpu.utils.config import oe_env_config
+    from tests.reference_oracle import oracle_speed_rollout
+    import numpy as np
+
+    with enable_x64():
+        cfg = oe_env_config(
+            num_trajectories=N, n_steps=N_STEPS, initial_inventory=10, dtype="float64"
+        )
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+
+        def policy(params, obs, state):
+            import jax.numpy as jnp
+            return jnp.full((obs.shape[0], 1), -2.5, dtype=obs.dtype)
+
+        res = rollout(cfg, policy, None, jax.random.PRNGKey(0), noise=noise)
+        oracle = oracle_speed_rollout(
+            lambda obs: np.full((obs.shape[0], 1), -2.5), SEED,
+            num_trajectories=N, n_steps=N_STEPS, initial_inventory=10.0,
+            phi=2e-4, alpha=0.01,
+        )
+        ours = np.asarray(res.trajectory.observations)
+        np.testing.assert_allclose(ours[:, :, 0], oracle["observations"][:, :, 0], atol=1e-9)
+        np.testing.assert_allclose(ours[:, :, 1], oracle["observations"][:, :, 1], atol=1e-12)
+        np.testing.assert_allclose(ours[:, :, 3], oracle["observations"][:, :, 3], atol=1e-12)
+        np.testing.assert_allclose(ours[:, :, 4], oracle["observations"][:, :, 4], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.trajectory.rewards), oracle["rewards"], atol=1e-9)
