@@ -79,11 +79,15 @@ def human_policy(cfg: EnvConfig):
 
 def expected_action(policy, params, obs, state, key, n_samples: int = 1000):
     """Monte-Carlo mean action of a stochastic policy (Agent.py:11-12).
-    Deterministic policies return their action unchanged."""
+
+    Stochastic policies in this framework derive randomness from
+    ``state.key``/``state.step``; each sample re-keys the state so draws are
+    independent.  Deterministic policies return their action unchanged."""
     import jax as _jax
 
     def one(k):
-        return policy(params, obs, state)
+        sample_state = state._replace(key=k) if state is not None else None
+        return policy(params, obs, sample_state)
 
     actions = _jax.vmap(one)(_jax.random.split(key, n_samples))
     return actions.mean(axis=0)

@@ -1,0 +1,119 @@
+"""Env feature coverage: random/late start times, reward scaling flag,
+normalisation roundtrips, clip diagnostics, plotting smoke."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbt_gym_tpu import env as env_lib
+from mbt_gym_tpu import jit_rollout, rollout
+from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent, fixed_spread_policy
+from mbt_gym_tpu.utils.config import as_env_config
+
+
+def test_fixed_late_start_time_shortens_episode():
+    cfg = as_env_config(num_trajectories=8, n_steps=100)
+    cfg = dataclasses.replace(cfg, start_time=0.5)
+    res = jit_rollout(cfg, fixed_spread_policy(1.0), None, jax.random.PRNGKey(0))
+    # scan length = remaining steps only
+    assert res.trajectory.rewards.shape[0] == 50
+    np.testing.assert_allclose(float(res.trajectory.observations[0, 0, 2]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(res.final_state.time[0]), 1.0, atol=1e-5)
+
+
+def test_random_start_time_masks_post_done_steps():
+    cfg = as_env_config(num_trajectories=8, n_steps=40)
+    cfg = dataclasses.replace(cfg, start_time=("uniform", 0.25, 0.75))
+    res = rollout(cfg, fixed_spread_policy(1.0), None, jax.random.PRNGKey(3))
+    start = float(res.trajectory.observations[0, 0, 2])
+    assert 0.25 - 1e-6 <= start <= 0.75 + 1e-6
+    # quantised to the step grid
+    assert abs(start / cfg.step_size - round(start / cfg.step_size)) < 1e-5
+    # post-done steps frozen: time never exceeds T, rewards past done are 0
+    times = np.asarray(res.trajectory.observations[:, 0, 2])
+    assert times.max() <= cfg.terminal_time + 1e-5
+    n_live = round((cfg.terminal_time - start) / cfg.step_size)
+    rewards = np.asarray(res.trajectory.rewards)
+    assert np.allclose(rewards[n_live:], 0.0)
+    assert not np.allclose(rewards[:n_live], 0.0)
+
+
+def test_random_initial_inventory_draws_in_range():
+    cfg = as_env_config(num_trajectories=256)
+    cfg = dataclasses.replace(cfg, initial_inventory=(-3, 4))
+    state, obs = env_lib.reset(cfg, jax.random.PRNGKey(0))
+    inv = np.asarray(state.inventory)
+    assert inv.min() >= -3 and inv.max() <= 3  # exclusive high, like rng.integers
+    assert len(np.unique(inv)) > 1
+    np.testing.assert_array_equal(np.asarray(state.initial_inventory), inv)
+
+
+def test_reward_scaling_flag():
+    cfg = as_env_config(num_trajectories=8, n_steps=10)
+    scaled = dataclasses.replace(cfg, reward_scaling=0.25)
+    key = jax.random.PRNGKey(0)
+    res = jit_rollout(cfg, fixed_spread_policy(1.0), None, key)
+    res_scaled = jit_rollout(scaled, fixed_spread_policy(1.0), None, key)
+    np.testing.assert_allclose(
+        np.asarray(res_scaled.trajectory.rewards),
+        0.25 * np.asarray(res.trajectory.rewards),
+        rtol=1e-6,
+    )
+
+
+def test_normalisation_roundtrip():
+    cfg = as_env_config(num_trajectories=16)
+    ncfg = dataclasses.replace(cfg, normalise_observation_space=True, normalise_action_space=True)
+    state, obs = env_lib.reset(ncfg, jax.random.PRNGKey(0))
+    raw = env_lib.raw_observation(ncfg, state)
+    low, high = ncfg.observation_bounds()
+    recovered = (np.asarray(obs) + 1.0) * (high - low) / 2 + low
+    np.testing.assert_allclose(recovered, np.asarray(raw), rtol=1e-4, atol=1e-4)
+    # action roundtrip
+    a = np.asarray([[0.3, -0.7]] * 16, dtype=np.float32)
+    back = env_lib.normalise_action(ncfg, env_lib.denormalise_action(ncfg, jnp.asarray(a)))
+    np.testing.assert_allclose(np.asarray(back), a, atol=1e-5)
+
+
+def test_clip_events_counter():
+    cfg = as_env_config(num_trajectories=8, n_steps=20)
+    cfg = dataclasses.replace(cfg, max_inventory=1.0)
+
+    def greedy(params, obs, state):
+        return jnp.full((obs.shape[0], 2), 0.01, dtype=obs.dtype)
+
+    res = jit_rollout(cfg, greedy, None, jax.random.PRNGKey(0))
+    inv = np.asarray(res.trajectory.observations[:, :, 1])
+    assert np.abs(inv).max() <= 1.0
+
+
+def test_expected_action_stochastic_policy():
+    from mbt_gym_tpu.agents.baseline import expected_action, random_policy
+
+    cfg = as_env_config(num_trajectories=4)
+    state, obs = env_lib.reset(cfg, jax.random.PRNGKey(0))
+    pol = random_policy(cfg)
+    mean_action = expected_action(pol, None, obs, state, jax.random.PRNGKey(1), n_samples=512)
+    low, high = cfg.action_bounds()
+    # MC mean approaches the uniform midpoint
+    expected = np.broadcast_to((low + high) / 2, mean_action.shape)
+    np.testing.assert_allclose(
+        np.asarray(mean_action), expected, atol=float(0.15 * (high - low).max())
+    )
+
+
+def test_plot_trajectory_smoke():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from mbt_gym_tpu.analytics.plotting import plot_policy_slices, plot_trajectory
+
+    cfg = as_env_config(num_trajectories=4, n_steps=20)
+    agent = AvellanedaStoikovAgent.from_config(cfg)
+    res = jit_rollout(cfg, agent.policy(), None, jax.random.PRNGKey(0))
+    fig = plot_trajectory(cfg, res.trajectory)
+    assert fig is not None
+    figs = plot_policy_slices(cfg, agent.policy(), inventories=(-1, 0, 1))
+    assert len(figs) == 2
