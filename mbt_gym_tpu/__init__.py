@@ -18,7 +18,7 @@ from mbt_gym_tpu.types import (
     Trajectory,
 )
 from mbt_gym_tpu.env import EnvConfig, default_dynamics, reset, step, observe
-from mbt_gym_tpu.rollout import RolloutResult, episode_stats, jit_rollout, rollout
+from mbt_gym_tpu.rollout import RolloutResult, episode_stats, jit_rollout, mc_episode_stats, rollout
 
 __version__ = "0.1.0"
 
@@ -39,6 +39,7 @@ __all__ = [
     "default_dynamics",
     "episode_stats",
     "jit_rollout",
+    "mc_episode_stats",
     "observe",
     "reset",
     "rollout",

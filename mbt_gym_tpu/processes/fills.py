@@ -51,14 +51,23 @@ class ExponentialFill(FillModelBase):
 @process_dataclass
 class TriangularFill(FillModelBase):
     """``p = max(1 - max(depth, 0)/max_fill_depth, 0)``
-    (fill_probability_models.py:68-91, elementwise intent)."""
+    (fill_probability_models.py:68-91, elementwise intent).
+
+    ``strict_reference_bug=True`` reproduces the literal reference expression
+    ``np.max(1 - np.max(depths, 0)/c, 0)`` — axis-0 reductions instead of
+    elementwise clamps, collapsing the fill probability to a single scalar
+    shared by all trajectories and sides (fill_probability_models.py:84)."""
 
     max_fill_depth: float = 1.0
+    strict_reference_bug: bool = False
 
     def noise_spec(self):
         return (0, 2)
 
     def fill_probability(self, state, depths):
+        if self.strict_reference_bug:
+            p = jnp.max(1.0 - jnp.max(depths, axis=0) / self.max_fill_depth, axis=0)
+            return jnp.broadcast_to(p, depths.shape)
         return jnp.maximum(1.0 - jnp.maximum(depths, 0.0) / self.max_fill_depth, 0.0)
 
     @property
@@ -69,16 +78,22 @@ class TriangularFill(FillModelBase):
 @process_dataclass
 class PowerFill(FillModelBase):
     """``p = 1 / (1 + (mult * depth)^k)`` (fill_probability_models.py:94-123,
-    elementwise intent)."""
+    elementwise intent).  ``strict_reference_bug=True`` reproduces the literal
+    axis-0 ``np.max(depths, 0)`` cross-trajectory reduction (:115-116)."""
 
     fill_exponent: float = 1.5
     fill_multiplier: float = 1.5
+    strict_reference_bug: bool = False
 
     def noise_spec(self):
         return (0, 2)
 
     def fill_probability(self, state, depths):
-        return 1.0 / (1.0 + (self.fill_multiplier * jnp.maximum(depths, 0.0)) ** self.fill_exponent)
+        if self.strict_reference_bug:
+            d = jnp.broadcast_to(jnp.max(depths, axis=0), depths.shape)
+        else:
+            d = jnp.maximum(depths, 0.0)
+        return 1.0 / (1.0 + (self.fill_multiplier * d) ** self.fill_exponent)
 
     @property
     def max_depth(self) -> float:
