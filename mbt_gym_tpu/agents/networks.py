@@ -31,12 +31,23 @@ def init_mlp(key: jax.Array, sizes: Sequence[int], dtype=jnp.float32) -> MlpPara
     return params
 
 
-def mlp_apply(params: MlpParams, x: jax.Array, activation=jnp.tanh) -> jax.Array:
+def mlp_apply(
+    params: MlpParams, x: jax.Array, activation=jnp.tanh, compute_dtype=None
+) -> jax.Array:
+    """Apply the MLP; with ``compute_dtype`` (e.g. jnp.bfloat16) the matmuls
+    run at that precision on the MXU while master params stay float32 —
+    outputs are cast back to the input dtype."""
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     for i, layer in enumerate(params):
-        x = x @ layer["w"] + layer["b"]
+        w, b = layer["w"], layer["b"]
+        if compute_dtype is not None:
+            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+        x = x @ w + b
         if i < len(params) - 1:
             x = activation(x)
-    return x
+    return x.astype(out_dtype)
 
 
 class ActorCriticParams(Dict[str, Any]):
@@ -59,12 +70,12 @@ def init_actor_critic(
     }
 
 
-def policy_mean(params, obs: jax.Array) -> jax.Array:
-    return mlp_apply(params["pi"], obs)
+def policy_mean(params, obs: jax.Array, compute_dtype=None) -> jax.Array:
+    return mlp_apply(params["pi"], obs, compute_dtype=compute_dtype)
 
 
-def value(params, obs: jax.Array) -> jax.Array:
-    return mlp_apply(params["vf"], obs)[..., 0]
+def value(params, obs: jax.Array, compute_dtype=None) -> jax.Array:
+    return mlp_apply(params["vf"], obs, compute_dtype=compute_dtype)[..., 0]
 
 
 def sample_action(params, obs: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:

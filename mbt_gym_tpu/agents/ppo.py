@@ -35,6 +35,14 @@ class PPOConfig:
     n_minibatches: int = 4
     hidden: Tuple[int, int] = (256, 256)
     normalise_advantages: bool = True
+    # Shuffle transitions globally before minibatching.  At pod-scale batch
+    # sizes the permutation gather dominates the update cost and contiguous
+    # minibatches (each already mixing all envs at one timestep block) work
+    # as well; set False for throughput.
+    shuffle: bool = True
+    # None = float32 everywhere; "bfloat16" runs the MLP matmuls on the MXU
+    # at bf16 with float32 master params/optimizer state.
+    compute_dtype: str = None
 
 
 class PPOTrainState(NamedTuple):
@@ -86,7 +94,8 @@ def _constrain_batch_axis(tree, mesh, axis: int):
 
 
 def collect_rollout(
-    env_cfg: EnvConfig, params, key: jax.Array, gamma: float = 1.0, lam: float = 0.95, mesh=None
+    env_cfg: EnvConfig, params, key: jax.Array, gamma: float = 1.0, lam: float = 0.95, mesh=None,
+    compute_dtype=None,
 ) -> RolloutBatch:
     """One on-policy episode for all N trajectories, with values/log-probs."""
     reset_key, act_key = jax.random.split(key)
@@ -95,11 +104,17 @@ def collect_rollout(
     obs = _constrain_batch_axis(obs, mesh, 0)
     n_steps = env_cfg.n_steps
 
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else None
+
     def body(carry, t):
         state, obs = carry
         step_key = jax.random.fold_in(act_key, t)
-        action, log_prob = networks.sample_action(params, obs, step_key)
-        v = networks.value(params, obs)
+        mean = networks.policy_mean(params, obs, compute_dtype=cdt)
+        std = jnp.exp(params["log_std"])
+        eps = jax.random.normal(step_key, mean.shape, dtype=mean.dtype)
+        action = mean + std * eps
+        log_prob = networks.gaussian_log_prob(params, mean, action)
+        v = networks.value(params, obs, compute_dtype=cdt)
         clipped = jnp.clip(action, -1.0, 1.0) if env_cfg.normalise_action_space else action
         res = env_lib.step(env_cfg, state, clipped)
         out = (obs, action, log_prob, v, res.reward)
@@ -134,9 +149,10 @@ def compute_gae(rewards, values, last_value, gamma: float, lam: float):
 
 
 def _ppo_loss(params, ppo_cfg: PPOConfig, batch: RolloutBatch):
-    mean = networks.policy_mean(params, batch.obs)
+    cdt = jnp.dtype(ppo_cfg.compute_dtype) if ppo_cfg.compute_dtype else None
+    mean = networks.policy_mean(params, batch.obs, compute_dtype=cdt)
     log_probs = networks.gaussian_log_prob(params, mean, batch.actions)
-    values = networks.value(params, batch.obs)
+    values = networks.value(params, batch.obs, compute_dtype=cdt)
 
     adv = batch.advantages
     if ppo_cfg.normalise_advantages:
@@ -166,6 +182,7 @@ def train_iteration(
     batch = collect_rollout(
         env_cfg, train_state.params, rollout_key,
         gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda, mesh=mesh,
+        compute_dtype=ppo_cfg.compute_dtype,
     )
     batch = _constrain_batch_axis(batch, mesh, 1)
 
@@ -177,8 +194,11 @@ def train_iteration(
 
     def epoch_body(carry, epoch_key):
         params, opt_state = carry
-        perm = jax.random.permutation(epoch_key, total)
-        shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
+        if ppo_cfg.shuffle:
+            perm = jax.random.permutation(epoch_key, total)
+            shuffled = jax.tree_util.tree_map(lambda x: x[perm], flat)
+        else:
+            shuffled = flat
         minibatches = jax.tree_util.tree_map(
             lambda x: x[: mb_size * ppo_cfg.n_minibatches].reshape(
                 (ppo_cfg.n_minibatches, mb_size) + x.shape[1:]

@@ -42,7 +42,13 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
 def measure_ppo(name, env_cfg, iters=3, n_minibatches=4):
     from mbt_gym_tpu.agents import ppo
 
-    ppo_cfg = ppo.PPOConfig(hidden=(256, 256), n_epochs=1, n_minibatches=n_minibatches)
+    # Pod-scale production settings: contiguous minibatches (the global
+    # permutation gather costs 3x the whole update at 50M+ transitions) and
+    # bf16 MXU matmuls with f32 master params.
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(256, 256), n_epochs=1, n_minibatches=n_minibatches,
+        shuffle=False, compute_dtype="bfloat16",
+    )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     t0 = time.time()
     new_ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1))

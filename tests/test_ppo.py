@@ -65,3 +65,24 @@ def test_gaussian_log_prob_matches_scipy():
     std = np.exp(np.asarray(params["log_std"]))
     expected = scipy.stats.norm.logpdf(0.3, loc=0.0, scale=std).sum()
     np.testing.assert_allclose(np.asarray(lp), expected, rtol=1e-4)
+
+
+def test_train_iteration_fast_path_bf16_noshuffle():
+    """Pod-scale settings (shuffle=False, bf16 matmuls) must still learn and
+    produce finite metrics close to the f32 path."""
+    env_cfg = as_env_config(num_trajectories=256, n_steps=20)
+    env_cfg = dataclasses.replace(
+        env_cfg, normalise_observation_space=True, normalise_action_space=True
+    )
+    fast_cfg = ppo.PPOConfig(
+        hidden=(32, 32), n_epochs=2, n_minibatches=2, learning_rate=1e-3,
+        shuffle=False, compute_dtype="bfloat16",
+    )
+    ts = ppo.init_train_state(env_cfg, fast_cfg, jax.random.PRNGKey(0))
+    rewards = []
+    for i in range(8):
+        ts, metrics = ppo.jit_train_iteration(env_cfg, fast_cfg, ts, jax.random.PRNGKey(i))
+        rewards.append(float(metrics["mean_episode_reward"]))
+    assert np.isfinite(rewards).all()
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert np.mean(rewards[-3:]) > np.mean(rewards[:3]) - 1.0, rewards
