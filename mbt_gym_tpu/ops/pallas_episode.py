@@ -187,6 +187,179 @@ def as_episode_pallas(
     return cash.reshape(-1), inv.reshape(-1), price.reshape(-1)
 
 
+class CjEpisodeParams(NamedTuple):
+    """Scalars for the CJP market-making episode kernel.
+
+    NOTE (measured on v5e): this kernel is statistically correct (t-test vs
+    the analytic value function passes) but at 16k envs it runs ~115M
+    env-steps/s versus ~437M for the general XLA engine with the same
+    one-hot-matmul policy — XLA schedules the full-batch (N, 2Q+1) x
+    (2Q+1, 2) contraction on the MXU better than the per-tile kernel.  Kept
+    as a worked example of when NOT to hand-write a kernel; use the XLA path
+    (`rollout` / `mc_episode_stats`) for CJP production runs."""
+
+    n_steps: int
+    dt: float
+    drift: float
+    volatility: float
+    initial_price: float
+    intensity_bid: float
+    intensity_ask: float
+    fill_exponent: float
+    max_inventory: float  # fill-masking bound (env max_inventory)
+    terminal_time: float
+    phi: float  # per-step inventory aversion
+    alpha: float  # terminal inventory aversion
+
+
+def cj_params_from_config(cfg: EnvConfig) -> CjEpisodeParams:
+    from mbt_gym_tpu.dynamics import LimitOrderDynamics
+    from mbt_gym_tpu.processes.arrivals import PoissonArrivals
+    from mbt_gym_tpu.processes.fills import ExponentialFill
+    from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+    from mbt_gym_tpu.rewards import CjMmCriterion
+
+    d = cfg.dynamics
+    assert isinstance(d, LimitOrderDynamics)
+    assert isinstance(d.midprice_model, BrownianMotionMidprice)
+    assert isinstance(d.arrival_model, PoissonArrivals)
+    assert isinstance(d.fill_probability_model, ExponentialFill)
+    r = cfg.reward_function
+    assert isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0
+    assert not cfg.normalise_action_space and not cfg.normalise_observation_space
+    return CjEpisodeParams(
+        n_steps=cfg.n_steps,
+        dt=cfg.step_size,
+        drift=d.midprice_model.drift,
+        volatility=d.midprice_model.volatility,
+        initial_price=d.midprice_model.initial_price,
+        intensity_bid=d.arrival_model.intensity[0],
+        intensity_ask=d.arrival_model.intensity[1],
+        fill_exponent=d.fill_probability_model.fill_exponent,
+        max_inventory=float(cfg.max_inventory),
+        terminal_time=cfg.terminal_time,
+        phi=r.per_step_inventory_aversion,
+        alpha=r.terminal_inventory_aversion,
+    )
+
+
+def _cj_episode_kernel(p: CjEpisodeParams, q_cap: int, seed_ref, depth_ref, cash_ref, inv_ref, price_ref, sumq2_ref):
+    """Whole CJP episode per env tile.  ``depth_ref`` is the precomputed
+    (n_steps, 2*q_cap+1, 2) closed-form depth table (agents.baseline
+    .CarteaJaimungalMmAgent.depth_table), resident in VMEM; per-step quotes
+    are a one-hot MXU contraction against its time row."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = cash_ref.shape
+    rows = shape[0]
+    size = 2 * q_cap + 1
+
+    sqrt_dt_vol = p.volatility * math.sqrt(p.dt)
+    p_bid = p.intensity_bid * p.dt
+    p_ask = p.intensity_ask * p.dt
+    k = p.fill_exponent
+
+    def draw_uniform():
+        return _uniform_from_bits(pltpu.prng_random_bits(shape))
+
+    grid_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+
+    def body(i, carry):
+        cash, inv, price, sumq2 = carry
+        # quotes: one-hot over the inventory grid contracted with the step's
+        # (size, 2) depth row (clipped index, BaselineAgents.py:128-130)
+        row = depth_ref[i]  # (size, 2)
+        idx = jnp.clip(inv + q_cap, 0, 2 * q_cap).astype(jnp.int32)
+        onehot = (idx[..., None] == grid_iota).astype(jnp.float32)  # (rows, LANES, size)
+        quotes = jax.lax.dot_general(
+            onehot, row,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rows, LANES, 2)
+        bid_depth = quotes[:, :, 0]
+        ask_depth = quotes[:, :, 1]
+
+        arr_bid = (draw_uniform() < p_bid).astype(jnp.float32)
+        arr_ask = (draw_uniform() < p_ask).astype(jnp.float32)
+        fill_bid = (draw_uniform() < jnp.exp(-k * bid_depth)).astype(jnp.float32)
+        fill_ask = (draw_uniform() < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+        fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
+        fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
+
+        hit_bid = arr_bid * fill_bid
+        hit_ask = arr_ask * fill_ask
+        inv = inv + hit_bid - hit_ask
+        cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+        sumq2 = sumq2 + inv * inv  # post-update inventory (RewardFunctions.py:103)
+
+        u1 = 1.0 - draw_uniform()
+        u2 = draw_uniform()
+        normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+        price = price + p.drift * p.dt + sqrt_dt_vol * normal
+        return cash, inv, price, sumq2
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    price0 = jnp.full(shape, p.initial_price, jnp.float32)
+    cash, inv, price, sumq2 = jax.lax.fori_loop(0, p.n_steps, body, (zeros, zeros, price0, zeros))
+    cash_ref[:] = cash
+    inv_ref[:] = inv
+    price_ref[:] = price
+    sumq2_ref[:] = sumq2
+
+
+@partial(jax.jit, static_argnames=("params", "q_cap", "num_trajectories", "rows", "interpret"))
+def cj_episode_pallas(
+    params: CjEpisodeParams,
+    depth_table,
+    seed,
+    q_cap: int,
+    num_trajectories: int = 16384,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+):
+    """Run one full CJP episode; returns terminal (cash, inventory, price,
+    sum of q_t^2), each ``(N,)``.  ``depth_table`` is (n_steps, 2*q_cap+1, 2)
+    float32 (pass ``agent.depth_table()[:-1]`` — rows indexed by step)."""
+    tile = rows * LANES
+    assert num_trajectories % tile == 0, (num_trajectories, tile)
+    grid = num_trajectories // tile
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    depth_table = jnp.asarray(depth_table, dtype=jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)] * 4
+    kernel = partial(_cj_episode_kernel, params, q_cap)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full depth table per program
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed_arr, depth_table)
+    return tuple(o.reshape(-1) for o in outs)
+
+
+def cj_episode_rewards_pallas(
+    cfg: EnvConfig, agent, seed, num_trajectories: int = 16384, **kw
+):
+    """Total CjMm episode rewards from the kernel's terminal state: the PnL
+    telescopes to terminal mark-to-market, the running penalty is
+    ``phi*dt*sum q_t^2``, and the pathwise terminal term telescopes to
+    ``alpha*(q_T^2 - q_0^2 + q_0^2)`` for start time 0 (RewardFunctions.py:96-109)."""
+    p = cj_params_from_config(cfg)
+    table = agent.depth_table()[:-1]
+    q_cap = agent.max_inventory
+    cash, inv, price, sumq2 = cj_episode_pallas(
+        p, table, seed, q_cap, num_trajectories, **kw
+    )
+    pnl = cash + inv * price - 0.0
+    return pnl - p.phi * p.dt * sumq2 - p.alpha * inv**2
+
+
 def episode_stats_pallas(params: AsEpisodeParams, seed, num_trajectories: int = 16384, **kw):
     """Terminal-state summary stats (PnL telescopes: total reward = terminal
     mark-to-market minus initial)."""
