@@ -22,10 +22,22 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def measure_engine(
     num_trajectories: int = 16384, episodes_per_call: int = 10, iters: int = 5
 ) -> float:
     import jax
+
+    _enable_compile_cache()
 
     from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent
     from mbt_gym_tpu.rollout import rollout
