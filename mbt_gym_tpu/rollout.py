@@ -54,6 +54,11 @@ def rollout(
     state0, obs0 = env_lib.reset(cfg, key)
     n_scan = _episode_steps(cfg)
     random_start = isinstance(cfg.start_time, tuple)
+    if noise is not None and not random_start:
+        # A fixed late start shortens the episode; consume only the first
+        # n_scan steps of the injected noise (the reference's loop also stops
+        # at done, so later draws are never consumed there either).
+        noise = jax.tree_util.tree_map(lambda x: x[:n_scan], noise)
 
     def body(carry, step_noise):
         state, obs = carry

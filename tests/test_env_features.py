@@ -117,3 +117,14 @@ def test_plot_trajectory_smoke():
     assert fig is not None
     figs = plot_policy_slices(cfg, agent.policy(), inventories=(-1, 0, 1))
     assert len(figs) == 2
+
+
+def test_late_start_with_injected_noise_stops_at_terminal():
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+
+    cfg = as_env_config(num_trajectories=8, n_steps=40)
+    cfg = dataclasses.replace(cfg, start_time=0.5)
+    noise = reference_noise_cube(dataclasses.replace(cfg, start_time=0.0), 7)
+    res = rollout(cfg, fixed_spread_policy(1.0), None, jax.random.PRNGKey(0), noise=noise)
+    assert res.trajectory.rewards.shape[0] == 20  # only the remaining steps
+    np.testing.assert_allclose(float(res.final_state.time[0]), 1.0, atol=1e-5)
