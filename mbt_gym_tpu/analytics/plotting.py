@@ -113,3 +113,41 @@ def plot_policy_slices(cfg: EnvConfig, policy, inventories=(-3, -2, -1, 0, 1, 2,
         ax.set_title(f"action[{j}] vs time by inventory")
         figs.append(fig)
     return figs
+
+
+def compare_policies(
+    cfg: EnvConfig,
+    learned_policy,
+    closed_form_policy,
+    learned_params=None,
+    inventories=(-3, -2, -1, 0, 1, 2, 3),
+    times=(0.0, 0.25, 0.5, 0.75, 0.95),
+):
+    """Learned-vs-closed-form quote comparison (counterpart of the policy
+    plots in experiments/helpers.py:113-226): for each action dimension, one
+    figure of quotes vs inventory, one line per time, solid = learned,
+    dashed = closed form.  Policies are called on raw observations; pass
+    normalisation-aware policies if cfg normalises."""
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+
+    inventories = np.asarray(inventories, dtype=np.float32)
+    action_dim = cfg.action_dim
+    figs = []
+    for j in range(action_dim):
+        fig, ax = plt.subplots()
+        for t in times:
+            obs = np.zeros((len(inventories), cfg.state_dim), dtype=np.float32)
+            obs[:, INVENTORY_INDEX] = inventories
+            obs[:, 2] = t
+            obs[:, ASSET_PRICE_INDEX] = 100.0
+            learned = np.asarray(learned_policy(learned_params, jnp.asarray(obs), None))
+            closed = np.asarray(closed_form_policy(None, jnp.asarray(obs), None))
+            (line,) = ax.plot(inventories, learned[:, j], label=f"learned t={t}")
+            ax.plot(inventories, closed[:, j], linestyle="--", color=line.get_color())
+        ax.set_xlabel("inventory")
+        ax.set_ylabel(f"action[{j}]")
+        ax.set_title("solid = learned, dashed = closed form")
+        ax.legend(fontsize=7)
+        figs.append(fig)
+    return figs
