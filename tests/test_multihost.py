@@ -1,0 +1,89 @@
+"""True multi-host validation: two OS processes joined via
+``jax.distributed.initialize`` (Gloo on CPU), env batch sharded over the
+2-device global mesh, and a cross-process collective (global mean) — the
+mechanism that spans real TPU hosts over ICI/DCN (SURVEY.md §5.8)."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import sys, os
+    proc_id = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+    )
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mbt_gym_tpu import env as env_lib
+    from mbt_gym_tpu.utils.config import as_env_config
+    from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent
+
+    assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+    cfg = as_env_config(num_trajectories=64, n_steps=20)
+    pol = AvellanedaStoikovAgent.from_config(cfg).policy()
+
+    @jax.jit
+    def episode_mean(key):
+        state0, obs0 = env_lib.reset(cfg, key)
+        state0 = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+            if getattr(x, "ndim", 0) >= 1 and x.shape and x.shape[0] == 64
+            else x,
+            state0,
+        )
+
+        def body(carry, _):
+            state, obs = carry
+            res = env_lib.step(cfg, state, pol(None, obs, state))
+            return (res.state, res.obs), None
+
+        (fs, _), _ = jax.lax.scan(body, (state0, obs0), None, length=20)
+        return fs.cash.mean()  # global mean => cross-process all-reduce
+
+    print(f"RESULT {float(episode_mean(jax.random.PRNGKey(0))):.9f}", flush=True)
+    """
+)
+
+
+@pytest.mark.skipif(os.environ.get("MBT_SKIP_MULTIHOST") == "1", reason="disabled")
+def test_two_process_sharded_rollout():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO  # fresh interpreters; no TPU-plugin sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # one CPU device per process
+    script = os.path.join(REPO, "tests", "_mh_worker_gen.py")
+    with open(script, "w") as f:
+        f.write(WORKER)
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, str(i), port],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+    finally:
+        os.unlink(script)
+    results = []
+    for i, out in enumerate(outs):
+        assert procs[i].returncode == 0, f"worker {i} failed:\n{out}"
+        results.append([l for l in out.splitlines() if l.startswith("RESULT")][0])
+    # Both ranks must agree on the global (cross-process) reduction.
+    assert results[0] == results[1], results
