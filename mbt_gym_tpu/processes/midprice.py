@@ -33,9 +33,20 @@ from mbt_gym_tpu.processes.base import ProcessBase, process_dataclass
 from mbt_gym_tpu.types import ASK_INDEX, BID_INDEX
 
 
-def _filled(arrivals: jax.Array, fills: jax.Array, side: int) -> jax.Array:
+def _filled(arrivals, fills, side: int):
     """(N,) indicator that an order arrived and was filled on `side`."""
     return arrivals[:, side] * fills[:, side]
+
+
+def _jump_term(arrivals, fills, jump_size: float, dtype):
+    """(N, 1) fill-driven jump, or scalar 0 under fill-less dynamics
+    (trading speed), where arrivals/fills are None.  (The reference crashes
+    in that combination — midprice_models.py:220 on a None fills — so this
+    is a strict widening: no fills means no jumps.)"""
+    if arrivals is None or fills is None:
+        return 0.0
+    jump = jump_size * (_filled(arrivals, fills, ASK_INDEX) - _filled(arrivals, fills, BID_INDEX))
+    return jump[:, None].astype(dtype)
 
 
 @process_dataclass
@@ -198,12 +209,11 @@ class BrownianMotionJumpMidprice(ProcessBase):
         return ((self.initial_price - half_width,), (self.initial_price + half_width,))
 
     def update(self, state, arrivals, fills, action, noise, dt):
-        jump = self.jump_size * (_filled(arrivals, fills, ASK_INDEX) - _filled(arrivals, fills, BID_INDEX))
         return (
             state
             + (self.drift * dt)
             + (self.volatility * math.sqrt(dt)) * noise.normal
-            + jump[:, None].astype(state.dtype)
+            + _jump_term(arrivals, fills, self.jump_size, state.dtype)
         )
 
 
@@ -233,12 +243,11 @@ class OuJumpMidprice(ProcessBase):
 
     def update(self, state, arrivals, fills, action, noise, dt):
         drift_scale = dt if self.dt_scaled_drift else 1.0
-        jump = self.jump_size * (_filled(arrivals, fills, ASK_INDEX) - _filled(arrivals, fills, BID_INDEX))
         return (
             state
             + (-self.mean_reversion_speed * drift_scale) * (state - self.mean_reversion_level)
             + (self.volatility * math.sqrt(dt)) * noise.normal
-            + jump[:, None].astype(state.dtype)
+            + _jump_term(arrivals, fills, self.jump_size, state.dtype)
         )
 
 
