@@ -54,7 +54,7 @@ def measure_engine(
         # trajectory buffer is still materialized and consumed on device so
         # nothing is dead-code-eliminated.
         def one(acc, key):
-            res = rollout(cfg, policy, None, key)
+            res = rollout(cfg, policy, None, key, unroll=4)
             traj = res.trajectory
             return (
                 acc
