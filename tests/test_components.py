@@ -204,3 +204,13 @@ def test_random_and_fixed_policies():
 
     res2 = jit_rollout(cfg, fixed_spread_policy(1.0, 0.25), None, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(res2.trajectory.actions[0, 0]), [0.75, 1.25])
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from mbt_gym_tpu.utils.profiling import throughput, trace
+
+    cfg = as_env_config(num_trajectories=32, n_steps=5)
+    with trace(str(tmp_path / "trace")):
+        stats = throughput(cfg, fixed_action_policy([0.5, 0.5]), episodes_per_call=1, iters=1)
+    assert stats["env_steps_per_s"] > 0
+    assert any(tmp_path.joinpath("trace").rglob("*")), "no trace files written"
