@@ -8,7 +8,7 @@ via :func:`mbt_gym_tpu.parallel.mesh.shard_mlp_params`.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -48,10 +48,6 @@ def mlp_apply(
         if i < len(params) - 1:
             x = activation(x)
     return x.astype(out_dtype)
-
-
-class ActorCriticParams(Dict[str, Any]):
-    """dict pytree: {"pi": MlpParams, "vf": MlpParams, "log_std": (A,)}"""
 
 
 def init_actor_critic(

@@ -87,3 +87,26 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_shard_env_state_placement():
+    from mbt_gym_tpu import env as env_lib
+
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    cfg = as_env_config(num_trajectories=64, n_steps=5)
+    state, obs = env_lib.reset(cfg, jax.random.PRNGKey(0))
+    sharded = mesh_lib.shard_env_state(mesh, state)
+    # (N,) leaves split over data; scalars replicated
+    assert len(sharded.cash.sharding.device_set) == 8
+    assert sharded.step.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(sharded.cash), np.asarray(state.cash))
+
+
+def test_scaling_report_two_devices():
+    from mbt_gym_tpu.agents.baseline import fixed_spread_policy
+    from mbt_gym_tpu.utils.profiling import scaling_report
+
+    cfg = as_env_config(num_trajectories=128, n_steps=10)
+    rows = scaling_report(cfg, fixed_spread_policy(1.0), device_counts=[1, 2], episodes_per_call=1)
+    assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
+    assert all(r["env_steps_per_s"] > 0 for r in rows)
