@@ -371,3 +371,126 @@ def episode_stats_pallas(params: AsEpisodeParams, seed, num_trajectories: int = 
         "mean_terminal_inventory": inv.mean(),
         "std_terminal_inventory": inv.std(),
     }
+
+
+# ------------------------------------------------------------------
+# Trajectory-producing variant: semantics-equivalent to rollout() for the
+# AS config — every per-step quantity (cash, inventory, price, quotes) is
+# streamed to output blocks, so downstream consumers (analytics, learners)
+# get full trajectories, not just terminal state.
+# ------------------------------------------------------------------
+TRAJ_ROWS = 16  # (T, 16, 128) f32 output blocks keep 6 buffers under VMEM
+
+
+def _traj_episode_kernel(
+    p: AsEpisodeParams, seed_ref,
+    cash_ref, inv_ref, price_ref, bid_ref, ask_ref,
+):
+    """Whole episode per env tile, writing the post-step state and the quotes
+    of every step to (T, rows, LANES) VMEM output blocks."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = cash_ref.shape[1:]  # (rows, LANES)
+
+    sqrt_dt_vol = p.volatility * math.sqrt(p.dt)
+    p_bid = p.intensity_bid * p.dt
+    p_ask = p.intensity_ask * p.dt
+    gamma, sigma, k, T = p.risk_aversion, p.volatility, p.fill_exponent, p.terminal_time
+    const_half = (1.0 / gamma) * math.log(1.0 + gamma / k) if gamma > 0 else 1.0 / k
+
+    def draw_uniform():
+        return _uniform_from_bits(pltpu.prng_random_bits(shape))
+
+    def body(i, carry):
+        cash, inv, price = carry
+        t = i.astype(jnp.float32) * p.dt
+        tau = T - t
+        if gamma > 0:
+            skew = inv * (gamma * sigma * sigma) * tau
+            half = 0.5 * (gamma * sigma * sigma) * tau + const_half
+            bid_depth = skew + half
+            ask_depth = -skew + half
+        else:
+            bid_depth = jnp.full(shape, const_half)
+            ask_depth = jnp.full(shape, const_half)
+
+        arr_bid = (draw_uniform() < p_bid).astype(jnp.float32)
+        arr_ask = (draw_uniform() < p_ask).astype(jnp.float32)
+        fill_bid = (draw_uniform() < jnp.exp(-k * bid_depth)).astype(jnp.float32)
+        fill_ask = (draw_uniform() < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+        fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
+        fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
+
+        hit_bid = arr_bid * fill_bid
+        hit_ask = arr_ask * fill_ask
+        inv = inv + hit_bid - hit_ask
+        cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+
+        u1 = 1.0 - draw_uniform()
+        u2 = draw_uniform()
+        normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+        price = price + p.drift * p.dt + sqrt_dt_vol * normal
+
+        cash_ref[i] = cash
+        inv_ref[i] = inv
+        price_ref[i] = price
+        bid_ref[i] = bid_depth
+        ask_ref[i] = ask_depth
+        return cash, inv, price
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    price0 = jnp.full(shape, p.initial_price, jnp.float32)
+    jax.lax.fori_loop(0, p.n_steps, body, (zeros, zeros, price0))
+
+
+@partial(jax.jit, static_argnames=("params", "num_trajectories", "rows", "interpret"))
+def as_episode_trajectories_pallas(
+    params: AsEpisodeParams,
+    seed,
+    num_trajectories: int = 16384,
+    rows: int = TRAJ_ROWS,
+    interpret: bool = False,
+):
+    """Full AS episode with trajectory streams: returns post-step
+    (cash, inventory, price) each (T, N) and actions (T, N, 2).
+
+    Per-step PnL rewards and the (T+1, N, 4) observation matrix are exact
+    functions of these streams plus the known initial state — see
+    :func:`as_trajectory_from_pallas`."""
+    tile = rows * LANES
+    assert num_trajectories % tile == 0, (num_trajectories, tile)
+    grid = num_trajectories // tile
+    T = params.n_steps
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    out_shape = [jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)] * 5
+    kernel = partial(_traj_episode_kernel, params)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec((T, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed_arr)
+    cash, inv, price, bid, ask = (o.reshape(T, -1) for o in outs)
+    actions = jnp.stack([bid, ask], axis=2)
+    return cash, inv, price, actions
+
+
+def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price, actions):
+    """Assemble a :class:`mbt_gym_tpu.types.Trajectory` (obs (T+1, N, 4),
+    actions (T, N, 2), rewards (T, N)) from the kernel's streams."""
+    from mbt_gym_tpu.types import Trajectory
+
+    T, n = cash.shape
+    zeros = jnp.zeros((1, n), cash.dtype)
+    cash_full = jnp.concatenate([zeros, cash], axis=0)
+    inv_full = jnp.concatenate([zeros, inv], axis=0)
+    price_full = jnp.concatenate([jnp.full((1, n), params.initial_price), price], axis=0)
+    times = (jnp.arange(T + 1, dtype=cash.dtype) * params.dt)[:, None].repeat(n, axis=1)
+    obs = jnp.stack([cash_full, inv_full, times, price_full], axis=2)
+    value = cash_full + inv_full * price_full
+    rewards = value[1:] - value[:-1]
+    return Trajectory(observations=obs, actions=actions, rewards=rewards)
