@@ -102,8 +102,8 @@ def measure_pallas_trajectories(
     @jax.jit
     def episodes(seed0):
         def one(acc, s):
-            cash, inv, price, actions = as_episode_trajectories_pallas(p, s, num_trajectories)
-            traj = as_trajectory_from_pallas(p, cash, inv, price, actions)
+            cash, inv, price = as_episode_trajectories_pallas(p, s, num_trajectories)
+            traj = as_trajectory_from_pallas(p, cash, inv, price)
             return (
                 acc + traj.rewards.sum() + traj.observations[-1].sum() + traj.actions.mean()
             ), None

@@ -379,15 +379,18 @@ def episode_stats_pallas(params: AsEpisodeParams, seed, num_trajectories: int = 
 # streamed to output blocks, so downstream consumers (analytics, learners)
 # get full trajectories, not just terminal state.
 # ------------------------------------------------------------------
-TRAJ_ROWS = 16  # (T, 16, 128) f32 output blocks keep 6 buffers under VMEM
+TRAJ_ROWS = 16  # 3 x (T, 16, 128) f32 blocks x2 (double buffering) stay under VMEM
 
 
 def _traj_episode_kernel(
     p: AsEpisodeParams, seed_ref,
-    cash_ref, inv_ref, price_ref, bid_ref, ask_ref,
+    cash_ref, inv_ref, price_ref,
 ):
-    """Whole episode per env tile, writing the post-step state and the quotes
-    of every step to (T, rows, LANES) VMEM output blocks."""
+    """Whole episode per env tile, writing the post-step state of every step
+    to (T, rows, LANES) VMEM output blocks.  Quotes are NOT streamed — the
+    closed-form AS action is a deterministic function of (pre-step
+    inventory, time), so the wrapper recomputes them exactly from the
+    shifted inventory stream, freeing VMEM for wider tiles."""
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     shape = cash_ref.shape[1:]  # (rows, LANES)
 
@@ -433,8 +436,6 @@ def _traj_episode_kernel(
         cash_ref[i] = cash
         inv_ref[i] = inv
         price_ref[i] = price
-        bid_ref[i] = bid_depth
-        ask_ref[i] = ask_depth
         return cash, inv, price
 
     zeros = jnp.zeros(shape, jnp.float32)
@@ -451,17 +452,17 @@ def as_episode_trajectories_pallas(
     interpret: bool = False,
 ):
     """Full AS episode with trajectory streams: returns post-step
-    (cash, inventory, price) each (T, N) and actions (T, N, 2).
+    (cash, inventory, price) each (T, N).
 
-    Per-step PnL rewards and the (T+1, N, 4) observation matrix are exact
-    functions of these streams plus the known initial state — see
+    Per-step actions, PnL rewards, and the (T+1, N, 4) observation matrix
+    are exact functions of these streams plus the known initial state — see
     :func:`as_trajectory_from_pallas`."""
     tile = rows * LANES
     assert num_trajectories % tile == 0, (num_trajectories, tile)
     grid = num_trajectories // tile
     T = params.n_steps
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
-    out_shape = [jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)] * 5
+    out_shape = [jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)] * 3
     kernel = partial(_traj_episode_kernel, params)
     outs = pl.pallas_call(
         kernel,
@@ -470,18 +471,19 @@ def as_episode_trajectories_pallas(
         out_specs=[
             pl.BlockSpec((T, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         ]
-        * 5,
+        * 3,
         out_shape=out_shape,
         interpret=interpret,
     )(seed_arr)
-    cash, inv, price, bid, ask = (o.reshape(T, -1) for o in outs)
-    actions = jnp.stack([bid, ask], axis=2)
-    return cash, inv, price, actions
+    cash, inv, price = (o.reshape(T, -1) for o in outs)
+    return cash, inv, price
 
 
-def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price, actions):
+def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price):
     """Assemble a :class:`mbt_gym_tpu.types.Trajectory` (obs (T+1, N, 4),
-    actions (T, N, 2), rewards (T, N)) from the kernel's streams."""
+    actions (T, N, 2), rewards (T, N)) from the kernel's state streams.
+    Actions are recomputed exactly from the closed form on the *pre-step*
+    inventory (the shifted stream) and the time grid."""
     from mbt_gym_tpu.types import Trajectory
 
     T, n = cash.shape
@@ -493,4 +495,14 @@ def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price, actions
     obs = jnp.stack([cash_full, inv_full, times, price_full], axis=2)
     value = cash_full + inv_full * price_full
     rewards = value[1:] - value[:-1]
+
+    gamma, sigma, k = params.risk_aversion, params.volatility, params.fill_exponent
+    tau = params.terminal_time - times[:-1]  # (T, n)
+    pre_inv = inv_full[:-1]
+    if gamma > 0:
+        skew = pre_inv * (gamma * sigma * sigma) * tau
+        half = 0.5 * (gamma * sigma * sigma) * tau + (1.0 / gamma) * jnp.log(1.0 + gamma / k)
+        actions = jnp.stack([skew + half, -skew + half], axis=2)
+    else:
+        actions = jnp.full((T, n, 2), 1.0 / k, dtype=cash.dtype)
     return Trajectory(observations=obs, actions=actions, rewards=rewards)
