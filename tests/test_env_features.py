@@ -128,3 +128,27 @@ def test_late_start_with_injected_noise_stops_at_terminal():
     res = rollout(cfg, fixed_spread_policy(1.0), None, jax.random.PRNGKey(0), noise=noise)
     assert res.trajectory.rewards.shape[0] == 20  # only the remaining steps
     np.testing.assert_allclose(float(res.final_state.time[0]), 1.0, atol=1e-5)
+
+
+def test_cjmm_telescopes_on_real_rollouts():
+    """Rollout-level invariant: with identical noise, episode totals of the
+    pathwise CjMm criterion equal RunningInventoryPenalty's
+    (RewardFunctions.py:77-113 decomposition)."""
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.rewards import CjMmCriterion, RunningInventoryPenalty
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    base = cj_env_config(num_trajectories=32, n_steps=50, max_inventory=10.0, dtype="float64")
+    from jax import enable_x64
+
+    with enable_x64():
+        noise = reference_noise_cube(base, 5, dtype="float64")
+        totals = {}
+        for name, reward in {
+            "cjmm": CjMmCriterion(0.01, 0.001, terminal_time=1.0),
+            "rip": RunningInventoryPenalty(0.01, 0.001),
+        }.items():
+            cfg = dataclasses.replace(base, reward_function=reward)
+            res = rollout(cfg, fixed_spread_policy(0.7), None, jax.random.PRNGKey(0), noise=noise)
+            totals[name] = np.asarray(res.trajectory.rewards.sum(axis=0))
+        np.testing.assert_allclose(totals["cjmm"], totals["rip"], atol=1e-9)

@@ -1,0 +1,222 @@
+"""Bitwise seed-exactness vs the ACTUAL reference across the process zoo.
+
+Extends tests/test_vs_reference.py beyond the headline BM+Poisson+Exp config:
+every seed-controllable midprice / arrival / fill model is composed into a
+limit-order env, run through the real reference implementation, and compared
+bitwise against the TPU engine in float64 compat mode — including the
+reference's documented bugs (power/triangular axis-0 ``np.max``,
+OU missing-dt drift), reproduced via the strict flags.
+
+Excluded (and why): Heston & CEV (reference uses the unseeded global NumPy
+RNG — not reproducible *in the reference itself*), ShortTermOuAlpha /
+ShortTermJumpAlpha (reference crashes for N > 1), ExogenousMm with noisy
+inner processes (inner objects own construction-time RNGs that env.seed
+never touches; tested here with noise-free Constant inner processes).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+_STUB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_gym_stub")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_PATH, "mbt_gym")),
+    reason="reference checkout not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, _STUB)
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import mbt_gym.gym.TradingEnvironment as te
+        import mbt_gym.gym.ModelDynamics as md
+        import mbt_gym.stochastic_processes.midprice_models as mm
+        import mbt_gym.stochastic_processes.arrival_models as am
+        import mbt_gym.stochastic_processes.fill_probability_models as fm
+        import mbt_gym.gym.helpers.generate_trajectory as gt
+
+        yield {"te": te, "md": md, "mm": mm, "am": am, "fm": fm, "gt": gt}
+    finally:
+        sys.path.remove(_STUB)
+        sys.path.remove(REFERENCE_PATH)
+
+
+N, T, SEED = 32, 40, 77
+DT = 1.0 / T
+
+# (case name, reference model builder, our process)
+def _midprice_cases(mm):
+    from mbt_gym_tpu.processes import (
+        BrownianMotionJumpMidprice,
+        BrownianMotionMidprice,
+        ConstantMidprice,
+        GeometricBrownianMotionMidprice,
+        OuJumpMidprice,
+        OuMidprice,
+    )
+
+    common = dict(step_size=DT, terminal_time=1.0, num_trajectories=N)
+    return [
+        ("constant", mm.ConstantMidpriceModel(initial_price=100.0, **common),
+         ConstantMidprice(initial_price=100.0)),
+        ("bm", mm.BrownianMotionMidpriceModel(drift=0.5, volatility=2.0, initial_price=100.0, **common),
+         BrownianMotionMidprice(drift=0.5, volatility=2.0, initial_price=100.0)),
+        ("gbm", mm.GeometricBrownianMotionMidpriceModel(drift=0.1, volatility=0.2, initial_price=100.0, **common),
+         GeometricBrownianMotionMidprice(drift=0.1, volatility=0.2, initial_price=100.0)),
+        ("ou", mm.OuMidpriceModel(mean_reversion_level=100.0, mean_reversion_speed=0.5,
+                                  volatility=1.0, initial_price=100.0, **common),
+         OuMidprice(mean_reversion_level=100.0, mean_reversion_speed=0.5,
+                    volatility=1.0, initial_price=100.0)),
+        ("bm_jump", mm.BrownianMotionJumpMidpriceModel(drift=0.0, volatility=2.0, jump_size=0.5,
+                                                       initial_price=100.0, **common),
+         BrownianMotionJumpMidprice(drift=0.0, volatility=2.0, jump_size=0.5, initial_price=100.0)),
+        ("ou_jump", mm.OuJumpMidpriceModel(mean_reversion_level=100.0, mean_reversion_speed=0.3,
+                                           volatility=1.5, jump_size=0.4, initial_price=100.0, **common),
+         OuJumpMidprice(mean_reversion_level=100.0, mean_reversion_speed=0.3,
+                        volatility=1.5, jump_size=0.4, initial_price=100.0)),
+    ]
+
+
+def _arrival_cases(am):
+    from mbt_gym_tpu.processes import HawkesArrivals, PoissonArrivals, PoissonArrivalsNonLinear
+
+    return [
+        ("poisson", am.PoissonArrivalModel(intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=N),
+         PoissonArrivals(intensity=(120.0, 90.0))),
+        ("poisson_nl", am.PoissonArrivalNonLinearModel(intensity=np.array([80.0, 80.0]), step_size=DT, num_trajectories=N),
+         PoissonArrivalsNonLinear(intensity=(80.0, 80.0))),
+        ("hawkes", am.HawkesArrivalModel(baseline_arrival_rate=np.array([[20.0, 20.0]]), step_size=DT,
+                                         jump_size=40.0, mean_reversion_speed=60.0,
+                                         terminal_time=1.0, num_trajectories=N),
+         HawkesArrivals(baseline_arrival_rate=(20.0, 20.0), jump_size=40.0, mean_reversion_speed=60.0)),
+    ]
+
+
+def _fill_cases(fm, mm):
+    from mbt_gym_tpu.processes import (
+        ConstantMidprice,
+        ExogenousMmFill,
+        ExponentialFill,
+        PowerFill,
+        TriangularFill,
+    )
+
+    exo_ref = fm.ExogenousMmFillProbabilityModel(
+        exogenous_best_depth_processes=(
+            mm.ConstantMidpriceModel(initial_price=0.8, step_size=DT, num_trajectories=N),
+            mm.ConstantMidpriceModel(initial_price=0.8, step_size=DT, num_trajectories=N),
+        ),
+        fill_exponent=2.0, base_fill_probability=0.9, step_size=DT, num_trajectories=N,
+    )
+    return [
+        ("exp", fm.ExponentialFillFunction(fill_exponent=1.5, step_size=DT, num_trajectories=N),
+         ExponentialFill(fill_exponent=1.5)),
+        # strict flags reproduce the reference's literal axis-0 np.max bugs
+        ("triangular", fm.TriangularFillFunction(max_fill_depth=1.2, step_size=DT, num_trajectories=N),
+         TriangularFill(max_fill_depth=1.2, strict_reference_bug=True)),
+        ("power", fm.PowerFillFunction(fill_exponent=1.5, fill_multiplier=1.5, step_size=DT, num_trajectories=N),
+         PowerFill(fill_exponent=1.5, fill_multiplier=1.5, strict_reference_bug=True)),
+        ("exo_mm", exo_ref,
+         ExogenousMmFill(bid_process=ConstantMidprice(initial_price=0.8),
+                         ask_process=ConstantMidprice(initial_price=0.8),
+                         fill_exponent=2.0, base_fill_probability=0.9)),
+    ]
+
+
+def _run_pair(ref, ref_mid, ref_arr, ref_fill, our_mid, our_arr, our_fill):
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import LimitOrderDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.rollout import rollout
+
+    dynamics = ref["md"].LimitOrderModelDynamics(
+        midprice_model=ref_mid, arrival_model=ref_arr, fill_probability_model=ref_fill,
+        num_trajectories=N, max_depth=5.0,
+    )
+    env = ref["te"].TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=0,
+        model_dynamics=dynamics, max_inventory=T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N,
+    )
+
+    class FixedAgent:
+        def get_action(self, obs):
+            return np.full((N, 2), 0.45)
+
+    ref_obs, _, ref_rewards = ref["gt"].generate_trajectory(env, FixedAgent())
+
+    with enable_x64():
+        cfg = EnvConfig(
+            dynamics=LimitOrderDynamics(
+                midprice_model=our_mid, arrival_model=our_arr,
+                fill_probability_model=our_fill, max_depth=5.0,
+            ),
+            terminal_time=1.0, n_steps=T, max_inventory=float(T),
+            num_trajectories=N, dtype="float64",
+        )
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+
+        def policy(params, obs, state):
+            return jnp.full((N, 2), 0.45, dtype=obs.dtype)
+
+        res = rollout(cfg, policy, None, jax.random.PRNGKey(0), noise=noise)
+
+    ours_obs = np.asarray(res.trajectory.observations)  # (T+1, N, S)
+    # inventory exact; cash/price tight; rewards tight
+    np.testing.assert_array_equal(ours_obs[:, :, 1].T, ref_obs[:, 1, :])
+    np.testing.assert_allclose(ours_obs[:, :, 0].T, ref_obs[:, 0, :], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(ours_obs[:, :, 3].T, ref_obs[:, 3, :], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
+    )
+
+
+def test_midprice_matrix(ref):
+    am, fm, mm = ref["am"], ref["fm"], ref["mm"]
+    for name, ref_mid, our_mid in _midprice_cases(mm):
+        ref_arr = am.PoissonArrivalModel(intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=N)
+        ref_fill = fm.ExponentialFillFunction(fill_exponent=1.5, step_size=DT, num_trajectories=N)
+        from mbt_gym_tpu.processes import ExponentialFill, PoissonArrivals
+
+        _run_pair(ref, ref_mid, ref_arr, ref_fill, our_mid,
+                  PoissonArrivals(intensity=(120.0, 90.0)), ExponentialFill(1.5))
+
+
+def test_arrival_matrix(ref):
+    am, fm, mm = ref["am"], ref["fm"], ref["mm"]
+    for name, ref_arr, our_arr in _arrival_cases(am):
+        ref_mid = mm.BrownianMotionMidpriceModel(
+            drift=0.0, volatility=2.0, initial_price=100.0, step_size=DT,
+            terminal_time=1.0, num_trajectories=N,
+        )
+        ref_fill = fm.ExponentialFillFunction(fill_exponent=1.5, step_size=DT, num_trajectories=N)
+        from mbt_gym_tpu.processes import BrownianMotionMidprice, ExponentialFill
+
+        _run_pair(ref, ref_mid, ref_arr, ref_fill,
+                  BrownianMotionMidprice(volatility=2.0, initial_price=100.0), our_arr,
+                  ExponentialFill(1.5))
+
+
+def test_fill_matrix(ref):
+    am, fm, mm = ref["am"], ref["fm"], ref["mm"]
+    for name, ref_fill, our_fill in _fill_cases(fm, mm):
+        ref_mid = mm.BrownianMotionMidpriceModel(
+            drift=0.0, volatility=2.0, initial_price=100.0, step_size=DT,
+            terminal_time=1.0, num_trajectories=N,
+        )
+        ref_arr = am.PoissonArrivalModel(intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=N)
+        from mbt_gym_tpu.processes import BrownianMotionMidprice, PoissonArrivals
+
+        _run_pair(ref, ref_mid, ref_arr, ref_fill,
+                  BrownianMotionMidprice(volatility=2.0, initial_price=100.0),
+                  PoissonArrivals(intensity=(120.0, 90.0)), our_fill)
