@@ -220,3 +220,148 @@ def test_fill_matrix(ref):
         _run_pair(ref, ref_mid, ref_arr, ref_fill,
                   BrownianMotionMidprice(volatility=2.0, initial_price=100.0),
                   PoissonArrivals(intensity=(120.0, 90.0)), our_fill)
+
+
+def test_at_the_touch_dynamics_bitwise(ref):
+    """AtTheTouchModelDynamics vs AtTheTouchDynamics (ModelDynamics.py:134-176):
+    binary post decisions, fixed half-spread bookkeeping."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import AtTheTouchDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.processes import BrownianMotionMidprice, PoissonArrivals
+    from mbt_gym_tpu.rollout import rollout
+
+    am, mm, md, te, gt = ref["am"], ref["mm"], ref["md"], ref["te"], ref["gt"]
+    dynamics = md.AtTheTouchModelDynamics(
+        midprice_model=mm.BrownianMotionMidpriceModel(
+            drift=0.0, volatility=2.0, initial_price=100.0, step_size=DT,
+            terminal_time=1.0, num_trajectories=N,
+        ),
+        arrival_model=am.PoissonArrivalModel(
+            intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=N
+        ),
+        num_trajectories=N,
+        fixed_market_half_spread=0.5,
+    )
+    env = te.TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=0,
+        model_dynamics=dynamics, max_inventory=T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N,
+    )
+
+    post_pattern = np.tile(np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]), (N // 4, 1))
+
+    class PostAgent:
+        def get_action(self, obs):
+            return post_pattern
+
+    ref_obs, _, ref_rewards = gt.generate_trajectory(env, PostAgent())
+
+    with enable_x64():
+        cfg = EnvConfig(
+            dynamics=AtTheTouchDynamics(
+                midprice_model=BrownianMotionMidprice(volatility=2.0, initial_price=100.0),
+                arrival_model=PoissonArrivals(intensity=(120.0, 90.0)),
+                fixed_market_half_spread=0.5,
+            ),
+            terminal_time=1.0, n_steps=T, max_inventory=float(T),
+            num_trajectories=N, dtype="float64",
+        )
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+        pattern = jnp.asarray(post_pattern)
+
+        def policy(params, obs, state):
+            return pattern.astype(obs.dtype)
+
+        res = rollout(cfg, policy, None, jax.random.PRNGKey(0), noise=noise)
+
+    ours = np.asarray(res.trajectory.observations)
+    np.testing.assert_array_equal(ours[:, :, 1].T, ref_obs[:, 1, :])
+    np.testing.assert_allclose(ours[:, :, 0].T, ref_obs[:, 0, :], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
+    )
+
+
+def test_limit_and_market_dynamics_bitwise(ref):
+    """LimitAndMarketOrderModelDynamics vs LimitAndMarketOrderDynamics
+    (ModelDynamics.py:179-240): limit quotes + unit market orders."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import LimitAndMarketOrderDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.processes import BrownianMotionMidprice, ExponentialFill, PoissonArrivals
+    from mbt_gym_tpu.rollout import rollout
+
+    am, fm, mm, md, te, gt = ref["am"], ref["fm"], ref["mm"], ref["md"], ref["te"], ref["gt"]
+    dynamics = md.LimitAndMarketOrderModelDynamics(
+        midprice_model=mm.BrownianMotionMidpriceModel(
+            drift=0.0, volatility=2.0, initial_price=100.0, step_size=DT,
+            terminal_time=1.0, num_trajectories=N,
+        ),
+        arrival_model=am.PoissonArrivalModel(
+            intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=N
+        ),
+        fill_probability_model=fm.ExponentialFillFunction(
+            fill_exponent=1.5, step_size=DT, num_trajectories=N
+        ),
+        num_trajectories=N,
+        fixed_market_half_spread=0.5,
+    )
+    env = te.TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=0,
+        model_dynamics=dynamics, max_inventory=T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N,
+    )
+
+    # quotes 0.45/0.55 + a mix of market-order signals (> / < 0.5 threshold)
+    action_pattern = np.tile(
+        np.array([
+            [0.45, 0.55, 0.9, 0.1],
+            [0.45, 0.55, 0.1, 0.9],
+            [0.45, 0.55, 0.6, 0.6],
+            [0.45, 0.55, 0.2, 0.2],
+        ]),
+        (N // 4, 1),
+    )
+
+    class MixedAgent:
+        def get_action(self, obs):
+            return action_pattern
+
+    ref_obs, _, ref_rewards = gt.generate_trajectory(env, MixedAgent())
+
+    with enable_x64():
+        cfg = EnvConfig(
+            dynamics=LimitAndMarketOrderDynamics(
+                midprice_model=BrownianMotionMidprice(volatility=2.0, initial_price=100.0),
+                arrival_model=PoissonArrivals(intensity=(120.0, 90.0)),
+                fill_probability_model=ExponentialFill(1.5),
+                fixed_market_half_spread=0.5,
+            ),
+            terminal_time=1.0, n_steps=T, max_inventory=float(T),
+            num_trajectories=N, dtype="float64",
+        )
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+        pattern = jnp.asarray(action_pattern)
+
+        def policy(params, obs, state):
+            return pattern.astype(obs.dtype)
+
+        res = rollout(cfg, policy, None, jax.random.PRNGKey(0), noise=noise)
+
+    ours = np.asarray(res.trajectory.observations)
+    np.testing.assert_array_equal(ours[:, :, 1].T, ref_obs[:, 1, :])
+    np.testing.assert_allclose(ours[:, :, 0].T, ref_obs[:, 0, :], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
+    )
