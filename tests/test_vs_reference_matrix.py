@@ -365,3 +365,188 @@ def test_limit_and_market_dynamics_bitwise(ref):
     np.testing.assert_allclose(
         np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
     )
+
+
+def _run_speed_pair(ref, ref_impact, our_impact, ref_reward, our_reward, q0=10):
+    """Speed dynamics (TradinghWithSpeedModelDynamics) with a given impact
+    model and reward, bitwise vs the actual reference."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import TradingWithSpeedDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.processes import BrownianMotionMidprice
+    from mbt_gym_tpu.rollout import rollout
+
+    mm, md, te, gt = ref["mm"], ref["md"], ref["te"], ref["gt"]
+    dynamics = md.TradinghWithSpeedModelDynamics(
+        midprice_model=mm.BrownianMotionMidpriceModel(
+            drift=0.0, volatility=2.0, initial_price=100.0, step_size=DT,
+            terminal_time=1.0, num_trajectories=N,
+        ),
+        price_impact_model=ref_impact,
+        num_trajectories=N,
+    )
+    kwargs = dict(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=q0,
+        model_dynamics=dynamics, max_inventory=10 * T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N,
+    )
+    if ref_reward is not None:
+        kwargs["reward_function"] = ref_reward
+    env = te.TradingEnvironment(**kwargs)
+
+    class SpeedAgent:
+        def get_action(self, obs):
+            return np.full((N, 1), -3.0)
+
+    ref_obs, _, ref_rewards = gt.generate_trajectory(env, SpeedAgent())
+
+    with enable_x64():
+        cfg_kwargs = dict(
+            dynamics=TradingWithSpeedDynamics(
+                midprice_model=BrownianMotionMidprice(volatility=2.0, initial_price=100.0),
+                price_impact_model=our_impact,
+            ),
+            terminal_time=1.0, n_steps=T, max_inventory=float(10 * T),
+            initial_inventory=q0, num_trajectories=N, dtype="float64",
+        )
+        if our_reward is not None:
+            cfg_kwargs["reward_function"] = our_reward
+        cfg = EnvConfig(**cfg_kwargs)
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+
+        def policy(params, obs, state):
+            return jnp.full((N, 1), -3.0, dtype=obs.dtype)
+
+        res = rollout(cfg, policy, None, jax.random.PRNGKey(0), noise=noise)
+
+    ours = np.asarray(res.trajectory.observations)
+    np.testing.assert_allclose(ours[:, :, 1].T, ref_obs[:, 1, :], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(ours[:, :, 0].T, ref_obs[:, 0, :], rtol=0, atol=1e-8)
+    np.testing.assert_allclose(ours[:, :, 3].T, ref_obs[:, 3, :], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
+    )
+
+
+def test_speed_dynamics_impact_matrix(ref):
+    """All four impact models under speed dynamics, bitwise."""
+    import mbt_gym.stochastic_processes.price_impact_models as pim
+
+    from mbt_gym_tpu.processes import (
+        TemporaryAndPermanentImpact,
+        TemporaryAndTransientImpact,
+        TemporaryPowerImpact,
+        TransientImpact,
+    )
+
+    cases = [
+        (pim.TemporaryPowerPriceImpact(temporary_impact_coefficient=0.02,
+                                       temporary_impact_exponent=1.0, num_trajectories=N),
+         TemporaryPowerImpact(temporary_impact_coefficient=0.02, temporary_impact_exponent=1.0)),
+        (pim.TemporaryAndPermanentPriceImpact(temporary_impact_coefficient=0.01,
+                                              permanent_impact_coefficient=0.02,
+                                              n_steps=T, terminal_time=1.0, num_trajectories=N),
+         TemporaryAndPermanentImpact(temporary_impact_coefficient=0.01,
+                                     permanent_impact_coefficient=0.02, terminal_time=1.0)),
+        (pim.TemporaryAndTransientPriceImpact(temporary_impact_coefficient=0.01,
+                                              transient_impact_coefficient=0.2,
+                                              resilience_coefficient=0.5,
+                                              initial_transient_impact=0.01,
+                                              linear_kernel_coefficient=0.3,
+                                              n_steps=T, terminal_time=1.0, num_trajectories=N),
+         TemporaryAndTransientImpact(temporary_impact_coefficient=0.01,
+                                     transient_impact_coefficient=0.2,
+                                     resilience_coefficient=0.5,
+                                     initial_transient_impact=0.01,
+                                     linear_kernel_coefficient=0.3, terminal_time=1.0)),
+        (pim.TransientPriceImpact(transient_impact_coefficient=0.2, resilience_coefficient=0.5,
+                                  initial_transient_impact=0.01, linear_kernel_coefficient=0.3,
+                                  n_steps=T, terminal_time=1.0, num_trajectories=N),
+         TransientImpact(transient_impact_coefficient=0.2, resilience_coefficient=0.5,
+                         initial_transient_impact=0.01, linear_kernel_coefficient=0.3,
+                         terminal_time=1.0)),
+    ]
+    for ref_impact, our_impact in cases:
+        _run_speed_pair(ref, ref_impact, our_impact, None, None)
+
+
+def test_speed_dynamics_cjoe_and_utility_rewards(ref):
+    """CjOeCriterion and ExponentialUtility episode rewards, bitwise."""
+    import mbt_gym.rewards.RewardFunctions as rrf
+    import mbt_gym.stochastic_processes.price_impact_models as pim
+
+    from mbt_gym_tpu.processes import TemporaryAndPermanentImpact
+    from mbt_gym_tpu.rewards import CjOeCriterion, ExponentialUtility
+
+    ref_impact = lambda: pim.TemporaryAndPermanentPriceImpact(
+        temporary_impact_coefficient=0.01, permanent_impact_coefficient=0.02,
+        n_steps=T, terminal_time=1.0, num_trajectories=N,
+    )
+    our_impact = TemporaryAndPermanentImpact(
+        temporary_impact_coefficient=0.01, permanent_impact_coefficient=0.02, terminal_time=1.0
+    )
+    _run_speed_pair(
+        ref, ref_impact(), our_impact,
+        rrf.CjOeCriterion(per_step_inventory_aversion=2e-4, terminal_inventory_aversion=0.01,
+                          terminal_time=1.0),
+        CjOeCriterion(per_step_inventory_aversion=2e-4, terminal_inventory_aversion=0.01,
+                      terminal_time=1.0),
+    )
+    # ExponentialUtility: the reference returns a literal int 0 on
+    # non-terminal steps (RewardFunctions.py:153-163), which crashes its own
+    # generate_trajectory (`reward.reshape` on int) — step the reference env
+    # manually instead.
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import TradingWithSpeedDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.processes import BrownianMotionMidprice
+    from mbt_gym_tpu.rollout import rollout
+
+    mm, md, te = ref["mm"], ref["md"], ref["te"]
+    dynamics = md.TradinghWithSpeedModelDynamics(
+        midprice_model=mm.BrownianMotionMidpriceModel(
+            drift=0.0, volatility=2.0, initial_price=100.0, step_size=DT,
+            terminal_time=1.0, num_trajectories=N,
+        ),
+        price_impact_model=ref_impact(),
+        num_trajectories=N,
+    )
+    env = te.TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=10,
+        model_dynamics=dynamics, max_inventory=10 * T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N, reward_function=rrf.ExponentialUtility(risk_aversion=0.01),
+    )
+    env.reset()
+    ref_rewards = np.zeros((T, N))
+    for t in range(T):
+        _, r, _, _ = env.step(np.full((N, 1), -3.0))
+        ref_rewards[t] = np.asarray(r, dtype=np.float64).reshape(-1) if np.ndim(r) else float(r)
+
+    with enable_x64():
+        cfg = EnvConfig(
+            dynamics=TradingWithSpeedDynamics(
+                midprice_model=BrownianMotionMidprice(volatility=2.0, initial_price=100.0),
+                price_impact_model=our_impact,
+            ),
+            reward_function=ExponentialUtility(risk_aversion=0.01),
+            terminal_time=1.0, n_steps=T, max_inventory=float(10 * T),
+            initial_inventory=10, num_trajectories=N, dtype="float64",
+        )
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((N, 1), -3.0, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards), ref_rewards, rtol=0, atol=1e-12
+    )
