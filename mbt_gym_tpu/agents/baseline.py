@@ -233,19 +233,30 @@ class CarteaJaimungalMmAgent:
         depth_tab = jnp.asarray(self.depth_table(), dtype=jnp.float32)
 
         def policy_fn(params, obs, state):
-            # All trajectories share the clock (TradingEnvironment.py:218-220)
-            # => scalar time index, one dynamic row slice.  The per-env
-            # inventory lookup is a one-hot matmul on the MXU — TPU gathers
-            # over (N,) indices are far slower than a (N, 2Q+1)x(2Q+1, 2)
-            # contraction.
-            t_source = state.time[0] if state is not None else obs[0, TIME_INDEX]
-            t_idx = jnp.clip(jnp.round(t_source / dt).astype(jnp.int32), 0, depth_tab.shape[0] - 1)
-            row = jax.lax.dynamic_index_in_dim(depth_tab, t_idx, axis=0, keepdims=False)
             idx = jnp.clip(q_max + obs[:, INVENTORY_INDEX], 0, 2 * q_max).astype(jnp.int32)
             onehot = (idx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]).astype(
                 jnp.float32
             )
-            return jnp.dot(onehot, row, preferred_element_type=jnp.float32).astype(obs.dtype)
+            if state is not None:
+                # Rollout hot path: all trajectories share the clock
+                # (TradingEnvironment.py:218-220) => scalar time index, one
+                # dynamic row slice.  The per-env inventory lookup is a
+                # one-hot matmul on the MXU — TPU gathers over (N,) indices
+                # are far slower than a (N, 2Q+1)x(2Q+1, 2) contraction.
+                t_idx = jnp.clip(
+                    jnp.round(state.time[0] / dt).astype(jnp.int32), 0, depth_tab.shape[0] - 1
+                )
+                row = jax.lax.dynamic_index_in_dim(depth_tab, t_idx, axis=0, keepdims=False)
+                return jnp.dot(onehot, row, preferred_element_type=jnp.float32).astype(obs.dtype)
+            # Standalone use (state=None, e.g. policy-slice plots): rows may
+            # carry different timestamps — the reference asserts uniform time
+            # (BaselineAgents.py:118-120); here each row uses its own time
+            # via a per-row table gather (slower, correct for any batch).
+            t_idx = jnp.clip(
+                jnp.round(obs[:, TIME_INDEX] / dt).astype(jnp.int32), 0, depth_tab.shape[0] - 1
+            )
+            rows = depth_tab[t_idx]  # (N, 2Q+1, 2)
+            return jnp.einsum("ns,nsa->na", onehot, rows).astype(obs.dtype)
 
         return policy_fn
 

@@ -97,12 +97,22 @@ def collect_rollout(
     env_cfg: EnvConfig, params, key: jax.Array, gamma: float = 1.0, lam: float = 0.95, mesh=None,
     compute_dtype=None,
 ) -> RolloutBatch:
-    """One on-policy episode for all N trajectories, with values/log-probs."""
+    """One on-policy episode for all N trajectories, with values/log-probs.
+
+    Random (tuple) start times are not supported here — their post-done
+    masking would poison GAE; use a fixed start_time (late fixed starts
+    shorten the scan correctly)."""
+    from mbt_gym_tpu.rollout import _episode_steps
+
+    assert not isinstance(env_cfg.start_time, tuple), (
+        "PPO training does not support random start times (post-done steps "
+        "would enter GAE); use a fixed start_time."
+    )
     reset_key, act_key = jax.random.split(key)
     state, obs = env_lib.reset(env_cfg, reset_key)
     state = _constrain_batch_axis(state, mesh, 0)
     obs = _constrain_batch_axis(obs, mesh, 0)
-    n_steps = env_cfg.n_steps
+    n_steps = _episode_steps(env_cfg)
 
     cdt = jnp.dtype(compute_dtype) if compute_dtype else None
 
@@ -115,7 +125,15 @@ def collect_rollout(
         action = mean + std * eps
         log_prob = networks.gaussian_log_prob(params, mean, action)
         v = networks.value(params, obs, compute_dtype=cdt)
-        clipped = jnp.clip(action, -1.0, 1.0) if env_cfg.normalise_action_space else action
+        # Clip executed actions to the action box (SB3's convention; without
+        # this a raw Gaussian sample can quote negative depths, a regime the
+        # reference can never enter).  Log-probs stay those of the unclipped
+        # sample, as in SB3.
+        if env_cfg.normalise_action_space:
+            clipped = jnp.clip(action, -1.0, 1.0)
+        else:
+            low, high = env_cfg.action_bounds()
+            clipped = jnp.clip(action, low, high)
         res = env_lib.step(env_cfg, state, clipped)
         out = (obs, action, log_prob, v, res.reward)
         return (res.state, res.obs), out

@@ -153,39 +153,19 @@ class AtTheTouchDynamics(DynamicsBase):
 
 
 @dataclasses.dataclass(frozen=True)
-class LimitAndMarketOrderDynamics(DynamicsBase):
+class LimitAndMarketOrderDynamics(LimitOrderDynamics):
     """Limit orders plus unit market orders (ModelDynamics.py:179-240).
     Action = (bid depth, ask depth, mo_buy, mo_sell); a market order fires
     when its column exceeds 0.5, buying at mid+half_spread / selling at
-    mid-half_spread."""
+    mid-half_spread.  Arrival/fill sampling and max-depth resolution are
+    inherited from :class:`LimitOrderDynamics`."""
 
-    midprice_model: ProcessBase = None
-    arrival_model: ProcessBase = None
-    fill_probability_model: ProcessBase = None
-    max_depth: Optional[float] = None
     fixed_market_half_spread: float = 0.5
-    round_initial_inventory = True
     action_dim = 4
-
-    def required_processes(self):
-        return ("arrival_model", "fill_probability_model")
-
-    def _max_depth(self) -> float:
-        return self.max_depth if self.max_depth is not None else self.fill_probability_model.max_depth
 
     def action_bounds(self):
         d = self._max_depth()
         return ((0.0, 0.0, 0.0, 0.0), (d, d, 1.0, 1.0))
-
-    def get_arrivals_and_fills(self, proc_states, action, noises, dt):
-        arrivals = self.arrival_model.get_arrivals(
-            proc_states.get("arrival_model"), noises["arrival_model"].uniform, dt
-        )
-        fills = self.fill_probability_model.get_fills(
-            proc_states.get("fill_probability_model"), _limit_depths(action),
-            noises["fill_probability_model"].uniform,
-        )
-        return arrivals, fills
 
     def update_agent(self, cash, inventory, midprice, proc_states, action, arrivals, fills, dt):
         mo_buy = (action[:, 2 + BID_INDEX] > 0.5).astype(cash.dtype)

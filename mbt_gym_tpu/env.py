@@ -76,6 +76,13 @@ class EnvConfig:
             object.__setattr__(self, "dynamics", default_dynamics())
         self.dynamics.validate()
         if self.normalise_action_space:
+            from mbt_gym_tpu.dynamics import AtTheTouchDynamics
+
+            assert not isinstance(self.dynamics, AtTheTouchDynamics), (
+                "AtTheTouchDynamics takes binary post decisions (MultiBinary in the "
+                "reference, ModelDynamics.py:166-167); normalising them would corrupt "
+                "fills — use normalise_action_space=False."
+            )
             lo, hi = self.dynamics.action_bounds()
             assert all(h > l for l, h in zip(lo, hi)), "Cannot normalise a degenerate action space."
 

@@ -68,6 +68,11 @@ def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeP
     assert isinstance(d.fill_probability_model, ExponentialFill)
     assert isinstance(cfg.reward_function, PnL), "episode return telescopes only for PnL"
     assert not cfg.normalise_action_space and not cfg.normalise_observation_space
+    # The kernels hard-code the zero initial state of the flagship config.
+    assert cfg.initial_cash == 0.0 and cfg.initial_inventory == 0 and cfg.start_time == 0.0, (
+        "pallas fast path assumes cash0=inv0=0 at t=0; use the XLA engine for "
+        "other initial conditions"
+    )
     return AsEpisodeParams(
         n_steps=cfg.n_steps,
         dt=cfg.step_size,
@@ -227,6 +232,9 @@ def cj_params_from_config(cfg: EnvConfig) -> CjEpisodeParams:
     r = cfg.reward_function
     assert isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0
     assert not cfg.normalise_action_space and not cfg.normalise_observation_space
+    assert cfg.initial_cash == 0.0 and cfg.initial_inventory == 0 and cfg.start_time == 0.0, (
+        "pallas fast path assumes cash0=inv0=0 at t=0"
+    )
     return CjEpisodeParams(
         n_steps=cfg.n_steps,
         dt=cfg.step_size,

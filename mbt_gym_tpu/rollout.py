@@ -120,6 +120,7 @@ def mc_episode_stats(
     program with O(1) memory.  Use :func:`rollout` when per-step data is
     needed; this is ~8x faster at 16k envs on a v5e chip."""
     n_scan = _episode_steps(cfg)
+    random_start = isinstance(cfg.start_time, tuple)
 
     def one_episode(carry, ep_key):
         state0, obs0 = env_lib.reset(cfg, ep_key)
@@ -128,6 +129,15 @@ def mc_episode_stats(
             state, obs, reward_acc, action_acc = inner
             action = policy(policy_params, obs, state)
             res = env_lib.step(cfg, state, action)
+            if random_start:
+                # Freeze post-done steps (same convention as rollout()).
+                was_done = state.time[0] >= cfg.terminal_time - cfg.step_size / 2
+                new_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(was_done, old, new), res.state, state
+                )
+                reward = jnp.where(was_done, jnp.zeros_like(res.reward), res.reward)
+                return (new_state, jnp.where(was_done, obs, res.obs),
+                        reward_acc + reward, action_acc + action.mean()), None
             return (res.state, res.obs, reward_acc + res.reward, action_acc + action.mean()), None
 
         (final_state, _, episode_rewards, action_acc), _ = jax.lax.scan(
@@ -171,7 +181,13 @@ def episode_stats(cfg: EnvConfig, traj: Trajectory) -> dict:
     if cfg.normalise_observation_space:
         low, high = cfg.observation_bounds()
         terminal_inventory = (terminal_inventory + 1.0) * (high[1] - low[1]) / 2 + low[1]
-    half_spreads = traj.actions.mean()
+    # Spread is meaningful only for quote-valued actions: use the bid/ask
+    # depth columns (the reference's table averages ALL action columns,
+    # plotting.py:99 — wrong for limit+market's binary MO flags).
+    if traj.actions.shape[-1] >= 2:
+        half_spreads = traj.actions[..., :2].mean()
+    else:
+        half_spreads = jnp.asarray(jnp.nan, traj.actions.dtype)
     return {
         "mean_spread": 2.0 * half_spreads,
         "mean_pnl": total_rewards.mean(),

@@ -123,11 +123,13 @@ def scaling_report(
         rate = scaled.num_trajectories * cfg.n_steps * episodes_per_call / elapsed
         if base_rate is None:
             base_rate = rate
+            base_devices = d
         rows.append(
             {
                 "devices": d,
                 "env_steps_per_s": rate,
-                "efficiency": rate / (base_rate * d),
+                # normalised to the first measured width (which may be > 1)
+                "efficiency": rate / (base_rate * d / base_devices),
             }
         )
     return rows
