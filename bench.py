@@ -131,10 +131,18 @@ def measure_reference_numpy(num_trajectories: int = 16384, n_steps: int = 25) ->
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from reference_oracle import oracle_limit_order_rollout
 
+    from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    # Same closed-form policy as the engine-side workload, derived from the
+    # same config (not hardcoded constants).
+    a = AvellanedaStoikovAgent.from_config(as_env_config(num_trajectories=1), risk_aversion=0.1)
+    g, sg, k, T = a.risk_aversion, a.volatility, a.fill_exponent, a.terminal_time
+
     def policy(obs):
         inv, t = obs[:, 1], obs[:, 2]
-        skew = inv * 0.1 * 4.0 * (1.0 - t)
-        spread = 0.1 * 4.0 * (1.0 - t) + 20.0 * np.log(1 + 0.1 / 1.5)
+        skew = inv * g * sg**2 * (T - t)
+        spread = g * sg**2 * (T - t) + (2.0 / g) * np.log(1 + g / k)
         return np.stack([skew + spread / 2, -skew + spread / 2], axis=1)
 
     oracle_limit_order_rollout(policy, 1, num_trajectories=256, n_steps=2)  # warm

@@ -34,6 +34,19 @@ def main():
             env_cfg = dataclasses.replace(
                 env_cfg, normalise_observation_space=True, normalise_action_space=True
             )
+            from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+            from mbt_gym_tpu.rollout import jit_rollout
+
+            raw_cfg = dataclasses.replace(
+                env_cfg, normalise_observation_space=False, normalise_action_space=False
+            )
+            cj = CarteaJaimungalMmAgent.from_config(raw_cfg, max_inventory=100)
+            cf = float(
+                np.asarray(
+                    jit_rollout(raw_cfg, cj.policy(), None, jax.random.PRNGKey(7))
+                    .trajectory.rewards.sum(axis=0)
+                ).mean()
+            )
             ppo_cfg = ppo.PPOConfig(hidden=(256, 256))
             ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
             reward = float("nan")
@@ -42,7 +55,10 @@ def main():
                     env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i)
                 )
                 reward = float(metrics["mean_episode_reward"])
-            print(f"lambda={arrival_rate:6.1f} k={fill_exponent:5.1f}  final reward {reward:9.4f}")
+            print(
+                f"lambda={arrival_rate:6.1f} k={fill_exponent:5.1f}  "
+                f"final reward {reward:9.4f}  closed-form {cf:9.4f}"
+            )
 
 
 if __name__ == "__main__":

@@ -53,6 +53,10 @@ def main():
 
     import time
 
+    # untimed warmup: compilation can take minutes at pod scale
+    ts, _ = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(99), mesh=mesh)
+    jax.block_until_ready(ts)
+
     for i in range(args.iterations):
         t0 = time.time()
         ts, metrics = ppo.jit_train_iteration(

@@ -56,6 +56,7 @@ def main():
 
     best = -np.inf
     for i in range(args.iterations):
+        prev_ts = ts  # the rollout (and its reward metric) used THESE params
         ts, metrics = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(100 + i))
         if (i + 1) % args.eval_every == 0 or i == 0:
             r = float(metrics["mean_episode_reward"])
@@ -65,7 +66,8 @@ def main():
             )
             if args.checkpoint and r > best:
                 best = r
-                save_checkpoint(args.checkpoint, ts)
+                # r was measured on the pre-update params — checkpoint those.
+                save_checkpoint(args.checkpoint, prev_ts)
 
 
 if __name__ == "__main__":

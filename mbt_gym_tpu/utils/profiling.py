@@ -53,13 +53,17 @@ def _episode_thunk(cfg: EnvConfig, policy, episodes_per_call: int, mesh=None):
             state0, obs0 = constrain(state0), constrain(obs0)
 
             def body(carry, _):
-                state, obs = carry
+                state, obs, racc = carry
                 action = policy(None, obs, state)
                 res = env_lib.step(cfg, state, action)
-                return (res.state, res.obs), None
+                # consume rewards so the reward computation (part of the
+                # workload being measured) cannot be dead-code-eliminated
+                return (res.state, res.obs, racc + res.reward.sum()), None
 
-            (final_state, _), _ = jax.lax.scan(body, (state0, obs0), None, length=cfg.n_steps)
-            return acc + final_state.cash.sum(), None
+            (final_state, _, reward_acc), _ = jax.lax.scan(
+                body, (state0, obs0, jnp.zeros((), cfg.jdtype)), None, length=cfg.n_steps
+            )
+            return acc + final_state.cash.sum() + reward_acc, None
 
         acc, _ = jax.lax.scan(ep, jnp.zeros((), cfg.jdtype), jax.random.split(key0, episodes_per_call))
         return acc

@@ -30,4 +30,6 @@ class Wrapper(Env):
         self.env = env
 
     def __getattr__(self, name):
+        if name == "env":  # unset self.env must not recurse
+            raise AttributeError(name)
         return getattr(self.env, name)

@@ -118,6 +118,7 @@ def oracle_speed_rollout(
     initial_inventory: float = 10.0,
     phi: float = 2e-4,
     alpha: float = 0.01,
+    max_inventory: float = 10_000.0,
 ):
     """Speed-dynamics (optimal execution) mirror: TradinghWithSpeedModelDynamics
     bookkeeping (ModelDynamics.py:262-267), TemporaryAndPermanentPriceImpact
@@ -150,6 +151,11 @@ def oracle_speed_rollout(
         volume = speed * dt
         cash = cash - volume * exec_price
         inventory = inventory + volume
+        # per-step clipping, as the reference env applies to ALL dynamics
+        # (TradingEnvironment.py:216, 283-297)
+        inventory = np.clip(inventory, -max_inventory, max_inventory)
+        cash = np.clip(cash, -n_steps * (initial_price + 4 * volatility * np.sqrt(terminal_time)),
+                       n_steps * (initial_price + 4 * volatility * np.sqrt(terminal_time)))
         time = time + dt
         # market update order: midprice first, then impact (slot order)
         price = price + drift * dt + volatility * np.sqrt(dt) * rng_mid.normal(size=(n, 1))[:, 0]
