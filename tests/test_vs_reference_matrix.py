@@ -550,3 +550,98 @@ def test_speed_dynamics_cjoe_and_utility_rewards(ref):
     np.testing.assert_allclose(
         np.asarray(res.trajectory.rewards), ref_rewards, rtol=0, atol=1e-12
     )
+
+
+def test_joint_stateful_combination_bitwise(ref):
+    """Several stateful processes at once (OU-jump midprice + Hawkes
+    arrivals + exogenous-MM fills) — exercises the multi-column state-layout
+    bookkeeping (TradingEnvironment.py:303-318) jointly, not axis-at-a-time."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import LimitOrderDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.processes import (
+        ConstantMidprice,
+        ExogenousMmFill,
+        HawkesArrivals,
+        OuJumpMidprice,
+    )
+    from mbt_gym_tpu.rollout import rollout
+
+    am, fm, mm, md, te, gt = ref["am"], ref["fm"], ref["mm"], ref["md"], ref["te"], ref["gt"]
+    ref_dyn = md.LimitOrderModelDynamics(
+        midprice_model=mm.OuJumpMidpriceModel(
+            mean_reversion_level=100.0, mean_reversion_speed=0.3, volatility=1.5,
+            jump_size=0.4, initial_price=100.0, step_size=DT, terminal_time=1.0,
+            num_trajectories=N,
+        ),
+        arrival_model=am.HawkesArrivalModel(
+            baseline_arrival_rate=np.array([[20.0, 20.0]]), step_size=DT,
+            jump_size=40.0, mean_reversion_speed=60.0, terminal_time=1.0,
+            num_trajectories=N,
+        ),
+        fill_probability_model=fm.ExogenousMmFillProbabilityModel(
+            exogenous_best_depth_processes=(
+                mm.ConstantMidpriceModel(initial_price=0.8, step_size=DT, num_trajectories=N),
+                mm.ConstantMidpriceModel(initial_price=0.8, step_size=DT, num_trajectories=N),
+            ),
+            fill_exponent=2.0, base_fill_probability=0.9, step_size=DT, num_trajectories=N,
+        ),
+        num_trajectories=N, max_depth=5.0,
+    )
+    env = te.TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=0,
+        model_dynamics=ref_dyn, max_inventory=T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N,
+    )
+
+    class FixedAgent:
+        def get_action(self, obs):
+            return np.full((N, 2), 0.45)
+
+    ref_obs, _, ref_rewards = ref["gt"].generate_trajectory(env, FixedAgent())
+    # state layout: cash, inv, time, [price], [hawkes x2], [exo x2] => S=8
+    assert ref_obs.shape[1] == 8
+
+    with enable_x64():
+        cfg = EnvConfig(
+            dynamics=LimitOrderDynamics(
+                midprice_model=OuJumpMidprice(
+                    mean_reversion_level=100.0, mean_reversion_speed=0.3,
+                    volatility=1.5, jump_size=0.4, initial_price=100.0,
+                ),
+                arrival_model=HawkesArrivals(
+                    baseline_arrival_rate=(20.0, 20.0), jump_size=40.0, mean_reversion_speed=60.0
+                ),
+                fill_probability_model=ExogenousMmFill(
+                    bid_process=ConstantMidprice(initial_price=0.8),
+                    ask_process=ConstantMidprice(initial_price=0.8),
+                    fill_exponent=2.0, base_fill_probability=0.9,
+                ),
+                max_depth=5.0,
+            ),
+            terminal_time=1.0, n_steps=T, max_inventory=float(T),
+            num_trajectories=N, dtype="float64",
+        )
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((N, 2), 0.45, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+
+    ours = np.asarray(res.trajectory.observations)
+    assert ours.shape[2] == 8
+    # every state column bitwise-level: cash, inventory, price, hawkes
+    # intensities, exogenous depths
+    np.testing.assert_array_equal(ours[:, :, 1].T, ref_obs[:, 1, :])
+    for col in (0, 3, 4, 5, 6, 7):
+        np.testing.assert_allclose(
+            ours[:, :, col].T, ref_obs[:, col, :], rtol=0, atol=1e-9, err_msg=f"col {col}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
+    )
