@@ -52,7 +52,6 @@ class DynamicsBase:
     arrival_model: Optional[ProcessBase] = None
     fill_probability_model: Optional[ProcessBase] = None
     price_impact_model: Optional[ProcessBase] = None
-    round_initial_inventory: bool = False
 
     def processes(self) -> Tuple[Tuple[str, ProcessBase], ...]:
         """Active slots in reference state-layout order."""
@@ -89,7 +88,6 @@ class LimitOrderDynamics(DynamicsBase):
     arrival_model: ProcessBase = None
     fill_probability_model: ProcessBase = None
     max_depth: Optional[float] = None
-    round_initial_inventory = True
     action_dim = 2
 
     def required_processes(self):
@@ -124,7 +122,6 @@ class AtTheTouchDynamics(DynamicsBase):
     midprice_model: ProcessBase = None
     arrival_model: ProcessBase = None
     fixed_market_half_spread: float = 0.5
-    round_initial_inventory = True
     action_dim = 2
 
     def required_processes(self):
@@ -186,7 +183,6 @@ class TradingWithSpeedDynamics(DynamicsBase):
     midprice_model: ProcessBase = None
     price_impact_model: ProcessBase = None
     max_speed: Optional[float] = None
-    round_initial_inventory = False
     action_dim = 1
 
     def required_processes(self):

@@ -85,6 +85,13 @@ class EnvConfig:
             )
             lo, hi = self.dynamics.action_bounds()
             assert all(h > l for l, h in zip(lo, hi)), "Cannot normalise a degenerate action space."
+        if self.normalise_observation_space:
+            lo, hi = self.observation_bounds()
+            assert (hi > lo).all(), (
+                "Cannot normalise a degenerate observation space (a process "
+                "with equal min/max bounds, e.g. ConstantMidprice, would "
+                "divide by zero; the reference silently produces inf there)."
+            )
 
     # ------------------------------------------------------------------ misc
     @property

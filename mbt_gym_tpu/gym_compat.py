@@ -48,6 +48,27 @@ def _jit_reset(cfg, key):
     return env_lib.reset(cfg, key)
 
 
+def _build_spaces(cfg: EnvConfig):
+    """(observation_space, action_space) for one trajectory (gymnasium)."""
+    assert gymnasium is not None, "gymnasium is required for gym-API spaces"
+    obs_low, obs_high = cfg.observation_bounds()
+    if cfg.normalise_observation_space:
+        obs_low, obs_high = -np.ones_like(obs_low), np.ones_like(obs_high)
+    observation_space = gymnasium.spaces.Box(
+        low=obs_low.astype(np.float32), high=obs_high.astype(np.float32)
+    )
+    if isinstance(cfg.dynamics, AtTheTouchDynamics):
+        action_space = gymnasium.spaces.MultiBinary(2)  # ModelDynamics.py:166-167
+    else:
+        act_low, act_high = cfg.action_bounds()
+        if cfg.normalise_action_space:
+            act_low, act_high = -np.ones_like(act_low), np.ones_like(act_high)
+        action_space = gymnasium.spaces.Box(
+            low=act_low.astype(np.float32), high=act_high.astype(np.float32)
+        )
+    return observation_space, action_space
+
+
 class GymTradingEnv(_GYM_BASE):
     """Batched gymnasium adapter over the pure-functional engine."""
 
@@ -58,21 +79,7 @@ class GymTradingEnv(_GYM_BASE):
         self.cfg = cfg
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
-        obs_low, obs_high = cfg.observation_bounds()
-        if cfg.normalise_observation_space:
-            obs_low, obs_high = -np.ones_like(obs_low), np.ones_like(obs_high)
-        self.observation_space = gymnasium.spaces.Box(
-            low=obs_low.astype(np.float32), high=obs_high.astype(np.float32)
-        )
-        if isinstance(cfg.dynamics, AtTheTouchDynamics):
-            self.action_space = gymnasium.spaces.MultiBinary(2)  # ModelDynamics.py:166-167
-        else:
-            act_low, act_high = cfg.action_bounds()
-            if cfg.normalise_action_space:
-                act_low, act_high = -np.ones_like(act_low), np.ones_like(act_high)
-            self.action_space = gymnasium.spaces.Box(
-                low=act_low.astype(np.float32), high=act_high.astype(np.float32)
-            )
+        self.observation_space, self.action_space = _build_spaces(cfg)
 
     @property
     def num_trajectories(self) -> int:
@@ -115,6 +122,10 @@ class VecTradingEnv:
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
         self._actions = None
+        # SB3's BaseAlgorithm reads these before training starts.
+        if gymnasium is not None:
+            self.observation_space, self.action_space = _build_spaces(cfg)
+        self.render_mode = None
 
     def reset(self):
         self._key, reset_key = jax.random.split(self._key)

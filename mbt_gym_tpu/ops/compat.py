@@ -33,6 +33,14 @@ def reference_noise_cube(
     ``default_rng(seed + i + 1)``.  Within a slot, each step draws normals
     then uniforms — matching every reference process, each of which draws a
     single array per step.
+
+    Limitation: a fill model whose exogenous best-depth processes are
+    themselves stochastic (ExogenousMmFill with non-constant inner
+    processes) cannot be replayed — in the reference those inner objects own
+    construction-time Generators that ``env.seed`` never reseeds
+    (fill_probability_models.py:126-170), so the reference itself is not
+    seed-controllable there.  Bitwise replay is supported (and tested) with
+    noise-free Constant inner processes.
     """
     n_steps = n_steps or cfg.n_steps
     n = cfg.num_trajectories

@@ -57,13 +57,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_env_state(mesh: Mesh, state):
-    """Place an EnvState pytree: (N, ...) leaves shard over 'data'; scalars
-    and keys replicate."""
-    data_sharding = env_sharding(mesh)
+    """Place an EnvState pytree: leaves whose leading axis is the env batch
+    shard over 'data'; everything else (scalars, the PRNG key — whose (2,)
+    shape must NOT be mistaken for a batch axis) replicates."""
     rep = replicated(mesh)
+    n = state.cash.shape[0]
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape and x.shape[0] % mesh.shape["data"] == 0:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape and x.shape[0] == n:
             return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
         return jax.device_put(x, rep)
 

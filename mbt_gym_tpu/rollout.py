@@ -126,23 +126,37 @@ def mc_episode_stats(
         state0, obs0 = env_lib.reset(cfg, ep_key)
 
         def body(inner, _):
-            state, obs, reward_acc, action_acc = inner
+            state, obs, reward_acc, action_acc, live_acc = inner
             action = policy(policy_params, obs, state)
             res = env_lib.step(cfg, state, action)
+            # quote columns only, mapped back to raw units (see episode_stats)
+            if action.shape[-1] >= 2:
+                quotes = action[..., :2]
+                if cfg.normalise_action_space:
+                    low, high = cfg.action_bounds()
+                    quotes = (quotes + 1.0) * (high[:2] - low[:2]) / 2 + low[:2]
+                quote_mean = quotes.mean()
+            else:
+                quote_mean = jnp.asarray(jnp.nan, action.dtype)
             if random_start:
-                # Freeze post-done steps (same convention as rollout()).
+                # Freeze post-done steps (same convention as rollout()) and
+                # exclude them from the action average.
                 was_done = state.time[0] >= cfg.terminal_time - cfg.step_size / 2
                 new_state = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(was_done, old, new), res.state, state
                 )
                 reward = jnp.where(was_done, jnp.zeros_like(res.reward), res.reward)
+                alive = (~was_done).astype(cfg.jdtype)
                 return (new_state, jnp.where(was_done, obs, res.obs),
-                        reward_acc + reward, action_acc + action.mean()), None
-            return (res.state, res.obs, reward_acc + res.reward, action_acc + action.mean()), None
+                        reward_acc + reward, action_acc + alive * quote_mean,
+                        live_acc + alive), None
+            return (res.state, res.obs, reward_acc + res.reward,
+                    action_acc + quote_mean, live_acc + 1.0), None
 
-        (final_state, _, episode_rewards, action_acc), _ = jax.lax.scan(
+        (final_state, _, episode_rewards, action_acc, live_acc), _ = jax.lax.scan(
             body,
-            (state0, obs0, jnp.zeros_like(state0.cash), jnp.zeros((), cfg.jdtype)),
+            (state0, obs0, jnp.zeros_like(state0.cash), jnp.zeros((), cfg.jdtype),
+             jnp.zeros((), cfg.jdtype)),
             None,
             length=n_scan,
             unroll=unroll,  # modest per-iteration-overhead win on TPU (~+8%)
@@ -153,7 +167,7 @@ def mc_episode_stats(
                 (episode_rewards**2).mean(),
                 final_state.inventory.mean(),
                 (final_state.inventory**2).mean(),
-                action_acc / n_scan,
+                action_acc / jnp.maximum(live_acc, 1.0),
             ]
         )
         return carry + stats, None
@@ -183,9 +197,14 @@ def episode_stats(cfg: EnvConfig, traj: Trajectory) -> dict:
         terminal_inventory = (terminal_inventory + 1.0) * (high[1] - low[1]) / 2 + low[1]
     # Spread is meaningful only for quote-valued actions: use the bid/ask
     # depth columns (the reference's table averages ALL action columns,
-    # plotting.py:99 — wrong for limit+market's binary MO flags).
+    # plotting.py:99 — wrong for limit+market's binary MO flags), mapped back
+    # to raw units when the action space is normalised.
     if traj.actions.shape[-1] >= 2:
-        half_spreads = traj.actions[..., :2].mean()
+        quotes = traj.actions[..., :2]
+        if cfg.normalise_action_space:
+            low, high = cfg.action_bounds()
+            quotes = (quotes + 1.0) * (high[:2] - low[:2]) / 2 + low[:2]
+        half_spreads = quotes.mean()
     else:
         half_spreads = jnp.asarray(jnp.nan, traj.actions.dtype)
     return {

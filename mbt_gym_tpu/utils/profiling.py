@@ -60,8 +60,11 @@ def _episode_thunk(cfg: EnvConfig, policy, episodes_per_call: int, mesh=None):
                 # workload being measured) cannot be dead-code-eliminated
                 return (res.state, res.obs, racc + res.reward.sum()), None
 
+            from mbt_gym_tpu.rollout import _episode_steps
+
             (final_state, _, reward_acc), _ = jax.lax.scan(
-                body, (state0, obs0, jnp.zeros((), cfg.jdtype)), None, length=cfg.n_steps
+                body, (state0, obs0, jnp.zeros((), cfg.jdtype)), None,
+                length=_episode_steps(cfg),
             )
             return acc + final_state.cash.sum() + reward_acc, None
 
@@ -88,7 +91,9 @@ def throughput(
     for i in range(iters):
         checksum = float(thunk(jax.random.fold_in(key, i)))
     elapsed = (time.time() - t0) / iters
-    steps = cfg.num_trajectories * cfg.n_steps * episodes_per_call
+    from mbt_gym_tpu.rollout import _episode_steps
+
+    steps = cfg.num_trajectories * _episode_steps(cfg) * episodes_per_call
     return {
         "env_steps_per_s": steps / elapsed,
         "seconds_per_call": elapsed,
@@ -124,7 +129,9 @@ def scaling_report(
         for i in range(3):
             float(thunk(jax.random.PRNGKey(i)))
         elapsed = (time.time() - t0) / 3
-        rate = scaled.num_trajectories * cfg.n_steps * episodes_per_call / elapsed
+        from mbt_gym_tpu.rollout import _episode_steps
+
+        rate = scaled.num_trajectories * _episode_steps(cfg) * episodes_per_call / elapsed
         if base_rate is None:
             base_rate = rate
             base_devices = d
