@@ -174,9 +174,7 @@ def test_checkpoint_roundtrip():
         restored = restore_checkpoint(path, template=bundle)
     np.testing.assert_allclose(np.asarray(restored["env_state"].cash), np.asarray(state.cash))
     assert int(restored["step"]) == 7
-    assert isinstance(restored["env_state"], env_lib.EnvState.__mro__[0]) or hasattr(
-        restored["env_state"], "cash"
-    )
+    assert isinstance(restored["env_state"], env_lib.EnvState)
 
 
 def test_oe_schedule_matches_analytic_inventory():
@@ -188,7 +186,8 @@ def test_oe_schedule_matches_analytic_inventory():
     ti = float(np.asarray(res.trajectory.observations[-1, :, 1]).mean())
     gamma = np.sqrt(agent.phi / agent.temporary_impact)
     root = np.sqrt(agent.temporary_impact * agent.phi)
-    zeta = (agent.alpha - 0.005 + root) / (agent.alpha - 0.005 - root)
+    half_perm = 0.5 * agent.permanent_impact
+    zeta = (agent.alpha - half_perm + root) / (agent.alpha - half_perm - root)
     expected = 10 * (zeta - 1) / (zeta * np.exp(gamma) - np.exp(-gamma))
     assert ti == pytest.approx(expected, rel=0.02)
 

@@ -1,8 +1,10 @@
 """Opt-in end-to-end RL convergence test (slow; run with MBT_RUN_SLOW=1).
 
 PPO must reach a large fraction of the closed-form Cartea-Jaimungal optimum
-on the "Learning to make a market" setting.  Validated on TPU v5e: 92.8% in
-36s (400 iters), 98.1% deterministic after a 3-phase schedule (146s)."""
+on the "Learning to make a market" setting (this test runs a smaller
+250-iteration budget with a 0.6x gate; the full-scale result on TPU v5e was
+92.8% at 400 iters / 36s and 98.1% deterministic after a 3-phase schedule,
+see BENCH_NOTES.md)."""
 import dataclasses
 import os
 

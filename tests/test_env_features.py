@@ -78,15 +78,36 @@ def test_normalisation_roundtrip():
 
 
 def test_clip_events_counter():
-    cfg = as_env_config(num_trajectories=8, n_steps=20)
-    cfg = dataclasses.replace(cfg, max_inventory=1.0)
+    from mbt_gym_tpu.analytics.diagnostics import clip_event_count, max_abs_inventory
+    from mbt_gym_tpu.dynamics import TradingWithSpeedDynamics
+    from mbt_gym_tpu.processes import BrownianMotionMidprice, TemporaryAndPermanentImpact
+
+    # Limit-order dynamics never exceed max_inventory (fills are masked), so
+    # no clip events fire there...
+    cfg = dataclasses.replace(as_env_config(num_trajectories=8, n_steps=20), max_inventory=1.0)
 
     def greedy(params, obs, state):
         return jnp.full((obs.shape[0], 2), 0.01, dtype=obs.dtype)
 
     res = jit_rollout(cfg, greedy, None, jax.random.PRNGKey(0))
-    inv = np.asarray(res.trajectory.observations[:, :, 1])
-    assert np.abs(inv).max() <= 1.0
+    assert np.abs(np.asarray(max_abs_inventory(res.trajectory))) <= 1.0
+    assert int(clip_event_count(res.final_state)) == 0
+
+    # ...but speed dynamics can push past the bound and must be clipped AND
+    # counted (the engine's replacement for the reference's printed warning).
+    speed_cfg = env_lib.EnvConfig(
+        dynamics=TradingWithSpeedDynamics(
+            midprice_model=BrownianMotionMidprice(),
+            price_impact_model=TemporaryAndPermanentImpact(),
+        ),
+        n_steps=20, num_trajectories=8, max_inventory=1.0,
+    )
+    fast = jit_rollout(
+        speed_cfg, lambda p, o, s: jnp.full((o.shape[0], 1), 50.0, o.dtype), None,
+        jax.random.PRNGKey(0),
+    )
+    assert np.abs(np.asarray(fast.trajectory.observations[:, :, 1])).max() <= 1.0
+    assert int(clip_event_count(fast.final_state)) > 0
 
 
 def test_expected_action_stochastic_policy():

@@ -59,7 +59,7 @@ WORKER = textwrap.dedent(
 
 
 @pytest.mark.skipif(os.environ.get("MBT_SKIP_MULTIHOST") == "1", reason="disabled")
-def test_two_process_sharded_rollout():
+def test_two_process_sharded_rollout(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = str(s.getsockname()[1])
@@ -67,20 +67,23 @@ def test_two_process_sharded_rollout():
     env["PYTHONPATH"] = REPO  # fresh interpreters; no TPU-plugin sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # one CPU device per process
-    script = os.path.join(REPO, "tests", "_mh_worker_gen.py")
-    with open(script, "w") as f:
-        f.write(WORKER)
+    script = tmp_path / "_mh_worker.py"
+    script.write_text(WORKER)
+    procs = []
     try:
         procs = [
             subprocess.Popen(
-                [sys.executable, script, str(i), port],
+                [sys.executable, str(script), str(i), port],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
             for i in range(2)
         ]
         outs = [p.communicate(timeout=180)[0] for p in procs]
     finally:
-        os.unlink(script)
+        for p in procs:  # no orphaned workers holding the coordinator port
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     results = []
     for i, out in enumerate(outs):
         assert procs[i].returncode == 0, f"worker {i} failed:\n{out}"

@@ -52,17 +52,32 @@ def test_pallas_episode_moments_match_xla(risk_aversion):
 
 
 def test_uniform_from_bits_distribution():
+    """Runs the ACTUAL kernel helper (through an interpret-mode pallas call
+    on supplied input bits — interpret mode stubs prng_random_bits but
+    bitcast/shift of inputs work), so a change to its shift/scale fails here
+    on CPU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     from mbt_gym_tpu.ops.pallas_episode import _uniform_from_bits
 
-    # Outside a pallas trace, pltpu.bitcast falls back to lax bitcast on
-    # concrete arrays only inside kernels; emulate with the same math.
-    bits = jax.random.bits(jax.random.PRNGKey(0), (1 << 16,), dtype=jnp.uint32)
-    as_int = jax.lax.bitcast_convert_type(bits, jnp.int32)
-    top24 = jax.lax.shift_right_logical(as_int, 8)
-    u = np.asarray(top24.astype(jnp.float32) * (1.0 / (1 << 24)))
+    def kern(bits_ref, out_ref):
+        out_ref[:] = _uniform_from_bits(bits_ref[:])
+
+    bits = jax.random.bits(jax.random.PRNGKey(0), (512, 128), dtype=jnp.uint32)
+    u = np.asarray(
+        pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((512, 128), jnp.float32),
+            interpret=pltpu.InterpretParams(),
+        )(bits)
+    )
     assert u.min() >= 0.0 and u.max() < 1.0
     assert abs(u.mean() - 0.5) < 0.01
     assert abs(u.var() - 1.0 / 12) < 0.005
+    # exact value check against the documented conversion
+    expected = (np.asarray(bits, dtype=np.uint64) >> 8).astype(np.float32) / (1 << 24)
+    np.testing.assert_allclose(u, expected, rtol=0, atol=0)
 
 
 def test_pallas_requires_matching_config():

@@ -71,22 +71,28 @@ def test_ppo_respects_fixed_late_start():
 
 def test_ppo_clips_actions_to_box_when_unnormalised():
     """Raw Gaussian samples must be clipped to the action Box before
-    execution (SB3 convention) — depths can never go negative."""
-    from mbt_gym_tpu.agents import ppo
+    execution (SB3 convention).  Behavioral pin: force the policy mean to a
+    hugely negative depth; clipped execution trades at depth 0 (every fill
+    books exactly at mid, so per-step PnL is only inventory x price drift,
+    near zero in expectation), whereas executing the raw -100 depth would
+    book each bid fill at mid+100, i.e. about -100 reward per fill."""
+    from mbt_gym_tpu.agents import networks, ppo
 
-    cfg = as_env_config(num_trajectories=64, n_steps=10)  # unnormalised spaces
+    cfg = as_env_config(num_trajectories=256, n_steps=20)  # unnormalised spaces
     ts = ppo.init_train_state(cfg, ppo.PPOConfig(hidden=(8,)), jax.random.PRNGKey(0))
-    # Widen exploration so unclipped samples would certainly go negative.
     params = dict(ts.params)
-    params["log_std"] = jnp.full_like(params["log_std"], 2.0)
+    params["pi"] = [dict(l) for l in params["pi"]]
+    params["pi"][-1]["b"] = jnp.full_like(params["pi"][-1]["b"], -100.0)
+    params["log_std"] = jnp.full_like(params["log_std"], -20.0)  # ~deterministic
     batch = ppo.collect_rollout(cfg, params, jax.random.PRNGKey(1))
-    # Inventory can only change via fills booked at the clipped >= 0 depths;
-    # cash paths must stay finite and the env must not see negative depths —
-    # check via rewards finite and inventory bounded by arrivals.
-    assert np.isfinite(np.asarray(batch.rewards)).all()
-    # executed actions are clipped, but the stored (unclipped) sample keeps
-    # its log-prob: stored actions may exceed the box
-    assert np.asarray(batch.actions).min() < 0.0
+    # stored (unclipped) samples keep the raw mean for log-prob purposes
+    assert np.asarray(batch.actions).max() < -50.0
+    # executed actions were clipped to depth 0: mean per-step reward stays
+    # near zero (price-drift noise), nowhere near the ~-100/fill of the
+    # unclipped regime (arrival prob 0.5/side at lambda=140, dt=1/200 ->
+    # about -70 mean reward per step if clipping were removed).
+    mean_step_reward = float(np.asarray(batch.rewards).mean())
+    assert abs(mean_step_reward) < 5.0, mean_step_reward
 
 
 def test_pallas_guard_rejects_nonzero_initial_state():

@@ -4,48 +4,23 @@ minimal gym stub) and assert the TPU engine reproduces its trajectories
 bitwise under float64 compat mode with the reference's own PCG64 noise
 streams (BASELINE.md: "trajectories/fills/episodic returns seed-exact vs
 reference")."""
-import os
-import sys
-
 import numpy as np
 import pytest
 
-REFERENCE_PATH = "/root/reference"
-_STUB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_gym_stub")
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE_PATH, "mbt_gym")),
-    reason="reference checkout not available",
-)
-
 
 @pytest.fixture(scope="module")
-def ref():
-    sys.path.insert(0, _STUB)
-    sys.path.insert(0, REFERENCE_PATH)
-    try:
-        import mbt_gym.gym.TradingEnvironment as te
-        import mbt_gym.gym.ModelDynamics as md
-        import mbt_gym.stochastic_processes.midprice_models as mm
-        import mbt_gym.stochastic_processes.arrival_models as am
-        import mbt_gym.stochastic_processes.fill_probability_models as fm
-        import mbt_gym.rewards.RewardFunctions as rf
-        import mbt_gym.agents.BaselineAgents as ba
-        import mbt_gym.gym.helpers.generate_trajectory as gt
-
-        yield {
-            "TradingEnvironment": te.TradingEnvironment,
-            "LimitOrderModelDynamics": md.LimitOrderModelDynamics,
-            "BrownianMotionMidpriceModel": mm.BrownianMotionMidpriceModel,
-            "PoissonArrivalModel": am.PoissonArrivalModel,
-            "ExponentialFillFunction": fm.ExponentialFillFunction,
-            "CjMmCriterion": rf.CjMmCriterion,
-            "AvellanedaStoikovAgent": ba.AvellanedaStoikovAgent,
-            "generate_trajectory": gt.generate_trajectory,
-        }
-    finally:
-        sys.path.remove(_STUB)
-        sys.path.remove(REFERENCE_PATH)
+def ref(reference_modules):
+    m = reference_modules
+    return {
+        "TradingEnvironment": m["te"].TradingEnvironment,
+        "LimitOrderModelDynamics": m["md"].LimitOrderModelDynamics,
+        "BrownianMotionMidpriceModel": m["mm"].BrownianMotionMidpriceModel,
+        "PoissonArrivalModel": m["am"].PoissonArrivalModel,
+        "ExponentialFillFunction": m["fm"].ExponentialFillFunction,
+        "CjMmCriterion": m["rf"].CjMmCriterion,
+        "AvellanedaStoikovAgent": m["ba"].AvellanedaStoikovAgent,
+        "generate_trajectory": m["gt"].generate_trajectory,
+    }
 
 
 def _make_reference_env(ref, num_trajectories, n_steps, seed, reward=None, arrival_rate=140.0):

@@ -13,37 +13,13 @@ ShortTermJumpAlpha (reference crashes for N > 1), ExogenousMm with noisy
 inner processes (inner objects own construction-time RNGs that env.seed
 never touches; tested here with noise-free Constant inner processes).
 """
-import os
-import sys
-
 import numpy as np
 import pytest
 
-REFERENCE_PATH = "/root/reference"
-_STUB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_gym_stub")
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE_PATH, "mbt_gym")),
-    reason="reference checkout not available",
-)
-
 
 @pytest.fixture(scope="module")
-def ref():
-    sys.path.insert(0, _STUB)
-    sys.path.insert(0, REFERENCE_PATH)
-    try:
-        import mbt_gym.gym.TradingEnvironment as te
-        import mbt_gym.gym.ModelDynamics as md
-        import mbt_gym.stochastic_processes.midprice_models as mm
-        import mbt_gym.stochastic_processes.arrival_models as am
-        import mbt_gym.stochastic_processes.fill_probability_models as fm
-        import mbt_gym.gym.helpers.generate_trajectory as gt
-
-        yield {"te": te, "md": md, "mm": mm, "am": am, "fm": fm, "gt": gt}
-    finally:
-        sys.path.remove(_STUB)
-        sys.path.remove(REFERENCE_PATH)
+def ref(reference_modules):
+    return reference_modules
 
 
 N, T, SEED = 32, 40, 77
