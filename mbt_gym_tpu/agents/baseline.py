@@ -288,13 +288,25 @@ class CarteaJaimungalOeAgent:
     @classmethod
     def from_config(cls, cfg: EnvConfig, phi: float = 2e-4, alpha: float = 1e-4) -> "CarteaJaimungalOeAgent":
         impact = cfg.dynamics.price_impact_model
+        # The closed-form schedule needs one scalar q0 (BaselineAgents.py:200
+        # reads env.initial_inventory directly and would fail on non-scalar
+        # specs too): a (low, high) tuple uses the expectation of the
+        # uniform-integer draw, (low + high - 1) / 2 (high exclusive,
+        # TradingEnvironment.py:271-272); a callable is evaluated once.
+        spec = cfg.initial_inventory
+        if callable(spec):
+            q0 = float(spec())
+        elif isinstance(spec, tuple):
+            q0 = (float(spec[0]) + float(spec[1]) - 1.0) / 2.0
+        else:
+            q0 = float(spec)
         return cls(
             phi=phi,
             alpha=alpha,
             temporary_impact=impact.temporary_impact_coefficient,
             permanent_impact=impact.permanent_impact_coefficient,
             terminal_time=cfg.terminal_time,
-            initial_inventory=float(cfg.initial_inventory),
+            initial_inventory=q0,
         )
 
     def policy(self):

@@ -57,7 +57,31 @@ def init_actor_critic(
     hidden: Sequence[int] = (256, 256),
     init_log_std: float = -0.5,
     dtype=jnp.float32,
+    shared_trunk: bool = False,
 ) -> Dict[str, Any]:
+    """Separate pi/vf MLPs by default (the reference's SB3 convention,
+    experiments/helpers.py:69-72).  ``shared_trunk=True`` is the
+    TPU-production variant: one ``hidden`` trunk with linear pi/vf heads —
+    half the matmul FLOPs *and* half the HBM activation traffic of separate
+    towers, which is what bounds PPO throughput at pod batch sizes."""
+    if shared_trunk:
+        k_t, k_pi, k_vf = jax.random.split(key, 3)
+        head_scale = 0.01
+        # init_mlp's last entry is the 0.01-scaled output layer; drop it to
+        # keep only the hidden-scaled trunk layers [obs->h1, h1->h2, ...].
+        trunk = init_mlp(k_t, [obs_dim, *hidden, 1], dtype)[:-1]
+        return {
+            "shared": trunk,
+            "pi_head": {
+                "w": head_scale * jax.random.normal(k_pi, (hidden[-1], action_dim), dtype=dtype),
+                "b": jnp.zeros((action_dim,), dtype=dtype),
+            },
+            "vf_head": {
+                "w": head_scale * jax.random.normal(k_vf, (hidden[-1], 1), dtype=dtype),
+                "b": jnp.zeros((1,), dtype=dtype),
+            },
+            "log_std": jnp.full((action_dim,), init_log_std, dtype=dtype),
+        }
     k_pi, k_vf = jax.random.split(key)
     return {
         "pi": init_mlp(k_pi, [obs_dim, *hidden, action_dim], dtype),
@@ -66,11 +90,51 @@ def init_actor_critic(
     }
 
 
+def _trunk_apply(layers: MlpParams, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """Apply MLP layers with the activation after EVERY layer (a trunk, not a
+    head-terminated tower); keeps ``compute_dtype`` output for head reuse."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    for layer in layers:
+        w, b = layer["w"], layer["b"]
+        if compute_dtype is not None:
+            w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+        x = jnp.tanh(x @ w + b)
+    return x
+
+
+def _head_apply(layer, h: jax.Array, out_dtype, compute_dtype=None) -> jax.Array:
+    w, b = layer["w"], layer["b"]
+    if compute_dtype is not None:
+        w, b = w.astype(compute_dtype), b.astype(compute_dtype)
+    return (h @ w + b).astype(out_dtype)
+
+
+def policy_value(params, obs: jax.Array, compute_dtype=None):
+    """(policy mean, value) in one pass — with a shared trunk the hidden
+    activations are computed once and reused by both heads."""
+    if "shared" in params:
+        h = _trunk_apply(params["shared"], obs, compute_dtype=compute_dtype)
+        mean = _head_apply(params["pi_head"], h, obs.dtype, compute_dtype)
+        v = _head_apply(params["vf_head"], h, obs.dtype, compute_dtype)[..., 0]
+        return mean, v
+    return (
+        mlp_apply(params["pi"], obs, compute_dtype=compute_dtype),
+        mlp_apply(params["vf"], obs, compute_dtype=compute_dtype)[..., 0],
+    )
+
+
 def policy_mean(params, obs: jax.Array, compute_dtype=None) -> jax.Array:
+    if "shared" in params:
+        h = _trunk_apply(params["shared"], obs, compute_dtype=compute_dtype)
+        return _head_apply(params["pi_head"], h, obs.dtype, compute_dtype)
     return mlp_apply(params["pi"], obs, compute_dtype=compute_dtype)
 
 
 def value(params, obs: jax.Array, compute_dtype=None) -> jax.Array:
+    if "shared" in params:
+        h = _trunk_apply(params["shared"], obs, compute_dtype=compute_dtype)
+        return _head_apply(params["vf_head"], h, obs.dtype, compute_dtype)[..., 0]
     return mlp_apply(params["vf"], obs, compute_dtype=compute_dtype)[..., 0]
 
 

@@ -43,6 +43,10 @@ class PPOConfig:
     # None = float32 everywhere; "bfloat16" runs the MLP matmuls on the MXU
     # at bf16 with float32 master params/optimizer state.
     compute_dtype: str = None
+    # Separate pi/vf towers (reference SB3 convention) by default; True uses
+    # one shared trunk with linear pi/vf heads — half the matmul FLOPs and
+    # half the HBM activation traffic, the production config at pod batch.
+    shared_trunk: bool = False
 
 
 class PPOTrainState(NamedTuple):
@@ -70,7 +74,8 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
 
 def init_train_state(env_cfg: EnvConfig, ppo_cfg: PPOConfig, key: jax.Array) -> PPOTrainState:
     params = networks.init_actor_critic(
-        key, env_cfg.state_dim, env_cfg.action_dim, hidden=ppo_cfg.hidden, dtype=env_cfg.jdtype
+        key, env_cfg.state_dim, env_cfg.action_dim, hidden=ppo_cfg.hidden,
+        dtype=env_cfg.jdtype, shared_trunk=ppo_cfg.shared_trunk,
     )
     opt_state = make_optimizer(ppo_cfg).init(params)
     return PPOTrainState(params=params, opt_state=opt_state, update_count=jnp.zeros((), jnp.int32))
@@ -119,12 +124,11 @@ def collect_rollout(
     def body(carry, t):
         state, obs = carry
         step_key = jax.random.fold_in(act_key, t)
-        mean = networks.policy_mean(params, obs, compute_dtype=cdt)
+        mean, v = networks.policy_value(params, obs, compute_dtype=cdt)
         std = jnp.exp(params["log_std"])
         eps = jax.random.normal(step_key, mean.shape, dtype=mean.dtype)
         action = mean + std * eps
         log_prob = networks.gaussian_log_prob(params, mean, action)
-        v = networks.value(params, obs, compute_dtype=cdt)
         # Clip executed actions to the action box (SB3's convention; without
         # this a raw Gaussian sample can quote negative depths, a regime the
         # reference can never enter).  Log-probs stay those of the unclipped
@@ -168,9 +172,8 @@ def compute_gae(rewards, values, last_value, gamma: float, lam: float):
 
 def _ppo_loss(params, ppo_cfg: PPOConfig, batch: RolloutBatch):
     cdt = jnp.dtype(ppo_cfg.compute_dtype) if ppo_cfg.compute_dtype else None
-    mean = networks.policy_mean(params, batch.obs, compute_dtype=cdt)
+    mean, values = networks.policy_value(params, batch.obs, compute_dtype=cdt)
     log_probs = networks.gaussian_log_prob(params, mean, batch.actions)
-    values = networks.value(params, batch.obs, compute_dtype=cdt)
 
     adv = batch.advantages
     if ppo_cfg.normalise_advantages:

@@ -52,6 +52,10 @@ class DynamicsBase:
     arrival_model: Optional[ProcessBase] = None
     fill_probability_model: Optional[ProcessBase] = None
     price_impact_model: Optional[ProcessBase] = None
+    # Callable initial-inventory specs are rounded to an int for order-book
+    # dynamics (ModelDynamics.py:106 round_initial_inventory=True) but kept
+    # fractional for execution-by-speed (ModelDynamics.py:260 sets False).
+    round_initial_inventory = True
 
     def processes(self) -> Tuple[Tuple[str, ProcessBase], ...]:
         """Active slots in reference state-layout order."""
@@ -184,6 +188,7 @@ class TradingWithSpeedDynamics(DynamicsBase):
     price_impact_model: ProcessBase = None
     max_speed: Optional[float] = None
     action_dim = 1
+    round_initial_inventory = False  # ModelDynamics.py:260
 
     def required_processes(self):
         return ("price_impact_model",)

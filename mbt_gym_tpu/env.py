@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import lru_cache
-from typing import Optional, Tuple, Union
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -48,11 +48,20 @@ class EnvConfig:
     """Static environment configuration (hashable -> usable as a jit static
     argument; XLA constant-folds every parameter).
 
-    ``initial_inventory`` is an int (deterministic) or an ``(low, high)``
-    tuple sampled uniformly at reset, exclusive of ``high``
-    (TradingEnvironment.py:270-281).  ``start_time`` is a float or a
+    ``initial_inventory`` is an int (deterministic), an ``(low, high)``
+    tuple sampled uniformly at reset exclusive of ``high``, or a zero-arg
+    callable evaluated on the host at each reset
+    (TradingEnvironment.py:270-281).  ``start_time`` is a float, a
     ``("uniform", low, high)`` spec drawn once per reset and quantised to the
-    step grid (TradingEnvironment.py:257-268).
+    step grid, or a zero-arg callable (TradingEnvironment.py:257-268).
+
+    Callable specs are host-side by nature: the stateful adapters
+    (``gym_compat``) evaluate them per reset via
+    :func:`resolve_reset_overrides` and feed the values to :func:`reset` as
+    *traced* override arguments, so the jitted reset is compiled once and the
+    per-episode values stream in as inputs.  Calling a jitted ``reset``
+    directly with a callable spec and no override would freeze the
+    trace-time draw, so :func:`reset` rejects that combination.
     """
 
     dynamics: DynamicsBase = None
@@ -60,11 +69,11 @@ class EnvConfig:
     terminal_time: float = 1.0
     n_steps: int = 200
     initial_cash: float = 0.0
-    initial_inventory: Union[int, Tuple[float, float]] = 0
+    initial_inventory: Union[int, Tuple[float, float], Callable[[], float]] = 0
     max_inventory: float = 10_000.0
     max_cash: Optional[float] = None
     max_stock_price: Optional[float] = None
-    start_time: Union[float, Tuple[str, float, float]] = 0.0
+    start_time: Union[float, Tuple[str, float, float], Callable[[], float]] = 0.0
     num_trajectories: int = 1000
     normalise_action_space: bool = False
     normalise_observation_space: bool = False
@@ -184,9 +193,43 @@ def _noise_dict(cfg: EnvConfig, noise: StepNoise):
 
 
 # --------------------------------------------------------------------- reset
-def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, jax.Array]:
+def resolve_reset_overrides(cfg: EnvConfig):
+    """Host-evaluate callable ``start_time`` / ``initial_inventory`` specs
+    for ONE reset (TradingEnvironment.py:257-281: ``self.start_time()``
+    quantised to the grid; ``self.initial_inventory()`` rounded when the
+    dynamics says so).  Returns ``(start_time, initial_inventory)``, each
+    ``None`` when the spec is not callable; pass the result to
+    :func:`reset`'s override arguments (they are traced, so the jit cache is
+    keyed only on shapes, not the per-episode values)."""
+    start = None
+    inventory = None
+    if callable(cfg.start_time):
+        raw = float(cfg.start_time())
+        assert 0.0 <= raw < cfg.terminal_time, (
+            "Start time is not within (0, env.terminal_time)."  # TradingEnvironment.py:267
+        )
+        start = round(raw / cfg.step_size) * cfg.step_size
+    if callable(cfg.initial_inventory):
+        v = np.asarray(cfg.initial_inventory(), dtype=np.float64)
+        if cfg.dynamics.round_initial_inventory:
+            v = np.round(v)  # TradingEnvironment.py:277-279
+        inventory = np.broadcast_to(v, (cfg.num_trajectories,)).astype(cfg.dtype)
+    return start, inventory
+
+
+def reset(
+    cfg: EnvConfig,
+    key: jax.Array,
+    start_time: Optional[jax.Array] = None,
+    initial_inventory: Optional[jax.Array] = None,
+) -> Tuple[EnvState, jax.Array]:
     """Build the initial :class:`EnvState` and observation
     (parity with TradingEnvironment.initial_state, :131-140, and reset, :96-101).
+
+    ``start_time`` / ``initial_inventory`` override the config's specs with
+    concrete per-reset values (scalar; (N,) array) — used for callable specs
+    (see :func:`resolve_reset_overrides`) and for reference reset-draw
+    replay (``ops.compat.reference_initial_inventory``).
     """
     dtype = cfg.jdtype
     n = cfg.num_trajectories
@@ -194,7 +237,15 @@ def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, jax.Array]:
     del reset_key
 
     # Start time: scalar, shared by all trajectories, quantised to the grid.
-    if isinstance(cfg.start_time, tuple):
+    if start_time is not None:
+        start_time = jnp.asarray(start_time, dtype=dtype)
+    elif callable(cfg.start_time):
+        raise TypeError(
+            "Callable start_time must be host-evaluated per reset: pass "
+            "resolve_reset_overrides(cfg) results as reset(...) overrides "
+            "(the gym_compat adapters do this automatically)."
+        )
+    elif isinstance(cfg.start_time, tuple):
         tag, lo, hi = cfg.start_time
         assert tag == "uniform", f"Unknown start_time spec {cfg.start_time}"
         raw = jax.random.uniform(time_key, (), dtype=dtype, minval=lo, maxval=hi)
@@ -204,7 +255,17 @@ def reset(cfg: EnvConfig, key: jax.Array) -> Tuple[EnvState, jax.Array]:
             round(float(cfg.start_time) / cfg.step_size) * cfg.step_size, dtype=dtype
         )
 
-    if isinstance(cfg.initial_inventory, tuple):
+    if initial_inventory is not None:
+        inventory = jnp.broadcast_to(
+            jnp.asarray(initial_inventory, dtype=dtype), (n,)
+        )
+    elif callable(cfg.initial_inventory):
+        raise TypeError(
+            "Callable initial_inventory must be host-evaluated per reset: "
+            "pass resolve_reset_overrides(cfg) results as reset(...) "
+            "overrides (the gym_compat adapters do this automatically)."
+        )
+    elif isinstance(cfg.initial_inventory, tuple):
         lo, hi = cfg.initial_inventory
         inventory = jax.random.randint(inv_key, (n,), int(lo), int(hi)).astype(dtype)
     else:

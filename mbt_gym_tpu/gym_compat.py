@@ -48,6 +48,33 @@ def _jit_reset(cfg, key):
     return env_lib.reset(cfg, key)
 
 
+@partial(jax.jit, static_argnums=(0,), static_argnames=("has_start", "has_inv"))
+def _jit_reset_overrides(cfg, key, start_time, initial_inventory, has_start=False, has_inv=False):
+    """Reset with host-resolved callable-spec values streamed in as traced
+    arguments — compiled once per (cfg, which-overrides) combination."""
+    return env_lib.reset(
+        cfg, key,
+        start_time=start_time if has_start else None,
+        initial_inventory=initial_inventory if has_inv else None,
+    )
+
+
+def _adapter_reset(cfg, key):
+    """Shared reset path for the gym adapters: evaluates callable specs on
+    the host each reset (TradingEnvironment.py:257-281 semantics)."""
+    if callable(cfg.start_time) or callable(cfg.initial_inventory):
+        start, inv = env_lib.resolve_reset_overrides(cfg)
+        zero = jax.numpy.zeros((), cfg.jdtype)
+        zeros_n = jax.numpy.zeros((cfg.num_trajectories,), cfg.jdtype)
+        return _jit_reset_overrides(
+            cfg, key,
+            zero if start is None else jax.numpy.asarray(start, cfg.jdtype),
+            zeros_n if inv is None else jax.numpy.asarray(inv, cfg.jdtype),
+            has_start=start is not None, has_inv=inv is not None,
+        )
+    return _jit_reset(cfg, key)
+
+
 def _build_spaces(cfg: EnvConfig):
     """(observation_space, action_space) for one trajectory (gymnasium)."""
     assert gymnasium is not None, "gymnasium is required for gym-API spaces"
@@ -69,16 +96,51 @@ def _build_spaces(cfg: EnvConfig):
     return observation_space, action_space
 
 
+class ActionInfoCalculator:
+    """Per-step info hook (counterpart of ``ActionInfoCalculator``,
+    info_calculators.py:18-52): empty infos every non-terminal step, then at
+    the terminal step per-trajectory mean actions over the episode.
+
+    Reference semantics preserved: the terminal step's own action is NOT
+    recorded (the reference returns before appending on done,
+    info_calculators.py:35-44), and the reference's ``ndarray.nanmean``
+    AttributeError at :52 is fixed to the intended nan-ignoring mean.
+    Accumulation is a running (N, A) sum — O(N*A) state instead of the
+    reference's (N, A, T) buffer."""
+
+    def __init__(self, num_trajectories: int, action_dim: int):
+        self.num_trajectories = num_trajectories
+        self.action_dim = action_dim
+        self.reset(None)
+
+    def reset(self, initial_state=None) -> None:
+        self._sum = np.zeros((self.num_trajectories, self.action_dim))
+        self._count = 0
+
+    def calculate(self, state, action, reward, done: bool):
+        if done:
+            mean_actions = self._sum / max(self._count, 1)
+            return [
+                {f"action_{j}": float(mean_actions[i, j]) for j in range(self.action_dim)}
+                for i in range(self.num_trajectories)
+            ]
+        self._sum += np.asarray(action).reshape(self.num_trajectories, self.action_dim)
+        self._count += 1
+        return [{} for _ in range(self.num_trajectories)]
+
+
 class GymTradingEnv(_GYM_BASE):
     """Batched gymnasium adapter over the pure-functional engine."""
 
     metadata = {"render_modes": ["human"]}
 
-    def __init__(self, cfg: EnvConfig, seed: Optional[int] = None):
+    def __init__(self, cfg: EnvConfig, seed: Optional[int] = None,
+                 info_calculator: Optional[ActionInfoCalculator] = None):
         assert gymnasium is not None, "gymnasium is required for GymTradingEnv"
         self.cfg = cfg
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
+        self.info_calculator = info_calculator
         self.observation_space, self.action_space = _build_spaces(cfg)
 
     @property
@@ -96,7 +158,9 @@ class GymTradingEnv(_GYM_BASE):
         if seed is not None:
             self.seed(seed)
         self._key, reset_key = jax.random.split(self._key)
-        self._state, obs = _jit_reset(self.cfg, reset_key)
+        self._state, obs = _adapter_reset(self.cfg, reset_key)
+        if self.info_calculator is not None:
+            self.info_calculator.reset(np.asarray(obs))
         return np.asarray(obs), {}
 
     def step(self, action):
@@ -107,19 +171,39 @@ class GymTradingEnv(_GYM_BASE):
         self._state = res.state
         terminated = np.asarray(res.done)
         truncated = np.zeros_like(terminated)
-        return np.asarray(res.obs), np.asarray(res.reward), terminated, truncated, {}
+        obs, reward = np.asarray(res.obs), np.asarray(res.reward)
+        # Per-step infos during stepping (TradingEnvironment.py:222-227): the
+        # reference returns the calculator's list-of-dicts as ``infos``.
+        if self.info_calculator is not None:
+            info = self.info_calculator.calculate(obs, action, reward, bool(terminated[0]))
+        else:
+            info = {}
+        return obs, reward, terminated, truncated, info
 
 
 class VecTradingEnv:
     """SB3 ``VecEnv``-shaped adapter with the terminal-observation autoreset
-    convention (StableBaselinesTradingEnvironment.py:28-37)."""
+    convention (StableBaselinesTradingEnvironment.py:28-37).
+
+    Implements the *full* SB3 ``VecEnv`` abstract API — ``get_attr`` /
+    ``set_attr`` / ``env_method`` / ``env_is_wrapped`` /
+    ``getattr_depth_check`` / ``get_images`` / ``render`` — which SB3's
+    ``BaseAlgorithm.learn`` exercises via ``_wrap_env`` →
+    ``is_vecenv_wrapped`` and callbacks.  The reference's own adapter stubs
+    several of these to ``None`` (StableBaselinesTradingEnvironment.py:42-59);
+    here they follow DummyVecEnv semantics against the single batched env:
+    each "sub-env" resolves to this adapter, so per-env results are the
+    adapter's value replicated ``num_envs`` times."""
 
     def __init__(self, cfg: EnvConfig, seed: Optional[int] = None,
-                 store_terminal_observation_info: bool = True):
+                 store_terminal_observation_info: bool = True,
+                 info_calculator: Optional[ActionInfoCalculator] = None):
         self.cfg = cfg
         self.num_envs = cfg.num_trajectories
         self.store_terminal_observation_info = store_terminal_observation_info
+        self.info_calculator = info_calculator
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._seed_used = 0 if seed is None else seed
         self._state = None
         self._actions = None
         # SB3's BaseAlgorithm reads these before training starts.
@@ -127,28 +211,33 @@ class VecTradingEnv:
             self.observation_space, self.action_space = _build_spaces(cfg)
         self.render_mode = None
 
+    # ------------------------------------------------------------- stepping
     def reset(self):
         self._key, reset_key = jax.random.split(self._key)
-        self._state, obs = _jit_reset(self.cfg, reset_key)
-        return np.asarray(obs)
+        self._state, obs = _adapter_reset(self.cfg, reset_key)
+        obs = np.asarray(obs)
+        if self.info_calculator is not None:
+            self.info_calculator.reset(obs)
+        return obs
 
     def step_async(self, actions) -> None:
         self._actions = actions
 
     def step_wait(self):
-        res = _jit_step(
-            self.cfg,
-            self._state,
-            np.asarray(self._actions, dtype=self.cfg.dtype).reshape(
-                self.num_envs, self.cfg.action_dim
-            ),
+        action = np.asarray(self._actions, dtype=self.cfg.dtype).reshape(
+            self.num_envs, self.cfg.action_dim
         )
+        res = _jit_step(self.cfg, self._state, action)
         self._state = res.state
         obs = np.asarray(res.obs)
         rewards = np.asarray(res.reward)
         dones = np.asarray(res.done)
-        infos = [{} for _ in range(self.num_envs)]
-        if dones.min():
+        done = bool(dones.min())
+        if self.info_calculator is not None:
+            infos = self.info_calculator.calculate(obs, action, rewards, done)
+        else:
+            infos = [{} for _ in range(self.num_envs)]
+        if done:
             if self.store_terminal_observation_info:
                 for i in range(self.num_envs):
                     infos[i]["terminal_observation"] = obs[i, :]
@@ -161,9 +250,64 @@ class VecTradingEnv:
 
     def seed(self, seed: Optional[int] = None):
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._seed_used = seed
+        # SB3 convention: one seed entry per sub-env (DummyVecEnv.seed).
+        return [seed for _ in range(self.num_envs)]
 
     def close(self) -> None:
         pass
+
+    # ---------------------------------------------- VecEnv abstract surface
+    @property
+    def unwrapped(self):
+        return self
+
+    def _get_indices(self, indices) -> list:
+        """Normalise SB3's VecEnvIndices (None | int | Iterable[int])."""
+        if indices is None:
+            return list(range(self.num_envs))
+        if isinstance(indices, int):
+            return [indices]
+        return list(indices)
+
+    def get_attr(self, attr_name: str, indices=None) -> list:
+        value = getattr(self, attr_name)
+        return [value for _ in self._get_indices(indices)]
+
+    def set_attr(self, attr_name: str, value, indices=None) -> None:
+        # One batched env backs every index: setting on any index sets all.
+        setattr(self, attr_name, value)
+
+    def env_method(self, method_name: str, *method_args, indices=None, **method_kwargs) -> list:
+        result = getattr(self, method_name)(*method_args, **method_kwargs)
+        return [result for _ in self._get_indices(indices)]
+
+    def env_is_wrapped(self, wrapper_class, indices=None) -> list:
+        # A base VecEnv over a batched pure-function engine — there are no
+        # per-env gym wrappers underneath (matches the reference's constant
+        # False, StableBaselinesTradingEnvironment.py:53-54).
+        return [False for _ in self._get_indices(indices)]
+
+    def getattr_depth_check(self, name: str, already_found: bool):
+        """SB3 VecEnv.getattr_depth_check: report shadowed attributes."""
+        if hasattr(self, name) and already_found:
+            return f"{type(self).__module__}.{type(self).__name__}"
+        return None
+
+    def get_images(self):
+        return [None for _ in range(self.num_envs)]
+
+    def render(self, mode: Optional[str] = None):
+        return None
+
+    # Convenience parity accessors (StableBaselinesTradingEnvironment.py:61-66)
+    @property
+    def num_trajectories(self) -> int:
+        return self.cfg.num_trajectories
+
+    @property
+    def n_steps(self) -> int:
+        return self.cfg.n_steps
 
 
 try:  # pragma: no cover - optional SB3 registration

@@ -1,0 +1,273 @@
+"""Fused PPO update kernel: forward + backward of the shared-trunk
+actor-critic in ONE Pallas pass, with all hidden activations resident in
+VMEM.
+
+Why: at pod batch (bench_suite config 5: 52M transitions/iteration) the
+XLA update is HBM-bandwidth-bound — every 256-wide activation tensor
+(~27 GB per pass over the batch) streams to HBM between forward and
+backward, ~10 such passes per update.  Measured round-1: the update phase
+alone is 564-911 ms of the 739-1166 ms iteration.  This kernel reads each
+transition's fundamental data once (obs, action, old_logp, advantage,
+return ≈ 40 B/sample), keeps h1/h2 for a tile of samples in VMEM, and
+writes only the accumulated weight gradients — making the update
+FLOP-bound on the MXU instead.
+
+Scope: the shared-trunk actor-critic layout (``networks.init_actor_critic
+(shared_trunk=True)``) with any trunk depth/widths and any obs/action
+dims; diagonal-Gaussian policy with state-independent ``log_std``
+(identical loss to ``agents.ppo._ppo_loss``).  Separate pi/vf towers stay
+on the XLA path.  Gradient parity with ``jax.grad`` of the XLA loss is
+asserted in tests/test_fused_ppo.py (interpret mode runs on CPU — no
+hardware PRNG in this kernel).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _mm(a, b, dims, compute_dtype=jnp.bfloat16):
+    """MXU matmul: bf16 inputs, f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(compute_dtype), b.astype(compute_dtype),
+        dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kernel(
+    n_layers: int,
+    inv_m: float,
+    clip_eps: float,
+    vf_coef: float,
+    compute_dtype,
+    *refs,
+):
+    """One grid step = one tile of samples.  ``refs`` layout:
+
+    inputs:  obs, actions, old_logp, adv, returns,
+             w0, b0, ..., w{L-1}, b{L-1},            (trunk)
+             wpi, bpi, wvf, bvf, log_std
+    outputs: dw0, db0, ..., dw{L-1}, db{L-1},
+             dwpi, dbpi, dwvf, dbvf, dlog_std, metrics (1, 128)
+    """
+    it = iter(refs)
+    obs_ref, act_ref, olp_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
+    trunk = [(next(it), next(it)) for _ in range(n_layers)]
+    wpi_ref, bpi_ref, wvf_ref, bvf_ref, lstd_ref = (next(it) for _ in range(5))
+    d_trunk = [(next(it), next(it)) for _ in range(n_layers)]
+    dwpi_ref, dbpi_ref, dwvf_ref, dbvf_ref, dlstd_ref, metrics_ref = (
+        next(it) for _ in range(6)
+    )
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for dw, db in d_trunk:
+            dw[:] = jnp.zeros_like(dw)
+            db[:] = jnp.zeros_like(db)
+        dwpi_ref[:] = jnp.zeros_like(dwpi_ref)
+        dbpi_ref[:] = jnp.zeros_like(dbpi_ref)
+        dwvf_ref[:] = jnp.zeros_like(dwvf_ref)
+        dbvf_ref[:] = jnp.zeros_like(dbvf_ref)
+        dlstd_ref[:] = jnp.zeros_like(dlstd_ref)
+        metrics_ref[:] = jnp.zeros_like(metrics_ref)
+
+    obs = obs_ref[:].astype(jnp.float32)  # (tile, S)
+
+    # ---- forward: trunk with tanh after every layer, activations saved ----
+    hs = [obs]
+    h = obs
+    for w_ref, b_ref in trunk:
+        h = jnp.tanh(_mm(h, w_ref[:], ((1,), (0,)), compute_dtype) + b_ref[:])
+        hs.append(h)
+
+    mean = _mm(h, wpi_ref[:], ((1,), (0,)), compute_dtype) + bpi_ref[:]  # (tile, A)
+    v = _mm(h, wvf_ref[:], ((1,), (0,)), compute_dtype) + bvf_ref[:]  # (tile, 1)
+
+    # ---- loss pieces (mirrors agents.ppo._ppo_loss) ----
+    log_std = lstd_ref[:]  # (1, A)
+    inv_std = jnp.exp(-log_std)
+    z = (act_ref[:].astype(jnp.float32) - mean) * inv_std  # (tile, A)
+    logp = jnp.sum(-0.5 * z * z - log_std - 0.5 * _LOG_2PI, axis=1, keepdims=True)
+    old_logp = olp_ref[:].astype(jnp.float32)  # (tile, 1)
+    adv = adv_ref[:].astype(jnp.float32)  # (tile, 1)
+    ret = ret_ref[:].astype(jnp.float32)  # (tile, 1)
+
+    ratio = jnp.exp(logp - old_logp)
+    clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+    pg1 = ratio * adv
+    pg2 = clipped * adv
+    pg_per = -jnp.minimum(pg1, pg2)
+    vf_err = v - ret
+
+    # ---- backward ----
+    # d(-min(pg1, pg2))/dratio, matching jnp.minimum's tie-splitting grad.
+    inside = ((ratio > 1.0 - clip_eps) & (ratio < 1.0 + clip_eps)).astype(jnp.float32)
+    take1 = (pg1 < pg2).astype(jnp.float32)
+    tie = (pg1 == pg2).astype(jnp.float32)
+    # 1 where pg1 strictly selected; `inside` where pg2 strictly selected;
+    # 0.5*(1+inside) on ties (jnp.minimum splits tie gradients evenly).
+    branch = take1 + (1.0 - take1 - tie) * inside + 0.5 * tie * (1.0 + inside)
+    dratio = -(adv * inv_m) * branch
+    dlogp = dratio * ratio  # (tile, 1)
+    dmean = dlogp * (z * inv_std)  # chain through logp: d logp/d mean
+    dlstd_tile = jnp.sum(dlogp * (z * z - 1.0), axis=0, keepdims=True)  # (1, A)
+    dv = (vf_coef * inv_m) * vf_err  # (tile, 1)
+
+    dh = (
+        _mm(dmean, wpi_ref[:], ((1,), (1,)), compute_dtype)
+        + _mm(dv, wvf_ref[:], ((1,), (1,)), compute_dtype)
+    )  # (tile, H)
+
+    dwpi_ref[:] += _mm(hs[-1], dmean, ((0,), (0,)), compute_dtype)
+    dbpi_ref[:] += jnp.sum(dmean, axis=0, keepdims=True)
+    dwvf_ref[:] += _mm(hs[-1], dv, ((0,), (0,)), compute_dtype)
+    dbvf_ref[:] += jnp.sum(dv, axis=0, keepdims=True)
+    dlstd_ref[:] += dlstd_tile
+
+    for li in range(n_layers - 1, -1, -1):
+        h_out = hs[li + 1]
+        dz = dh * (1.0 - h_out * h_out)  # tanh'
+        dw_ref, db_ref = d_trunk[li]
+        dw_ref[:] += _mm(hs[li], dz, ((0,), (0,)), compute_dtype)
+        db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+        if li > 0:
+            w_ref, _ = trunk[li]
+            dh = _mm(dz, w_ref[:], ((1,), (1,)), compute_dtype)
+
+    # ---- metrics: sums in lanes 0..2 of a (1, 128) row ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    pg_sum = jnp.sum(pg_per)
+    vf_sum = jnp.sum(0.5 * vf_err * vf_err)
+    kl_sum = jnp.sum(old_logp - logp)
+    row = (
+        jnp.where(lane == 0, pg_sum, 0.0)
+        + jnp.where(lane == 1, vf_sum, 0.0)
+        + jnp.where(lane == 2, kl_sum, 0.0)
+    )
+    metrics_ref[:] += row
+
+
+@partial(
+    jax.jit,
+    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype"),
+)
+def ppo_fused_grads(
+    params: Dict,
+    obs: jax.Array,
+    actions: jax.Array,
+    old_logp: jax.Array,
+    adv: jax.Array,
+    returns: jax.Array,
+    clip_eps: float = 0.2,
+    vf_coef: float = 0.5,
+    tile: int = 1024,
+    interpret: bool = False,
+    compute_dtype: str = "bfloat16",
+) -> Tuple[Dict, Dict]:
+    """Gradients of the PPO clipped-surrogate + value loss w.r.t. the
+    shared-trunk params, plus loss metrics, for one minibatch.
+
+    ``obs (M, S)``, ``actions (M, A)``, ``old_logp/adv/returns (M,)``;
+    ``M`` must be a multiple of ``tile``.  Advantages should already be
+    normalised (the caller normalises per minibatch, as the XLA path
+    does).  Entropy does not depend on ``obs`` — its metric/grad term is
+    handled analytically by the caller."""
+    assert "shared" in params, "fused update requires the shared-trunk layout"
+    m = obs.shape[0]
+    assert m % tile == 0, (m, tile)
+    grid = m // tile
+    s_dim = obs.shape[1]
+    a_dim = actions.shape[1]
+    trunk = params["shared"]
+    n_layers = len(trunk)
+    widths = [trunk[li]["w"].shape[1] for li in range(n_layers)]
+    h_dim = widths[-1]
+    cdt = jnp.dtype(compute_dtype)
+
+    col = lambda x: x.reshape(m, 1)
+    inputs = [obs, actions, col(old_logp), col(adv), col(returns)]
+    in_specs = [
+        pl.BlockSpec((tile, s_dim), lambda i: (i, 0)),
+        pl.BlockSpec((tile, a_dim), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+        pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+    ]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+    for li in range(n_layers):
+        w, b = trunk[li]["w"], trunk[li]["b"]
+        inputs += [w, b.reshape(1, -1)]
+        in_specs += [full(w.shape), full((1, b.shape[0]))]
+    inputs += [
+        params["pi_head"]["w"], params["pi_head"]["b"].reshape(1, -1),
+        params["vf_head"]["w"], params["vf_head"]["b"].reshape(1, -1),
+        params["log_std"].reshape(1, -1),
+    ]
+    in_specs += [
+        full(params["pi_head"]["w"].shape), full((1, a_dim)),
+        full(params["vf_head"]["w"].shape), full((1, 1)),
+        full((1, a_dim)),
+    ]
+
+    out_shapes = []
+    out_specs = []
+    for li in range(n_layers):
+        w = trunk[li]["w"]
+        out_shapes += [
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32),
+        ]
+        out_specs += [full(w.shape), full((1, w.shape[1]))]
+    out_shapes += [
+        jax.ShapeDtypeStruct((h_dim, a_dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
+        jax.ShapeDtypeStruct((h_dim, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, a_dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    ]
+    out_specs += [
+        full((h_dim, a_dim)), full((1, a_dim)),
+        full((h_dim, 1)), full((1, 1)),
+        full((1, a_dim)), full((1, 128)),
+    ]
+
+    kernel = partial(_kernel, n_layers, 1.0 / m, clip_eps, vf_coef, cdt)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*inputs)
+
+    it = iter(outs)
+    g_trunk = []
+    for li in range(n_layers):
+        dw, db = next(it), next(it)
+        g_trunk.append({"w": dw.astype(trunk[li]["w"].dtype), "b": db[0].astype(trunk[li]["b"].dtype)})
+    dwpi, dbpi, dwvf, dbvf, dlstd, metrics = (next(it) for _ in range(6))
+    grads = {
+        "shared": g_trunk,
+        "pi_head": {"w": dwpi.astype(params["pi_head"]["w"].dtype), "b": dbpi[0].astype(params["pi_head"]["b"].dtype)},
+        "vf_head": {"w": dwvf.astype(params["vf_head"]["w"].dtype), "b": dbvf[0].astype(params["vf_head"]["b"].dtype)},
+        "log_std": dlstd[0].astype(params["log_std"].dtype),
+    }
+    metric_dict = {
+        "pg_loss": metrics[0, 0] / m,
+        "vf_loss": metrics[0, 1] / m,
+        "approx_kl": metrics[0, 2] / m,
+    }
+    return grads, metric_dict

@@ -28,6 +28,12 @@ class RolloutResult(NamedTuple):
 
 
 def _episode_steps(cfg: EnvConfig) -> int:
+    if callable(cfg.start_time):
+        raise TypeError(
+            "Callable start_time is a host-per-reset feature; drive it "
+            "through the gym_compat adapters (which evaluate it each reset), "
+            "not the jitted rollout."
+        )
     if isinstance(cfg.start_time, tuple):
         return cfg.n_steps  # random start: scan full horizon, mask post-done
     start_steps = round(float(cfg.start_time) / cfg.step_size)
@@ -41,6 +47,8 @@ def rollout(
     key: jax.Array,
     noise: Optional[StepNoise] = None,
     unroll: int = 1,
+    start_time: Optional[float] = None,
+    initial_inventory=None,
 ) -> RolloutResult:
     """Roll one full episode for all N trajectories.
 
@@ -49,12 +57,25 @@ def rollout(
     ``mbt_gym_tpu.ops.compat.reference_noise_cube`` for reference-exact
     replay.  Otherwise counter-based noise is derived per step.
 
+    ``start_time`` / ``initial_inventory`` override the config's reset
+    specs with concrete per-call values (host float; (N,) array) — the
+    replay path for the reference's reset-time draws
+    (``ops.compat.reference_initial_inventory``) and for callable specs.
+    A ``start_time`` override shortens the scan on the host, so each
+    distinct start re-traces under jit.
+
     Wrap in ``jax.jit(..., static_argnums=(0,))`` or use
     :func:`jit_rollout`; `cfg` and `policy` are static.
     """
-    state0, obs0 = env_lib.reset(cfg, key)
-    n_scan = _episode_steps(cfg)
-    random_start = isinstance(cfg.start_time, tuple)
+    state0, obs0 = env_lib.reset(
+        cfg, key, start_time=start_time, initial_inventory=initial_inventory
+    )
+    if start_time is not None:
+        n_scan = cfg.n_steps - round(float(start_time) / cfg.step_size)
+        random_start = False
+    else:
+        n_scan = _episode_steps(cfg)
+        random_start = isinstance(cfg.start_time, tuple)
     if noise is not None and not random_start:
         # A fixed late start shortens the episode; consume only the first
         # n_scan steps of the injected noise (the reference's loop also stops
