@@ -47,6 +47,13 @@ class PPOConfig:
     # one shared trunk with linear pi/vf heads — half the matmul FLOPs and
     # half the HBM activation traffic, the production config at pod batch.
     shared_trunk: bool = False
+    # Fused Pallas forward+backward update (ops/fused_ppo.py): activations
+    # stay in VMEM, so the minibatch update is FLOP-bound instead of
+    # HBM-bandwidth-bound.  Requires shared_trunk; grads are parity-tested
+    # against jax.grad (tests/test_fused_ppo.py).
+    fused_update: bool = False
+    fused_tile: int = 1024
+    fused_compute_dtype: str = "bfloat16"
 
 
 class PPOTrainState(NamedTuple):
@@ -190,6 +197,31 @@ def _ppo_loss(params, ppo_cfg: PPOConfig, batch: RolloutBatch):
                   "approx_kl": jnp.mean(batch.log_probs - log_probs)}
 
 
+def _fused_grads_and_metrics(params, ppo_cfg: PPOConfig, mb: RolloutBatch):
+    """Minibatch grads via the fused Pallas kernel, with the XLA path's
+    advantage normalisation and analytic entropy handling applied outside
+    the kernel (entropy depends only on log_std: d entropy/d log_std = 1)."""
+    from mbt_gym_tpu.ops import fused_ppo
+
+    assert ppo_cfg.shared_trunk, "fused_update requires shared_trunk=True"
+    adv = mb.advantages
+    if ppo_cfg.normalise_advantages:
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+    interpret = jax.default_backend() != "tpu"
+    grads, metrics = fused_ppo.ppo_fused_grads(
+        params, mb.obs, mb.actions, mb.log_probs, adv, mb.returns,
+        clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
+        tile=ppo_cfg.fused_tile, interpret=interpret,
+        compute_dtype=ppo_cfg.fused_compute_dtype,
+    )
+    ent = networks.entropy(params)
+    if ppo_cfg.ent_coef:
+        grads["log_std"] = grads["log_std"] - ppo_cfg.ent_coef
+    metrics = dict(metrics)
+    metrics["entropy"] = jnp.broadcast_to(ent, ()).astype(metrics["pg_loss"].dtype)
+    return grads, metrics
+
+
 def train_iteration(
     env_cfg: EnvConfig, ppo_cfg: PPOConfig, train_state: PPOTrainState, key: jax.Array, mesh=None
 ) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
@@ -229,7 +261,10 @@ def train_iteration(
 
         def mb_body(carry, mb):
             params, opt_state = carry
-            (_, metrics), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(params, ppo_cfg, mb)
+            if ppo_cfg.fused_update:
+                grads, metrics = _fused_grads_and_metrics(params, ppo_cfg, mb)
+            else:
+                (_, metrics), grads = jax.value_and_grad(_ppo_loss, has_aux=True)(params, ppo_cfg, mb)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), metrics

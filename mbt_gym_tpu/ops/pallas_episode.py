@@ -39,7 +39,10 @@ DEFAULT_ROWS = 64  # (64, 128) tile = 8192 envs per program
 
 
 class AsEpisodeParams(NamedTuple):
-    """Scalars baked into the kernel at trace time."""
+    """Scalars baked into the kernel at trace time.  ``initial_cash`` /
+    ``initial_inventory`` / ``start_time`` parameterise the initial state
+    (the round-1 cash0=inv0=0/t0=0 restriction is lifted); a late
+    ``start_time`` runs the correspondingly shorter episode."""
 
     n_steps: int
     dt: float
@@ -52,6 +55,15 @@ class AsEpisodeParams(NamedTuple):
     max_inventory: float
     terminal_time: float
     risk_aversion: float  # 0 => fixed risk-neutral quotes 1/k
+    initial_cash: float = 0.0
+    initial_inventory: float = 0.0
+    start_time: float = 0.0
+
+    @property
+    def run_steps(self) -> int:
+        """Steps actually executed (a late fixed start shortens the episode,
+        TradingEnvironment.py:218-220 / rollout._episode_steps)."""
+        return self.n_steps - round(self.start_time / self.dt)
 
 
 def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeParams:
@@ -68,10 +80,11 @@ def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeP
     assert isinstance(d.fill_probability_model, ExponentialFill)
     assert isinstance(cfg.reward_function, PnL), "episode return telescopes only for PnL"
     assert not cfg.normalise_action_space and not cfg.normalise_observation_space
-    # The kernels hard-code the zero initial state of the flagship config.
-    assert cfg.initial_cash == 0.0 and cfg.initial_inventory == 0 and cfg.start_time == 0.0, (
-        "pallas fast path assumes cash0=inv0=0 at t=0; use the XLA engine for "
-        "other initial conditions"
+    assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory), (
+        "pallas fast path: deterministic scalar initial inventory only"
+    )
+    assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time), (
+        "pallas fast path: fixed start time only"
     )
     return AsEpisodeParams(
         n_steps=cfg.n_steps,
@@ -85,6 +98,9 @@ def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeP
         max_inventory=float(cfg.max_inventory),
         terminal_time=cfg.terminal_time,
         risk_aversion=risk_aversion,
+        initial_cash=float(cfg.initial_cash),
+        initial_inventory=float(cfg.initial_inventory),
+        start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
     )
 
 
@@ -97,62 +113,97 @@ def _uniform_from_bits(bits):
     return top24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
+def _as_quotes(p: AsEpisodeParams, inv, t, shape):
+    """Closed-form AS quotes (BaselineAgents.py:52-83) or risk-neutral 1/k."""
+    gamma, sigma, k, T = p.risk_aversion, p.volatility, p.fill_exponent, p.terminal_time
+    if gamma > 0:
+        const_half = (1.0 / gamma) * math.log(1.0 + gamma / k)
+        tau = T - t
+        skew = inv * (gamma * sigma * sigma) * tau
+        half_spread = 0.5 * (gamma * sigma * sigma) * tau + const_half
+        return skew + half_spread, -skew + half_spread
+    const_half = 1.0 / k
+    return jnp.full(shape, const_half), jnp.full(shape, const_half)
+
+
+def _as_step(p: AsEpisodeParams, carry, t, draws):
+    """One AS env step on VMEM-resident state; ``draws`` is a 5-tuple
+    (arrival-bid u, arrival-ask u, fill-bid u, fill-ask u, midprice normal)
+    — from the hardware PRNG in perf mode or injected arrays in test mode."""
+    cash, inv, price = carry
+    shape = cash.shape
+    u_ab, u_aa, u_fb, u_fa, normal = draws
+    k = p.fill_exponent
+    bid_depth, ask_depth = _as_quotes(p, inv, t, shape)
+
+    arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
+    arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
+    fill_bid = (u_fb < jnp.exp(-k * bid_depth)).astype(jnp.float32)
+    fill_ask = (u_fa < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+
+    # Max-inventory fill masking (TradingEnvironment.py:323-327).
+    fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
+    fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
+
+    hit_bid = arr_bid * fill_bid
+    hit_ask = arr_ask * fill_ask
+    inv = inv + hit_bid - hit_ask
+    cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * normal
+    return cash, inv, price, (bid_depth, ask_depth)
+
+
+def _hw_draws(shape):
+    """5 per-step draws from the hardware PRNG; the normal via Box-Muller."""
+    def u():
+        return _uniform_from_bits(pltpu.prng_random_bits(shape))
+
+    u_ab, u_aa, u_fb, u_fa = u(), u(), u(), u()
+    u1 = 1.0 - u()  # (0, 1] so log is finite
+    u2 = u()
+    normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+    return u_ab, u_aa, u_fb, u_fa, normal
+
+
+def _as_init(p: AsEpisodeParams, shape):
+    return (
+        jnp.full(shape, p.initial_cash, jnp.float32),
+        jnp.full(shape, p.initial_inventory, jnp.float32),
+        jnp.full(shape, p.initial_price, jnp.float32),
+    )
+
+
 def _episode_kernel(p: AsEpisodeParams, seed_ref, cash_ref, inv_ref, price_ref):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     shape = cash_ref.shape
 
-    sqrt_dt_vol = p.volatility * math.sqrt(p.dt)
-    p_bid = p.intensity_bid * p.dt
-    p_ask = p.intensity_ask * p.dt
-    gamma, sigma, k, T = p.risk_aversion, p.volatility, p.fill_exponent, p.terminal_time
-    if gamma > 0:
-        const_spread_half = (1.0 / gamma) * math.log(1.0 + gamma / k)
-    else:
-        const_spread_half = 1.0 / k
-
-    def draw_uniform():
-        return _uniform_from_bits(pltpu.prng_random_bits(shape))
-
     def body(i, carry):
-        cash, inv, price = carry
-        t = i.astype(jnp.float32) * p.dt
-        tau = T - t
-
-        # Closed-form AS quotes (BaselineAgents.py:52-83) or risk-neutral 1/k.
-        if gamma > 0:
-            skew = inv * (gamma * sigma * sigma) * tau
-            half_spread = 0.5 * (gamma * sigma * sigma) * tau + const_spread_half
-            bid_depth = skew + half_spread
-            ask_depth = -skew + half_spread
-        else:
-            bid_depth = jnp.full(shape, const_spread_half)
-            ask_depth = jnp.full(shape, const_spread_half)
-
-        arr_bid = (draw_uniform() < p_bid).astype(jnp.float32)
-        arr_ask = (draw_uniform() < p_ask).astype(jnp.float32)
-        fill_bid = (draw_uniform() < jnp.exp(-k * bid_depth)).astype(jnp.float32)
-        fill_ask = (draw_uniform() < jnp.exp(-k * ask_depth)).astype(jnp.float32)
-
-        # Max-inventory fill masking (TradingEnvironment.py:323-327).
-        fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
-        fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
-
-        hit_bid = arr_bid * fill_bid
-        hit_ask = arr_ask * fill_ask
-        inv = inv + hit_bid - hit_ask
-        cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
-
-        # Box-Muller normal for the BM midprice increment.
-        u1 = 1.0 - draw_uniform()  # (0, 1] so log is finite
-        u2 = draw_uniform()
-        normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
-        price = price + p.drift * p.dt + sqrt_dt_vol * normal
+        t = p.start_time + i.astype(jnp.float32) * p.dt
+        cash, inv, price, _ = _as_step(p, carry, t, _hw_draws(shape))
         return cash, inv, price
 
-    cash0 = jnp.zeros(shape, jnp.float32)
-    inv0 = jnp.zeros(shape, jnp.float32)
-    price0 = jnp.full(shape, p.initial_price, jnp.float32)
-    cash, inv, price = jax.lax.fori_loop(0, p.n_steps, body, (cash0, inv0, price0))
+    cash, inv, price = jax.lax.fori_loop(0, p.run_steps, body, _as_init(p, shape))
+    cash_ref[:] = cash
+    inv_ref[:] = inv
+    price_ref[:] = price
+
+
+def _episode_kernel_noise(
+    p: AsEpisodeParams, noise_ref, cash_ref, inv_ref, price_ref
+):
+    """Noise-injected variant: ``noise_ref`` is (T, 5, rows, LANES) with the
+    5 channels of ``_as_step``.  Runs under the Pallas interpreter on CPU,
+    so CI asserts step-for-step parity with the XLA engine on the SAME
+    noise (tests/test_pallas_episode.py) instead of skipping."""
+    shape = cash_ref.shape
+
+    def body(i, carry):
+        t = p.start_time + i.astype(jnp.float32) * p.dt
+        draws = tuple(noise_ref[i, c] for c in range(5))
+        cash, inv, price, _ = _as_step(p, carry, t, draws)
+        return cash, inv, price
+
+    cash, inv, price = jax.lax.fori_loop(0, p.run_steps, body, _as_init(p, shape))
     cash_ref[:] = cash
     inv_ref[:] = inv
     price_ref[:] = price
@@ -165,30 +216,47 @@ def as_episode_pallas(
     num_trajectories: int = 16384,
     rows: int = DEFAULT_ROWS,
     interpret: bool = False,
+    noise=None,
 ):
     """Run one full episode for ``num_trajectories`` envs; returns terminal
     (cash, inventory, price), each ``(N,)``.
 
     ``num_trajectories`` must be a multiple of ``rows * 128``.
     ``interpret=True`` runs the Pallas interpreter (CPU-testable).
+    ``noise`` (optional) injects the per-step draws instead of the hardware
+    PRNG: shape (run_steps, 5, N) float32 with channels (arrival-bid u,
+    arrival-ask u, fill-bid u, fill-ask u, midprice normal).
     """
     tile = rows * LANES
     assert num_trajectories % tile == 0, (num_trajectories, tile)
     grid = num_trajectories // tile
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     out_shape = [jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)] * 3
-    kernel = partial(_episode_kernel, params)
-    cash, inv, price = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[
-            pl.BlockSpec((rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ]
-        * 3,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(seed_arr)
+    out_specs = [
+        pl.BlockSpec((rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] * 3
+    if noise is None:
+        kernel = partial(_episode_kernel, params)
+        seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+        cash, inv, price = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(seed_arr)
+    else:
+        T = params.run_steps
+        noise = jnp.asarray(noise, jnp.float32).reshape(T, 5, grid * rows, LANES)
+        kernel = partial(_episode_kernel_noise, params)
+        cash, inv, price = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((T, 5, rows, LANES), lambda i: (0, 0, i, 0))],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(noise)
     return cash.reshape(-1), inv.reshape(-1), price.reshape(-1)
 
 
@@ -372,13 +440,213 @@ def episode_stats_pallas(params: AsEpisodeParams, seed, num_trajectories: int = 
     """Terminal-state summary stats (PnL telescopes: total reward = terminal
     mark-to-market minus initial)."""
     cash, inv, price = as_episode_pallas(params, seed, num_trajectories, **kw)
-    pnl = cash + inv * price - 0.0
+    initial_value = params.initial_cash + params.initial_inventory * params.initial_price
+    pnl = cash + inv * price - initial_value
     return {
         "mean_pnl": pnl.mean(),
         "std_pnl": pnl.std(),
         "mean_terminal_inventory": inv.mean(),
         "std_terminal_inventory": inv.std(),
     }
+
+
+# ------------------------------------------------------------------
+# Optimal-execution (speed-dynamics) episode kernel — the second
+# Pallas-eligible suite config (BASELINE.json config #3).  Pure
+# elementwise state updates + one normal draw per step, so it wins like
+# the AS kernel.  The policy is any deterministic time-only speed
+# schedule, passed as a per-step table (covers the CJ-OE closed form).
+# ------------------------------------------------------------------
+class OeEpisodeParams(NamedTuple):
+    """Scalars for the optimal-execution episode kernel (TradingWithSpeed
+    dynamics, ModelDynamics.py:243-275 + TemporaryAndPermanentPriceImpact,
+    price_impact_models.py:64-96 + CjOeCriterion, RewardFunctions.py:39-74)."""
+
+    n_steps: int
+    dt: float
+    drift: float
+    volatility: float
+    initial_price: float
+    temporary_impact: float
+    permanent_impact: float
+    terminal_time: float
+    phi: float  # per-step inventory aversion
+    alpha: float  # terminal aversion (spread pathwise over steps)
+    initial_cash: float = 0.0
+    initial_inventory: float = 0.0
+    start_time: float = 0.0
+
+    @property
+    def run_steps(self) -> int:
+        return self.n_steps - round(self.start_time / self.dt)
+
+
+def oe_params_from_config(cfg: EnvConfig) -> OeEpisodeParams:
+    from mbt_gym_tpu.dynamics import TradingWithSpeedDynamics
+    from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
+    from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+    from mbt_gym_tpu.rewards import CjOeCriterion
+
+    d = cfg.dynamics
+    assert isinstance(d, TradingWithSpeedDynamics), "OE kernel: speed dynamics only"
+    assert isinstance(d.midprice_model, BrownianMotionMidprice)
+    assert isinstance(d.price_impact_model, TemporaryAndPermanentImpact)
+    r = cfg.reward_function
+    assert isinstance(r, CjOeCriterion) and r.inventory_exponent == 2.0
+    assert not cfg.normalise_action_space and not cfg.normalise_observation_space
+    assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
+    assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time)
+    return OeEpisodeParams(
+        n_steps=cfg.n_steps,
+        dt=cfg.step_size,
+        drift=d.midprice_model.drift,
+        volatility=d.midprice_model.volatility,
+        initial_price=d.midprice_model.initial_price,
+        temporary_impact=d.price_impact_model.temporary_impact_coefficient,
+        permanent_impact=d.price_impact_model.permanent_impact_coefficient,
+        terminal_time=cfg.terminal_time,
+        phi=r.per_step_inventory_aversion,
+        alpha=r.terminal_inventory_aversion,
+        initial_cash=float(cfg.initial_cash),
+        initial_inventory=float(cfg.initial_inventory),
+        start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
+    )
+
+
+def _oe_step(p: OeEpisodeParams, carry, speed, normal):
+    """One speed-dynamics step: execute at ``mid + temp*speed + perm_state``
+    against the PRE-update midprice/impact (env.step order,
+    ModelDynamics.py:262-267), then advance price and permanent impact."""
+    cash, inv, price, perm, sumq2, sum_sq = carry
+    exec_price = price + p.temporary_impact * speed + perm
+    cash = cash - speed * p.dt * exec_price
+    sum_sq = sum_sq + speed * inv  # speed * PRE-step inventory (CjOe term)
+    inv = inv + speed * p.dt
+    sumq2 = sumq2 + inv * inv  # post-update inventory (RewardFunctions.py:55-70)
+    perm = perm + p.permanent_impact * speed * p.dt
+    price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * normal
+    return cash, inv, price, perm, sumq2, sum_sq
+
+
+def _oe_init(p: OeEpisodeParams, shape):
+    zeros = jnp.zeros(shape, jnp.float32)
+    return (
+        jnp.full(shape, p.initial_cash, jnp.float32),
+        jnp.full(shape, p.initial_inventory, jnp.float32),
+        jnp.full(shape, p.initial_price, jnp.float32),
+        zeros, zeros, zeros,
+    )
+
+
+def _oe_episode_kernel(p: OeEpisodeParams, seed_ref, speed_ref, *out_refs):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = out_refs[0].shape
+
+    def body(i, carry):
+        speed = speed_ref[i]
+        u1 = 1.0 - _uniform_from_bits(pltpu.prng_random_bits(shape))
+        u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+        normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
+        return _oe_step(p, carry, speed, normal)
+
+    final = jax.lax.fori_loop(0, p.run_steps, body, _oe_init(p, shape))
+    for ref, val in zip(out_refs, final):
+        ref[:] = val
+
+
+def _oe_episode_kernel_noise(p: OeEpisodeParams, speed_ref, noise_ref, *out_refs):
+    """Noise-injected variant (CI parity vs the XLA engine): ``noise_ref``
+    is (T, rows, LANES) midprice normals."""
+    shape = out_refs[0].shape
+
+    def body(i, carry):
+        return _oe_step(p, carry, speed_ref[i], noise_ref[i])
+
+    final = jax.lax.fori_loop(0, p.run_steps, body, _oe_init(p, shape))
+    for ref, val in zip(out_refs, final):
+        ref[:] = val
+
+
+@partial(jax.jit, static_argnames=("params", "num_trajectories", "rows", "interpret"))
+def oe_episode_pallas(
+    params: OeEpisodeParams,
+    speed_table,
+    seed,
+    num_trajectories: int = 8192,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+    noise=None,
+):
+    """Whole OE episode; returns terminal (cash, inventory, price,
+    permanent_impact, sum q_t^2, sum speed_t*q_{t-1}), each (N,).
+
+    ``speed_table`` is (run_steps,) float32 — the signed trading speed per
+    step (e.g. the CJ-OE closed form evaluated on the time grid).  ``noise``
+    (optional) injects the per-step midprice normals, shape (run_steps, N)."""
+    tile = rows * LANES
+    assert num_trajectories % tile == 0, (num_trajectories, tile)
+    grid = num_trajectories // tile
+    T = params.run_steps
+    speed_table = jnp.asarray(speed_table, jnp.float32)
+    assert speed_table.shape == (T,), (speed_table.shape, T)
+    out_shape = [jax.ShapeDtypeStruct((grid * rows, LANES), jnp.float32)] * 6
+    out_specs = [
+        pl.BlockSpec((rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] * 6
+    if noise is None:
+        seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+        outs = pl.pallas_call(
+            partial(_oe_episode_kernel, params),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(seed_arr, speed_table)
+    else:
+        noise = jnp.asarray(noise, jnp.float32).reshape(T, grid * rows, LANES)
+        outs = pl.pallas_call(
+            partial(_oe_episode_kernel_noise, params),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, rows, LANES), lambda i: (0, i, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(speed_table, noise)
+    return tuple(o.reshape(-1) for o in outs)
+
+
+def oe_speed_table(cfg: EnvConfig, agent) -> "jnp.ndarray":
+    """The CJ-OE closed-form speed schedule evaluated on the step grid
+    (agents.baseline.CarteaJaimungalOeAgent.policy on obs times)."""
+    p = oe_params_from_config(cfg)
+    times = p.start_time + jnp.arange(p.run_steps, dtype=jnp.float32) * p.dt
+    obs = jnp.zeros((p.run_steps, 4), jnp.float32).at[:, 2].set(times)
+    return agent.policy()(None, obs, None)[:, 0]
+
+
+def oe_episode_rewards_pallas(cfg: EnvConfig, agent, seed, num_trajectories: int = 8192, **kw):
+    """Total CjOe episode rewards from the kernel's terminal state: the PnL
+    telescopes to terminal-minus-initial mark-to-market; the running
+    penalty is ``phi*dt*sum q_t^2``; the pathwise terminal-aversion term is
+    ``alpha*dt*(2*sum speed_t*q_{t-1} + run_steps*q0^2*T_ep)``
+    (RewardFunctions.py:55-70 with inventory exponent 2)."""
+    p = oe_params_from_config(cfg)
+    table = oe_speed_table(cfg, agent)
+    cash, inv, price, perm, sumq2, sum_sq = oe_episode_pallas(
+        p, table, seed, num_trajectories, **kw
+    )
+    initial_value = p.initial_cash + p.initial_inventory * p.initial_price
+    pnl = cash + inv * price - initial_value
+    episode_length = p.terminal_time - p.start_time
+    const = p.run_steps * (p.initial_inventory**2) * episode_length
+    return pnl - p.phi * p.dt * sumq2 - p.alpha * p.dt * (2.0 * sum_sq + const)
 
 
 # ------------------------------------------------------------------
@@ -402,53 +670,15 @@ def _traj_episode_kernel(
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     shape = cash_ref.shape[1:]  # (rows, LANES)
 
-    sqrt_dt_vol = p.volatility * math.sqrt(p.dt)
-    p_bid = p.intensity_bid * p.dt
-    p_ask = p.intensity_ask * p.dt
-    gamma, sigma, k, T = p.risk_aversion, p.volatility, p.fill_exponent, p.terminal_time
-    const_half = (1.0 / gamma) * math.log(1.0 + gamma / k) if gamma > 0 else 1.0 / k
-
-    def draw_uniform():
-        return _uniform_from_bits(pltpu.prng_random_bits(shape))
-
     def body(i, carry):
-        cash, inv, price = carry
-        t = i.astype(jnp.float32) * p.dt
-        tau = T - t
-        if gamma > 0:
-            skew = inv * (gamma * sigma * sigma) * tau
-            half = 0.5 * (gamma * sigma * sigma) * tau + const_half
-            bid_depth = skew + half
-            ask_depth = -skew + half
-        else:
-            bid_depth = jnp.full(shape, const_half)
-            ask_depth = jnp.full(shape, const_half)
-
-        arr_bid = (draw_uniform() < p_bid).astype(jnp.float32)
-        arr_ask = (draw_uniform() < p_ask).astype(jnp.float32)
-        fill_bid = (draw_uniform() < jnp.exp(-k * bid_depth)).astype(jnp.float32)
-        fill_ask = (draw_uniform() < jnp.exp(-k * ask_depth)).astype(jnp.float32)
-        fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
-        fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
-
-        hit_bid = arr_bid * fill_bid
-        hit_ask = arr_ask * fill_ask
-        inv = inv + hit_bid - hit_ask
-        cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
-
-        u1 = 1.0 - draw_uniform()
-        u2 = draw_uniform()
-        normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
-        price = price + p.drift * p.dt + sqrt_dt_vol * normal
-
+        t = p.start_time + i.astype(jnp.float32) * p.dt
+        cash, inv, price, _ = _as_step(p, carry, t, _hw_draws(shape))
         cash_ref[i] = cash
         inv_ref[i] = inv
         price_ref[i] = price
         return cash, inv, price
 
-    zeros = jnp.zeros(shape, jnp.float32)
-    price0 = jnp.full(shape, p.initial_price, jnp.float32)
-    jax.lax.fori_loop(0, p.n_steps, body, (zeros, zeros, price0))
+    jax.lax.fori_loop(0, p.run_steps, body, _as_init(p, shape))
 
 
 @partial(jax.jit, static_argnames=("params", "num_trajectories", "rows", "interpret"))
@@ -468,7 +698,7 @@ def as_episode_trajectories_pallas(
     tile = rows * LANES
     assert num_trajectories % tile == 0, (num_trajectories, tile)
     grid = num_trajectories // tile
-    T = params.n_steps
+    T = params.run_steps
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     out_shape = [jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)] * 3
     kernel = partial(_traj_episode_kernel, params)
@@ -495,11 +725,10 @@ def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price):
     from mbt_gym_tpu.types import Trajectory
 
     T, n = cash.shape
-    zeros = jnp.zeros((1, n), cash.dtype)
-    cash_full = jnp.concatenate([zeros, cash], axis=0)
-    inv_full = jnp.concatenate([zeros, inv], axis=0)
+    cash_full = jnp.concatenate([jnp.full((1, n), params.initial_cash, cash.dtype), cash], axis=0)
+    inv_full = jnp.concatenate([jnp.full((1, n), params.initial_inventory, cash.dtype), inv], axis=0)
     price_full = jnp.concatenate([jnp.full((1, n), params.initial_price), price], axis=0)
-    times = (jnp.arange(T + 1, dtype=cash.dtype) * params.dt)[:, None].repeat(n, axis=1)
+    times = (params.start_time + jnp.arange(T + 1, dtype=cash.dtype) * params.dt)[:, None].repeat(n, axis=1)
     obs = jnp.stack([cash_full, inv_full, times, price_full], axis=2)
     value = cash_full + inv_full * price_full
     rewards = value[1:] - value[:-1]

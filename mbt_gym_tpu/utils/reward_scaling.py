@@ -45,3 +45,14 @@ def compute_inventory_neutral_reward_scaling(
     res = jit_rollout(sim_cfg, policy, None, key)
     mean_episode_reward = float(res.trajectory.rewards.mean()) * cfg.n_steps
     return 1.0 / mean_episode_reward
+
+
+def with_normalised_rewards(
+    cfg: EnvConfig, key: jax.Array, num_total_trajectories: int = 100_000
+) -> EnvConfig:
+    """One-call counterpart of the reference's ``normalise_rewards=True``
+    constructor flag (TradingEnvironment.py:90-94): returns a config whose
+    ``reward_scaling`` was computed from a fresh inventory-neutral
+    simulation — the construction-time side effect made explicit."""
+    scaling = compute_inventory_neutral_reward_scaling(cfg, key, num_total_trajectories)
+    return dataclasses.replace(cfg, reward_scaling=scaling)

@@ -40,10 +40,15 @@ def main():
     )
     total = args.envs * env_cfg.n_steps
 
-    for name, shared in [("separate", False), ("shared-trunk", True)]:
+    variants = [
+        ("separate", dict(shared_trunk=False)),
+        ("shared-trunk", dict(shared_trunk=True)),
+        ("shared+fused", dict(shared_trunk=True, fused_update=True)),
+    ]
+    for name, kw in variants:
         ppo_cfg = ppo.PPOConfig(
             hidden=(256, 256), n_epochs=1, n_minibatches=args.minibatches,
-            shuffle=False, compute_dtype="bfloat16", shared_trunk=shared,
+            shuffle=False, compute_dtype="bfloat16", **kw,
         )
         ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
 

@@ -1,0 +1,107 @@
+"""Gradient parity of the fused Pallas PPO update kernel vs ``jax.grad`` of
+the XLA loss (``agents.ppo._ppo_loss``).  Runs in interpret mode on CPU —
+the kernel has no hardware PRNG, so parity is exact-to-tolerance in CI, not
+just on hardware (VERDICT round-1 weak-item 4 pattern)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbt_gym_tpu.agents import networks, ppo
+from mbt_gym_tpu.ops import fused_ppo
+
+
+def _make_batch(key, m, s_dim, a_dim, params):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    obs = jax.random.normal(k1, (m, s_dim), dtype=jnp.float32)
+    mean, values = networks.policy_value(params, obs)
+    std = jnp.exp(params["log_std"])
+    actions = mean + std * jax.random.normal(k2, (m, a_dim), dtype=jnp.float32)
+    log_probs = networks.gaussian_log_prob(params, mean, actions)
+    # Perturb so ratios differ from 1 and both clip branches activate.
+    log_probs = log_probs + 0.3 * jax.random.normal(k3, (m,))
+    adv = jax.random.normal(k4, (m,))
+    returns = values + jax.random.normal(k5, (m,))
+    return obs, actions, log_probs, adv, returns, values
+
+
+@pytest.mark.parametrize("hidden", [(32, 32), (64,)])
+def test_fused_grads_match_autodiff(hidden):
+    s_dim, a_dim, m = 4, 2, 256
+    key = jax.random.PRNGKey(0)
+    params = networks.init_actor_critic(
+        key, s_dim, a_dim, hidden=hidden, shared_trunk=True
+    )
+    obs, actions, log_probs, adv, returns, values = _make_batch(
+        jax.random.PRNGKey(1), m, s_dim, a_dim, params
+    )
+
+    ppo_cfg = ppo.PPOConfig(normalise_advantages=False, clip_eps=0.2, vf_coef=0.5)
+    batch = ppo.RolloutBatch(
+        obs=obs, actions=actions, log_probs=log_probs, values=values,
+        rewards=jnp.zeros((m,)), advantages=adv, returns=returns,
+    )
+    (_, ref_metrics), ref_grads = jax.value_and_grad(ppo._ppo_loss, has_aux=True)(
+        params, ppo_cfg, batch
+    )
+
+    grads, metrics = fused_ppo.ppo_fused_grads(
+        params, obs, actions, log_probs, adv, returns,
+        clip_eps=0.2, vf_coef=0.5, tile=64, interpret=True,
+        compute_dtype="float32",
+    )
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_got = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(grads)
+    )
+    for path, ref_leaf in flat_ref:
+        got = flat_got[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref_leaf), rtol=2e-4, atol=2e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+    for name in ["pg_loss", "vf_loss", "approx_kl"]:
+        np.testing.assert_allclose(
+            float(metrics[name]), float(ref_metrics[name]), rtol=1e-4, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_fused_train_iteration_matches_xla():
+    """One full train_iteration with the fused update must land on the same
+    params as the XLA path (f32 kernel, CPU interpret mode)."""
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=64, n_steps=8),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    base = ppo.PPOConfig(
+        hidden=(32, 32), n_epochs=2, n_minibatches=2, shuffle=False,
+        shared_trunk=True, ent_coef=0.01,
+    )
+    fused = dataclasses.replace(
+        base, fused_update=True, fused_tile=64, fused_compute_dtype="float32"
+    )
+    ts0 = ppo.init_train_state(env_cfg, base, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+    ts_ref, m_ref = ppo.train_iteration(env_cfg, base, ts0, key)
+    ts_fused, m_fused = ppo.train_iteration(env_cfg, fused, ts0, key)
+
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(ts_ref.params),
+        jax.tree_util.tree_leaves_with_path(ts_fused.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=5e-4, atol=5e-6,
+            err_msg=f"param drift at {jax.tree_util.keystr(p1)}",
+        )
+    for name in ["pg_loss", "vf_loss", "approx_kl", "entropy"]:
+        np.testing.assert_allclose(
+            float(m_ref[name]), float(m_fused[name]), rtol=1e-3, atol=1e-5,
+            err_msg=name,
+        )

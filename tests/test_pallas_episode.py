@@ -150,3 +150,100 @@ def test_pallas_trajectory_kernel_stats():
     assert abs(stats["mean_spread"] - 1.4918) < 0.01
     assert abs(stats["mean_pnl"] - 64.87) < 1.0
     assert abs(stats["std_terminal_inventory"] - 2.89) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# Noise-injected kernel parity (VERDICT round-1 item 3): the kernels accept
+# injected per-step draws, so interpret mode on CPU asserts step-for-step
+# parity with the XLA engine on the SAME noise — regressions are caught in
+# CI, not just on hardware.
+# ---------------------------------------------------------------------------
+def _step_noise_from_channels(channels):
+    """(T, 5, N) kernel channels -> the engine's StepNoise pytree for the
+    (midprice, arrivals, fills) slot order of LimitOrderDynamics."""
+    from mbt_gym_tpu.types import SlotNoise
+
+    return (
+        SlotNoise(normal=channels[:, 4][..., None], uniform=None),
+        SlotNoise(normal=None, uniform=channels[:, 0:2].transpose(0, 2, 1)),
+        SlotNoise(normal=None, uniform=channels[:, 2:4].transpose(0, 2, 1)),
+    )
+
+
+def test_as_kernel_noise_parity_with_xla_engine():
+    """Same injected noise -> the AS kernel and the XLA engine must agree on
+    the terminal state, including NONZERO initial cash/inventory and a late
+    start (the round-1 cash0=inv0=0/t0=0 restriction, now lifted)."""
+    import dataclasses
+
+    from mbt_gym_tpu.rollout import rollout
+
+    cfg = dataclasses.replace(
+        as_env_config(num_trajectories=256, n_steps=30),
+        initial_cash=5.0, initial_inventory=3, start_time=0.2,
+    )
+    p = params_from_config(cfg, risk_aversion=0.1)
+    assert p.run_steps == 24  # 0.2 / (1/30) = 6 steps skipped
+    rng = np.random.default_rng(11)
+    channels = rng.uniform(size=(p.run_steps, 5, 256)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(p.run_steps, 256)).astype(np.float32)
+
+    cash, inv, price = as_episode_pallas(
+        p, 0, 256, rows=2, interpret=True, noise=jnp.asarray(channels)
+    )
+
+    agent = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1)
+    res = rollout(
+        cfg, agent.policy(), None, jax.random.PRNGKey(0),
+        noise=_step_noise_from_channels(jnp.asarray(channels)),
+    )
+    final = np.asarray(res.trajectory.observations[-1])  # (N, S)
+    np.testing.assert_array_equal(np.asarray(inv), final[:, 1])
+    # f32 accumulation-order noise only (different but equivalent op order).
+    np.testing.assert_allclose(np.asarray(cash), final[:, 0], rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(price), final[:, 3], rtol=0, atol=1e-3)
+
+
+def test_oe_kernel_noise_parity_with_xla_engine():
+    """Speed-dynamics episode kernel vs the XLA engine on the same midprice
+    noise: terminal state AND total CjOe episode rewards must agree."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalOeAgent
+    from mbt_gym_tpu.ops.pallas_episode import (
+        oe_episode_pallas,
+        oe_episode_rewards_pallas,
+        oe_params_from_config,
+        oe_speed_table,
+    )
+    from mbt_gym_tpu.rollout import rollout
+    from mbt_gym_tpu.types import SlotNoise
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    cfg = oe_env_config(num_trajectories=256, n_steps=40, initial_inventory=10)
+    agent = CarteaJaimungalOeAgent.from_config(
+        cfg, phi=cfg.reward_function.per_step_inventory_aversion,
+        alpha=cfg.reward_function.terminal_inventory_aversion,
+    )
+    p = oe_params_from_config(cfg)
+    rng = np.random.default_rng(5)
+    normals = rng.normal(size=(p.run_steps, 256)).astype(np.float32)
+
+    table = oe_speed_table(cfg, agent)
+    cash, inv, price, perm, _, _ = oe_episode_pallas(
+        p, table, 0, 256, rows=2, interpret=True, noise=jnp.asarray(normals)
+    )
+    rewards = oe_episode_rewards_pallas(
+        cfg, agent, 0, 256, rows=2, interpret=True, noise=jnp.asarray(normals)
+    )
+
+    noise = (
+        SlotNoise(normal=jnp.asarray(normals)[..., None], uniform=None),
+        SlotNoise(normal=None, uniform=None),  # impact model: no noise
+    )
+    res = rollout(cfg, agent.policy(), None, jax.random.PRNGKey(0), noise=noise)
+    final = np.asarray(res.trajectory.observations[-1])
+    np.testing.assert_allclose(np.asarray(inv), final[:, 1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cash), final[:, 0], rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(price), final[:, 3], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(perm), final[:, 4], rtol=1e-5, atol=1e-6)
+    ref_rewards = np.asarray(res.trajectory.rewards.sum(axis=0))
+    np.testing.assert_allclose(np.asarray(rewards), ref_rewards, rtol=1e-4, atol=2e-3)

@@ -110,3 +110,27 @@ def test_scaling_report_two_devices():
     rows = scaling_report(cfg, fixed_spread_policy(1.0), device_counts=[1, 2], episodes_per_call=1)
     assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
     assert all(r["env_steps_per_s"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize("n_devices", [16, 32])
+def test_dryrun_multichip_wide(n_devices, tmp_path):
+    """The driver-contract dryrun at 16/32 virtual devices (VERDICT round-1
+    item 5): the full PPO train step must compile and execute on wider
+    meshes than the in-process 8-device default."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo  # fresh interpreter; no TPU-plugin sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         f"import __graft_entry__ as g; g.dryrun_multichip({n_devices})"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "dryrun_multichip OK" in out.stdout
