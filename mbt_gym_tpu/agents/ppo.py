@@ -54,6 +54,11 @@ class PPOConfig:
     fused_update: bool = False
     fused_tile: int = 1024
     fused_compute_dtype: str = "bfloat16"
+    # Fused Pallas policy+env rollout (ops/pallas_rollout.py): the MLP
+    # forward runs with VMEM-resident activations inside the episode
+    # kernel.  AS-config + shared_trunk only; single-chip (mesh=None).
+    fused_rollout: bool = False
+    fused_rollout_tile: int = 512
 
 
 class PPOTrainState(NamedTuple):
@@ -232,11 +237,23 @@ def train_iteration(
     chips automatically (replicated-params DP + optionally model-sharded
     MLPs via parallel.mesh.shard_params)."""
     rollout_key, perm_key = jax.random.split(key)
-    batch = collect_rollout(
-        env_cfg, train_state.params, rollout_key,
-        gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda, mesh=mesh,
-        compute_dtype=ppo_cfg.compute_dtype,
-    )
+    if ppo_cfg.fused_rollout:
+        from mbt_gym_tpu.ops import pallas_rollout
+
+        assert mesh is None, "fused_rollout is the single-chip fast path"
+        assert ppo_cfg.shared_trunk, "fused_rollout requires shared_trunk=True"
+        batch = pallas_rollout.collect_rollout_fused(
+            env_cfg, train_state.params, rollout_key,
+            gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,
+            tile=ppo_cfg.fused_rollout_tile,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        batch = collect_rollout(
+            env_cfg, train_state.params, rollout_key,
+            gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda, mesh=mesh,
+            compute_dtype=ppo_cfg.compute_dtype,
+        )
     batch = _constrain_batch_axis(batch, mesh, 1)
 
     t, n = batch.rewards.shape

@@ -1,0 +1,113 @@
+"""Fused MLP-policy rollout kernel: noise-injected parity vs the XLA
+engine + networks on the SAME draws (interpret mode, runs in CI on CPU)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbt_gym_tpu import env as env_lib
+from mbt_gym_tpu.agents import networks
+from mbt_gym_tpu.ops import pallas_rollout
+from mbt_gym_tpu.types import SlotNoise
+from mbt_gym_tpu.utils.config import as_env_config
+
+N, T = 128, 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=N, n_steps=T),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    rng = np.random.default_rng(9)
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    return env_cfg, params, jnp.asarray(channels)
+
+
+def _xla_reference(env_cfg, params, channels):
+    """Independent replica: the general engine + networks on the same
+    injected noise, mirroring agents.ppo.collect_rollout's conventions."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4:6].T  # (N, 2)
+        action = mean + std * eps
+        logp = networks.gaussian_log_prob(params, mean, action)
+        clipped = jnp.clip(action, -1.0, 1.0)
+        noise = (
+            SlotNoise(normal=channels[t, 6][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, action, logp, v, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+def test_fused_rollout_matches_xla_engine(setup):
+    env_cfg, params, channels = setup
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference(env_cfg, params, channels)
+
+    # f32 accumulation-order noise only: per-step diffs plateau ~2e-4 with
+    # no fill flips (inventory paths identical).
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+    # GAE consistency with the shared compute_gae on the same rewards/values
+    from mbt_gym_tpu.agents.ppo import compute_gae
+
+    adv, ret = compute_gae(batch.rewards, batch.values, jnp.zeros_like(batch.values[0]), 1.0, 0.95)
+    np.testing.assert_allclose(np.asarray(batch.advantages), np.asarray(adv), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(batch.returns), np.asarray(ret), rtol=0, atol=0)
+
+
+def test_fused_rollout_config_guard():
+    from mbt_gym_tpu.rewards import RunningInventoryPenalty
+
+    cfg = as_env_config(num_trajectories=N)
+    bad = dataclasses.replace(cfg, reward_function=RunningInventoryPenalty())
+    with pytest.raises(AssertionError):
+        pallas_rollout.rollout_params_from_config(bad)
+
+
+def test_train_iteration_with_fused_rollout_runs():
+    """End-to-end: fused rollout + fused update inside train_iteration on
+    CPU interpret mode — finite metrics and param movement."""
+    from mbt_gym_tpu.agents import ppo
+
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=128, n_steps=8),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_update=True, fused_tile=128, fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    new_ts, metrics = ppo.train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1))
+    for v in metrics.values():
+        assert np.isfinite(float(v)), metrics
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(ts.params), jax.tree_util.tree_leaves(new_ts.params))
+    )
+    assert moved

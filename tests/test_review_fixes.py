@@ -95,11 +95,24 @@ def test_ppo_clips_actions_to_box_when_unnormalised():
     assert abs(mean_step_reward) < 5.0, mean_step_reward
 
 
-def test_pallas_guard_rejects_nonzero_initial_state():
+def test_pallas_params_accept_nonzero_initial_state():
+    """Round 2 lifted the round-1 cash0=inv0=0/t0=0 restriction: scalar
+    nonzero initial conditions are now parameterised into the kernel
+    (parity tested in test_pallas_episode.py); only non-scalar specs
+    (tuple/callable draws) remain XLA-engine-only."""
+    import dataclasses
+
     from mbt_gym_tpu.ops.pallas_episode import params_from_config
 
-    with pytest.raises(AssertionError, match="cash0=inv0=0"):
-        params_from_config(as_env_config(num_trajectories=1024, initial_inventory=10))
+    p = params_from_config(as_env_config(num_trajectories=1024, initial_inventory=10))
+    assert p.initial_inventory == 10.0 and p.run_steps == p.n_steps
+
+    with pytest.raises(AssertionError, match="scalar initial inventory"):
+        params_from_config(
+            dataclasses.replace(
+                as_env_config(num_trajectories=1024), initial_inventory=(0, 3)
+            )
+        )
 
 
 def test_cj_policy_slices_use_per_row_times():
