@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--alpha", type=float, default=0.001)
     parser.add_argument("--eval-every", type=int, default=20)
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--production", action="store_true",
+        help="TPU production architecture: shared-trunk actor-critic, bf16 "
+        "MXU matmuls, fused Pallas update kernel (half the FLOPs and a "
+        "fraction of the HBM traffic of the SB3-parity separate towers).",
+    )
     args = parser.parse_args()
 
     env_cfg = cj_env_config(
@@ -42,7 +48,14 @@ def main():
     )
     # SB3-parity hyperparameters (experiments/helpers.py:68-86): 256x256 nets,
     # gamma=1, gae_lambda=0.95, batch = n_steps*N/4.
-    ppo_cfg = ppo.PPOConfig(hidden=(256, 256), gamma=1.0, gae_lambda=0.95, n_minibatches=4)
+    if args.production:
+        ppo_cfg = ppo.PPOConfig(
+            hidden=(256, 256), gamma=1.0, gae_lambda=0.95, n_minibatches=4,
+            shuffle=False, compute_dtype="bfloat16", shared_trunk=True,
+            fused_update=jax.default_backend() == "tpu",
+        )
+    else:
+        ppo_cfg = ppo.PPOConfig(hidden=(256, 256), gamma=1.0, gae_lambda=0.95, n_minibatches=4)
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
 
     # Closed-form optimum for comparison (evaluated on the raw-obs env).

@@ -59,6 +59,10 @@ class PPOConfig:
     # kernel.  AS-config + shared_trunk only; single-chip (mesh=None).
     fused_rollout: bool = False
     fused_rollout_tile: int = 512
+    # The fused rollout's hardware PRNG only exists on TPU; on other
+    # backends the Mosaic interpreter stubs random bits to ZEROS, which
+    # would silently train on degenerate data.  Tests opt in explicitly.
+    fused_interpret_ok: bool = False
 
 
 class PPOTrainState(NamedTuple):
@@ -75,6 +79,19 @@ class RolloutBatch(NamedTuple):
     rewards: jax.Array  # (T, N)
     advantages: jax.Array  # (T, N)
     returns: jax.Array  # (T, N)
+
+
+class UpdateBatch(NamedTuple):
+    """The fields the update actually consumes — rewards/values stay out of
+    the per-epoch shuffle/minibatch gather (at pod batch the permutation
+    gather is a dominant cost; two unused (M,) leaves were ~2/7 of the
+    scalar-leaf traffic)."""
+
+    obs: jax.Array
+    actions: jax.Array
+    log_probs: jax.Array
+    advantages: jax.Array
+    returns: jax.Array
 
 
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
@@ -242,6 +259,13 @@ def train_iteration(
 
         assert mesh is None, "fused_rollout is the single-chip fast path"
         assert ppo_cfg.shared_trunk, "fused_rollout requires shared_trunk=True"
+        if jax.default_backend() != "tpu" and not ppo_cfg.fused_interpret_ok:
+            raise RuntimeError(
+                "fused_rollout uses the TPU hardware PRNG; on this backend "
+                "the interpreter stubs random bits to zeros (degenerate "
+                "rollouts).  Use the XLA rollout here, or set "
+                "fused_interpret_ok=True for interpret-mode smoke tests."
+            )
         batch = pallas_rollout.collect_rollout_fused(
             env_cfg, train_state.params, rollout_key,
             gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,
@@ -257,7 +281,11 @@ def train_iteration(
     batch = _constrain_batch_axis(batch, mesh, 1)
 
     t, n = batch.rewards.shape
-    flat = jax.tree_util.tree_map(lambda x: x.reshape((t * n,) + x.shape[2:]), batch)
+    update_batch = UpdateBatch(
+        obs=batch.obs, actions=batch.actions, log_probs=batch.log_probs,
+        advantages=batch.advantages, returns=batch.returns,
+    )
+    flat = jax.tree_util.tree_map(lambda x: x.reshape((t * n,) + x.shape[2:]), update_batch)
     total = t * n
     mb_size = total // ppo_cfg.n_minibatches
     optimizer = make_optimizer(ppo_cfg)

@@ -173,11 +173,13 @@ class GymTradingEnv(_GYM_BASE):
         truncated = np.zeros_like(terminated)
         obs, reward = np.asarray(res.obs), np.asarray(res.reward)
         # Per-step infos during stepping (TradingEnvironment.py:222-227): the
-        # reference returns the calculator's list-of-dicts as ``infos``.
+        # reference returns a list of N dicts either way (its
+        # ``_get_empty_infos`` gives ``[{}]*N`` for N>1), so the info type
+        # does not depend on whether a calculator is attached.
         if self.info_calculator is not None:
             info = self.info_calculator.calculate(obs, action, reward, bool(terminated[0]))
         else:
-            info = {}
+            info = [{} for _ in range(self.cfg.num_trajectories)]
         return obs, reward, terminated, truncated, info
 
 
@@ -203,7 +205,6 @@ class VecTradingEnv:
         self.store_terminal_observation_info = store_terminal_observation_info
         self.info_calculator = info_calculator
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
-        self._seed_used = 0 if seed is None else seed
         self._state = None
         self._actions = None
         # SB3's BaseAlgorithm reads these before training starts.
@@ -250,7 +251,6 @@ class VecTradingEnv:
 
     def seed(self, seed: Optional[int] = None):
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
-        self._seed_used = seed
         # SB3 convention: one seed entry per sub-env (DummyVecEnv.seed).
         return [seed for _ in range(self.num_envs)]
 

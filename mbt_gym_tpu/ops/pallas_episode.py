@@ -58,6 +58,7 @@ class AsEpisodeParams(NamedTuple):
     initial_cash: float = 0.0
     initial_inventory: float = 0.0
     start_time: float = 0.0
+    max_cash: float = math.inf  # env.step's cash clip bound (rarely binds)
 
     @property
     def run_steps(self) -> int:
@@ -101,6 +102,7 @@ def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeP
         initial_cash=float(cfg.initial_cash),
         initial_inventory=float(cfg.initial_inventory),
         start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
+        max_cash=float(cfg.resolved_max_cash()),
     )
 
 
@@ -149,6 +151,9 @@ def _as_step(p: AsEpisodeParams, carry, t, draws):
     hit_ask = arr_ask * fill_ask
     inv = inv + hit_bid - hit_ask
     cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    # env.step's post-bookkeeping clip (TradingEnvironment.py:283-297); the
+    # fill masking above already bounds inventory, so only cash can bind.
+    cash = jnp.clip(cash, -p.max_cash, p.max_cash)
     price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * normal
     return cash, inv, price, (bid_depth, ask_depth)
 
@@ -174,7 +179,7 @@ def _as_init(p: AsEpisodeParams, shape):
 
 
 def _episode_kernel(p: AsEpisodeParams, seed_ref, cash_ref, inv_ref, price_ref):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = cash_ref.shape
 
     def body(i, carry):
@@ -324,7 +329,7 @@ def _cj_episode_kernel(p: CjEpisodeParams, q_cap: int, seed_ref, depth_ref, cash
     (n_steps, 2*q_cap+1, 2) closed-form depth table (agents.baseline
     .CarteaJaimungalMmAgent.depth_table), resident in VMEM; per-step quotes
     are a one-hot MXU contraction against its time row."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = cash_ref.shape
     rows = shape[0]
     size = 2 * q_cap + 1
@@ -475,6 +480,8 @@ class OeEpisodeParams(NamedTuple):
     initial_cash: float = 0.0
     initial_inventory: float = 0.0
     start_time: float = 0.0
+    max_inventory: float = math.inf  # env.step's clip bounds (rarely bind)
+    max_cash: float = math.inf
 
     @property
     def run_steps(self) -> int:
@@ -510,6 +517,8 @@ def oe_params_from_config(cfg: EnvConfig) -> OeEpisodeParams:
         initial_cash=float(cfg.initial_cash),
         initial_inventory=float(cfg.initial_inventory),
         start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
+        max_inventory=float(cfg.max_inventory),
+        max_cash=float(cfg.resolved_max_cash()),
     )
 
 
@@ -522,6 +531,9 @@ def _oe_step(p: OeEpisodeParams, carry, speed, normal):
     cash = cash - speed * p.dt * exec_price
     sum_sq = sum_sq + speed * inv  # speed * PRE-step inventory (CjOe term)
     inv = inv + speed * p.dt
+    # env.step's post-bookkeeping clip (TradingEnvironment.py:283-297).
+    inv = jnp.clip(inv, -p.max_inventory, p.max_inventory)
+    cash = jnp.clip(cash, -p.max_cash, p.max_cash)
     sumq2 = sumq2 + inv * inv  # post-update inventory (RewardFunctions.py:55-70)
     perm = perm + p.permanent_impact * speed * p.dt
     price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * normal
@@ -539,7 +551,7 @@ def _oe_init(p: OeEpisodeParams, shape):
 
 
 def _oe_episode_kernel(p: OeEpisodeParams, seed_ref, speed_ref, *out_refs):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = out_refs[0].shape
 
     def body(i, carry):
@@ -667,7 +679,7 @@ def _traj_episode_kernel(
     closed-form AS action is a deterministic function of (pre-step
     inventory, time), so the wrapper recomputes them exactly from the
     shifted inventory stream, freeing VMEM for wider tiles."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = cash_ref.shape[1:]  # (rows, LANES)
 
     def body(i, carry):

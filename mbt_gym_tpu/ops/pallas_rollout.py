@@ -53,7 +53,7 @@ class MlpRolloutParams(NamedTuple):
     intensity_ask: float
     fill_exponent: float
     max_inventory: float
-    terminal_time: float
+    max_cash: float
     initial_cash: float
     initial_inventory: float
     start_time: float
@@ -85,6 +85,10 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     assert cfg.reward_scaling is None
     assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
     assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time)
+    assert cfg.dtype == "float32", (
+        "fused rollout computes in float32/bf16; float64 reference-parity "
+        "configs must use the XLA rollout"
+    )
     obs_low, obs_high = cfg.observation_bounds()
     act_low, act_high = cfg.action_bounds()
     return MlpRolloutParams(
@@ -97,7 +101,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         intensity_ask=d.arrival_model.intensity[1],
         fill_exponent=d.fill_probability_model.fill_exponent,
         max_inventory=float(cfg.max_inventory),
-        terminal_time=cfg.terminal_time,
+        max_cash=float(cfg.resolved_max_cash()),
         initial_cash=float(cfg.initial_cash),
         initial_inventory=float(cfg.initial_inventory),
         start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
@@ -193,6 +197,11 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     hit_ask = arr_ask * fill_ask
     new_inv = inv + hit_bid - hit_ask
     new_cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    # Inventory/cash clipping BEFORE the reward, like env.step
+    # (TradingEnvironment.py:283-297; clip_events diagnostics are an
+    # XLA-engine feature — use it when the clip is expected to bind).
+    new_inv = jnp.clip(new_inv, -p.max_inventory, p.max_inventory)
+    new_cash = jnp.clip(new_cash, -p.max_cash, p.max_cash)
     new_price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * n_mid
 
     # PnL reward at the post-bookkeeping, post-price-move state
@@ -213,7 +222,10 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         obs_ref, act_ref, logp_ref, val_ref, rew_ref = (next(it) for _ in range(5))
 
         if not use_noise:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            # Two-component seed: (call seed, program id) gives each tile an
+            # independent stream without the contiguous-block overlap of
+            # `seed + program_id` across calls with nearby seeds.
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         L = obs_ref.shape[-1]
 
         def hw_draws():

@@ -39,25 +39,30 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
             "env_steps_per_s": rate, "ms_per_call": dt * 1e3, "compile_s": compile_s}
 
 
-def measure_ppo(name, env_cfg, iters=3, n_minibatches=4):
+def measure_ppo(name, env_cfg, iters=3, n_minibatches=4, fused=True):
     from mbt_gym_tpu.agents import ppo
 
-    # Pod-scale production settings: contiguous minibatches (the global
-    # permutation gather costs 3x the whole update at 50M+ transitions) and
-    # bf16 MXU matmuls with f32 master params.
+    # Pod-scale production settings: shared-trunk actor-critic, contiguous
+    # minibatches (the global permutation gather costs 3x the whole update
+    # at 50M+ transitions), bf16 MXU matmuls with f32 master params, and
+    # the fused Pallas rollout + update kernels (VMEM-resident activations)
+    # on TPU.  The convergence gates (tests/test_convergence.py + the
+    # on-chip run in BENCH_NOTES.md) use this same architecture.
+    on_tpu = jax.default_backend() == "tpu"
     ppo_cfg = ppo.PPOConfig(
         hidden=(256, 256), n_epochs=1, n_minibatches=n_minibatches,
-        shuffle=False, compute_dtype="bfloat16",
+        shuffle=False, compute_dtype="bfloat16", shared_trunk=True,
+        fused_update=fused and on_tpu, fused_rollout=fused and on_tpu,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     t0 = time.time()
     new_ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1))
-    jax.block_until_ready(new_ts)
+    float(m["pg_loss"])  # force through the relay (scalar fetch)
     compile_s = time.time() - t0
     t0 = time.time()
     for i in range(iters):
         ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(ts)
+    float(m["pg_loss"])
     dt = (time.time() - t0) / iters
     rate = env_cfg.num_trajectories * env_cfg.n_steps / dt
     return {"config": name, "envs": env_cfg.num_trajectories, "n_steps": env_cfg.n_steps,

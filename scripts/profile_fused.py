@@ -38,10 +38,17 @@ def main():
         olp = jax.random.normal(jax.random.fold_in(k, 2), (m,))
         adv = jax.random.normal(jax.random.fold_in(k, 3), (m,))
         ret = jax.random.normal(jax.random.fold_in(k, 4), (m,))
+        log(f"  inputs materialized m={m}; lowering...")
         t0 = time.time()
-        g, met = fused_ppo.ppo_fused_grads(
-            params, obs, actions, olp, adv, ret, tile=tile
-        )
+        lowered = jax.jit(
+            lambda *a: fused_ppo.ppo_fused_grads(*a, tile=tile)
+        ).lower(params, obs, actions, olp, adv, ret)
+        log(f"  lowered in {time.time()-t0:.1f}s; compiling...")
+        t0 = time.time()
+        compiled = lowered.compile()
+        log(f"  compiled in {time.time()-t0:.1f}s; running...")
+        t0 = time.time()
+        g, met = compiled(params, obs, actions, olp, adv, ret)
         log(f"  m={m} tile={tile} compile+run {time.time()-t0:.1f}s pg={float(met['pg_loss']):.4f}")
         t0 = time.time()
         acc = None
@@ -62,6 +69,35 @@ def main():
     log("stage 1: sanity call")
     run_kernel(819200, 1024, iters=1)
 
+    log("stage 2: fused rollout kernel (262k envs, 200 steps)")
+    import functools
+
+    from mbt_gym_tpu.ops import pallas_rollout
+
+    env_cfg_r = dataclasses.replace(
+        as_env_config(num_trajectories=1 << 18),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def rollout_scalar(params, key):
+        batch = pallas_rollout.collect_rollout_fused(env_cfg_r, params, key)
+        return (batch.advantages.sum() + batch.obs.sum() + batch.actions.sum()
+                + batch.log_probs.sum() + batch.returns.sum())
+
+    t0 = time.time()
+    float(rollout_scalar(params, jax.random.PRNGKey(1)))
+    log(f"  rollout compile+first {time.time()-t0:.1f}s")
+    t0 = time.time()
+    acc = None
+    for i in range(3):
+        s = rollout_scalar(params, jax.random.PRNGKey(2 + i))
+        acc = s if acc is None else acc + s
+    float(acc)
+    dt = (time.time() - t0) / 3
+    total_r = (1 << 18) * env_cfg_r.n_steps
+    log(f"  fused rollout: {dt*1e3:8.1f} ms -> {total_r/dt/1e6:8.1f}M env-steps/s")
+
     log("stage 3: full config-5 train iteration (fused, shared trunk)")
     env_cfg = dataclasses.replace(
         as_env_config(num_trajectories=1 << 18),
@@ -71,6 +107,7 @@ def main():
     ppo_cfg = ppo.PPOConfig(
         hidden=(256, 256), n_epochs=1, n_minibatches=64, shuffle=False,
         compute_dtype="bfloat16", shared_trunk=True, fused_update=True,
+        fused_rollout=True,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     t0 = time.time()

@@ -100,6 +100,7 @@ def test_train_iteration_with_fused_rollout_runs():
     ppo_cfg = ppo.PPOConfig(
         hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
         shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_interpret_ok=True,
         fused_update=True, fused_tile=128, fused_compute_dtype="float32",
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
