@@ -244,6 +244,73 @@ def _fused_grads_and_metrics(params, ppo_cfg: PPOConfig, mb: RolloutBatch):
     return grads, metrics
 
 
+def _fused_train_iteration(
+    env_cfg: EnvConfig, ppo_cfg: PPOConfig, train_state: PPOTrainState, key: jax.Array
+) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
+    """Fully-fused single-chip path (fused_rollout AND fused_update): the
+    rollout kernel's feature-major (T, C, N) buffers feed the transposed
+    update kernel directly — no transpose is ever materialized and no array
+    is lane-padded (a row-major (T, N, 4) f32 buffer pads 32x -> 26.8 GB at
+    pod batch, which OOMs HBM).  Minibatches are contiguous ENV slices (all
+    T timesteps each); with shuffle=False this mixes at least as well as
+    the row-major path's time-contiguous blocks."""
+    from mbt_gym_tpu.ops import fused_ppo, pallas_rollout
+
+    assert not ppo_cfg.shuffle, "fused path uses contiguous env-slice minibatches"
+    interpret = jax.default_backend() != "tpu"
+    rollout_key, _ = jax.random.split(key)
+    tb = pallas_rollout.collect_rollout_fused_T(
+        env_cfg, train_state.params, rollout_key,
+        gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,
+        tile=ppo_cfg.fused_rollout_tile, interpret=interpret,
+    )
+    n = env_cfg.num_trajectories
+    nb = n // ppo_cfg.n_minibatches
+    assert nb * ppo_cfg.n_minibatches == n, (n, ppo_cfg.n_minibatches)
+    # An env tile spans all T timesteps: its input blocks are T x tile
+    # arrays, so 512 envs keeps the double-buffered block set well inside
+    # Mosaic's 16M scoped-vmem stack at T=200 (1024 does not).
+    tile = min(512, nb)
+    assert nb % tile == 0, (nb, tile)
+    optimizer = make_optimizer(ppo_cfg)
+
+    def mb_body(carry, mi):
+        params, opt_state = carry
+        start = mi * nb
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, nb, axis=x.ndim - 1)
+        adv = sl(tb.advantages)
+        if ppo_cfg.normalise_advantages:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        grads, metrics = fused_ppo.ppo_fused_grads_T(
+            params, sl(tb.obs_t), sl(tb.actions_t),
+            sl(tb.log_probs), adv, sl(tb.returns),
+            clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
+            tile=tile, interpret=interpret,
+            compute_dtype=ppo_cfg.fused_compute_dtype,
+        )
+        if ppo_cfg.ent_coef:
+            grads["log_std"] = grads["log_std"] - ppo_cfg.ent_coef
+        metrics = dict(metrics)
+        metrics["entropy"] = networks.entropy(params).astype(metrics["pg_loss"].dtype)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), metrics
+
+    def epoch_body(carry, _):
+        return jax.lax.scan(mb_body, carry, jnp.arange(ppo_cfg.n_minibatches))
+
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch_body, (train_state.params, train_state.opt_state), None,
+        length=ppo_cfg.n_epochs,
+    )
+    new_state = PPOTrainState(
+        params=params, opt_state=opt_state, update_count=train_state.update_count + 1
+    )
+    out_metrics = {k: v.mean() for k, v in metrics.items()}
+    out_metrics["mean_episode_reward"] = tb.rewards.sum(axis=0).mean()
+    return new_state, out_metrics
+
+
 def train_iteration(
     env_cfg: EnvConfig, ppo_cfg: PPOConfig, train_state: PPOTrainState, key: jax.Array, mesh=None
 ) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
@@ -266,6 +333,10 @@ def train_iteration(
                 "rollouts).  Use the XLA rollout here, or set "
                 "fused_interpret_ok=True for interpret-mode smoke tests."
             )
+        if ppo_cfg.fused_update:
+            # Fully-fused feature-major pipeline: never materializes a
+            # row-major (T, N, S) buffer (32x lane padding at pod batch).
+            return _fused_train_iteration(env_cfg, ppo_cfg, train_state, key)
         batch = pallas_rollout.collect_rollout_fused(
             env_cfg, train_state.params, rollout_key,
             gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,

@@ -158,6 +158,273 @@ def _kernel(
     metrics_ref[:] += row
 
 
+# ---------------------------------------------------------------------------
+# Transposed (feature-major) variant: consumes the fused rollout kernel's
+# (T, C, N) buffers directly.  Rationale: any (.., N, small-C) array on TPU
+# pads the minor dim to 128 lanes — obs (M, 4) costs 32x its true bytes in
+# both HBM footprint and kernel read traffic, and transposing to row-major
+# materializes a 26.8 GB copy at pod batch.  With envs on the LANE dim
+# everywhere (rollout outputs, GAE, minibatch slices, this kernel), no array
+# is ever padded and no transpose is ever materialized; minibatches are env
+# slices (all T timesteps for a contiguous env range), which at
+# shuffle=False mixes at least as well as time-contiguous row-major blocks.
+# ---------------------------------------------------------------------------
+def _kernel_T(
+    n_layers: int,
+    n_steps: int,
+    inv_m: float,
+    clip_eps: float,
+    vf_coef: float,
+    compute_dtype,
+    *refs,
+):
+    """One grid step = one env tile (all T timesteps).  ``refs`` layout:
+
+    inputs:  obs (T, S, L), actions (T, A, L), old_logp (T, 1, L),
+             adv (T, 1, L), returns (T, 1, L),
+             w0T (H, S), b0 (H, 1), ..., wpiT (A, H), bpi (A, 1),
+             wvfT (1, H), bvf (1, 1), log_std (A, 1)
+    outputs: dw0T, db0, ..., dwpiT, dbpi, dwvfT, dbvf, dlog_std (A, 1),
+             metrics (1, 128)
+    """
+    it = iter(refs)
+    obs_ref, act_ref, olp_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
+    trunk = [(next(it), next(it)) for _ in range(n_layers)]
+    wpi_ref, bpi_ref, wvf_ref, bvf_ref, lstd_ref = (next(it) for _ in range(5))
+    d_trunk = [(next(it), next(it)) for _ in range(n_layers)]
+    dwpi_ref, dbpi_ref, dwvf_ref, dbvf_ref, dlstd_ref, metrics_ref = (
+        next(it) for _ in range(6)
+    )
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for dw, db in d_trunk:
+            dw[:] = jnp.zeros_like(dw)
+            db[:] = jnp.zeros_like(db)
+        dwpi_ref[:] = jnp.zeros_like(dwpi_ref)
+        dbpi_ref[:] = jnp.zeros_like(dbpi_ref)
+        dwvf_ref[:] = jnp.zeros_like(dwvf_ref)
+        dbvf_ref[:] = jnp.zeros_like(dbvf_ref)
+        dlstd_ref[:] = jnp.zeros_like(dlstd_ref)
+        metrics_ref[:] = jnp.zeros_like(metrics_ref)
+
+    log_std = lstd_ref[:]  # (A, 1)
+    inv_std = jnp.exp(-log_std)
+
+    def step(t, carry):
+        (accs, pg_sum, vf_sum, kl_sum) = carry
+        x = obs_ref[t].astype(jnp.float32)  # (S, L)
+
+        hs = [x]
+        h = x
+        for w_ref, b_ref in trunk:
+            h = jnp.tanh(_mm(w_ref[:], h, ((1,), (0,)), compute_dtype) + b_ref[:])
+            hs.append(h)
+        mean = _mm(wpi_ref[:], h, ((1,), (0,)), compute_dtype) + bpi_ref[:]  # (A, L)
+        v = _mm(wvf_ref[:], h, ((1,), (0,)), compute_dtype) + bvf_ref[:]  # (1, L)
+
+        z = (act_ref[t].astype(jnp.float32) - mean) * inv_std  # (A, L)
+        logp = jnp.sum(-0.5 * z * z - log_std - 0.5 * _LOG_2PI, axis=0, keepdims=True)
+        old_logp = olp_ref[t].astype(jnp.float32)  # (1, L)
+        adv = adv_ref[t].astype(jnp.float32)
+        ret = ret_ref[t].astype(jnp.float32)
+
+        ratio = jnp.exp(logp - old_logp)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
+        vf_err = v - ret
+
+        inside = ((ratio > 1.0 - clip_eps) & (ratio < 1.0 + clip_eps)).astype(jnp.float32)
+        take1 = (pg1 < pg2).astype(jnp.float32)
+        tie = (pg1 == pg2).astype(jnp.float32)
+        branch = take1 + (1.0 - take1 - tie) * inside + 0.5 * tie * (1.0 + inside)
+        dratio = -(adv * inv_m) * branch
+        dlogp = dratio * ratio  # (1, L)
+        dmean = dlogp * (z * inv_std)  # (A, L)
+        dv = (vf_coef * inv_m) * vf_err  # (1, L)
+
+        # dh = Wpi^T-free transposed chain: contract the output dim.
+        dh = (
+            _mm(wpi_ref[:], dmean, ((0,), (0,)), compute_dtype)
+            + _mm(wvf_ref[:], dv, ((0,), (0,)), compute_dtype)
+        )  # (H, L)
+
+        (a_trunk, a_wpi, a_bpi, a_wvf, a_bvf, a_lstd) = accs
+        a_wpi = a_wpi + _mm(dmean, hs[-1], ((1,), (1,)), compute_dtype)  # (A, H)
+        a_bpi = a_bpi + jnp.sum(dmean, axis=1, keepdims=True)
+        a_wvf = a_wvf + _mm(dv, hs[-1], ((1,), (1,)), compute_dtype)  # (1, H)
+        a_bvf = a_bvf + jnp.sum(dv, axis=1, keepdims=True)
+        a_lstd = a_lstd + jnp.sum(dlogp * (z * z - 1.0), axis=1, keepdims=True)
+
+        new_trunk = []
+        for li in range(n_layers - 1, -1, -1):
+            h_out = hs[li + 1]
+            dz = dh * (1.0 - h_out * h_out)
+            a_w, a_b = a_trunk[li]
+            a_w = a_w + _mm(dz, hs[li], ((1,), (1,)), compute_dtype)  # (H, in)
+            a_b = a_b + jnp.sum(dz, axis=1, keepdims=True)
+            new_trunk.append((a_w, a_b))
+            if li > 0:
+                w_ref, _ = trunk[li]
+                dh = _mm(w_ref[:], dz, ((0,), (0,)), compute_dtype)
+        new_trunk = tuple(reversed(new_trunk))
+
+        pg_sum = pg_sum + jnp.sum(-jnp.minimum(pg1, pg2))
+        vf_sum = vf_sum + jnp.sum(0.5 * vf_err * vf_err)
+        kl_sum = kl_sum + jnp.sum(old_logp - logp)
+        return ((new_trunk, a_wpi, a_bpi, a_wvf, a_bvf, a_lstd), pg_sum, vf_sum, kl_sum)
+
+    zero_accs = (
+        tuple(
+            (jnp.zeros(dw.shape, jnp.float32), jnp.zeros(db.shape, jnp.float32))
+            for dw, db in d_trunk
+        ),
+        jnp.zeros(dwpi_ref.shape, jnp.float32),
+        jnp.zeros(dbpi_ref.shape, jnp.float32),
+        jnp.zeros(dwvf_ref.shape, jnp.float32),
+        jnp.zeros(dbvf_ref.shape, jnp.float32),
+        jnp.zeros(dlstd_ref.shape, jnp.float32),
+    )
+    (accs, pg_sum, vf_sum, kl_sum) = jax.lax.fori_loop(
+        0, n_steps, step, (zero_accs, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    )
+    (a_trunk, a_wpi, a_bpi, a_wvf, a_bvf, a_lstd) = accs
+    for (dw_ref, db_ref), (a_w, a_b) in zip(d_trunk, a_trunk):
+        dw_ref[:] += a_w
+        db_ref[:] += a_b
+    dwpi_ref[:] += a_wpi
+    dbpi_ref[:] += a_bpi
+    dwvf_ref[:] += a_wvf
+    dbvf_ref[:] += a_bvf
+    dlstd_ref[:] += a_lstd
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    metrics_ref[:] += (
+        jnp.where(lane == 0, pg_sum, 0.0)
+        + jnp.where(lane == 1, vf_sum, 0.0)
+        + jnp.where(lane == 2, kl_sum, 0.0)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype"),
+)
+def ppo_fused_grads_T(
+    params: Dict,
+    obs_t: jax.Array,
+    actions_t: jax.Array,
+    old_logp: jax.Array,
+    adv: jax.Array,
+    returns: jax.Array,
+    clip_eps: float = 0.2,
+    vf_coef: float = 0.5,
+    tile: int = 512,
+    interpret: bool = False,
+    compute_dtype: str = "bfloat16",
+) -> Tuple[Dict, Dict]:
+    """Feature-major fused PPO grads: ``obs_t (T, S, N)``, ``actions_t
+    (T, A, N)``, ``old_logp/adv/returns (T, N)`` — the fused rollout
+    kernel's native layout.  ``N`` must be a multiple of ``tile``.
+    Returns grads in the standard (row-major) param layout + metrics.
+    """
+    assert "shared" in params, "fused update requires the shared-trunk layout"
+    T, s_dim, n = obs_t.shape
+    a_dim = actions_t.shape[1]
+    assert n % tile == 0, (n, tile)
+    grid = n // tile
+    m = T * n
+    trunk = params["shared"]
+    n_layers = len(trunk)
+    cdt = jnp.dtype(compute_dtype)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+
+    env_block = lambda c: pl.BlockSpec((T, c, tile), lambda i: (0, 0, i))
+    inputs = [
+        obs_t, actions_t,
+        old_logp.reshape(T, 1, n), adv.reshape(T, 1, n), returns.reshape(T, 1, n),
+    ]
+    in_specs = [env_block(s_dim), env_block(a_dim), env_block(1), env_block(1), env_block(1)]
+    for li in range(n_layers):
+        wT = trunk[li]["w"].T  # (out, in)
+        b = trunk[li]["b"].reshape(-1, 1)
+        inputs += [wT, b]
+        in_specs += [full(wT.shape), full(b.shape)]
+    wpiT = params["pi_head"]["w"].T  # (A, H)
+    wvfT = params["vf_head"]["w"].T  # (1, H)
+    inputs += [
+        wpiT, params["pi_head"]["b"].reshape(-1, 1),
+        wvfT, params["vf_head"]["b"].reshape(-1, 1),
+        params["log_std"].reshape(-1, 1),
+    ]
+    in_specs += [
+        full(wpiT.shape), full((a_dim, 1)),
+        full(wvfT.shape), full((1, 1)),
+        full((a_dim, 1)),
+    ]
+
+    out_shapes = []
+    out_specs = []
+    for li in range(n_layers):
+        wT_shape = (trunk[li]["w"].shape[1], trunk[li]["w"].shape[0])
+        out_shapes += [
+            jax.ShapeDtypeStruct(wT_shape, jnp.float32),
+            jax.ShapeDtypeStruct((wT_shape[0], 1), jnp.float32),
+        ]
+        out_specs += [full(wT_shape), full((wT_shape[0], 1))]
+    h_dim = trunk[-1]["w"].shape[1]
+    out_shapes += [
+        jax.ShapeDtypeStruct((a_dim, h_dim), jnp.float32),
+        jax.ShapeDtypeStruct((a_dim, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((a_dim, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    ]
+    out_specs += [
+        full((a_dim, h_dim)), full((a_dim, 1)),
+        full((1, h_dim)), full((1, 1)),
+        full((a_dim, 1)), full((1, 128)),
+    ]
+
+    kernel = partial(_kernel_T, n_layers, T, 1.0 / m, clip_eps, vf_coef, cdt)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*inputs)
+
+    it = iter(outs)
+    g_trunk = []
+    for li in range(n_layers):
+        dwT, db = next(it), next(it)
+        g_trunk.append({
+            "w": dwT.T.astype(trunk[li]["w"].dtype),
+            "b": db[:, 0].astype(trunk[li]["b"].dtype),
+        })
+    dwpiT, dbpi, dwvfT, dbvf, dlstd, metrics = (next(it) for _ in range(6))
+    grads = {
+        "shared": g_trunk,
+        "pi_head": {"w": dwpiT.T.astype(params["pi_head"]["w"].dtype),
+                    "b": dbpi[:, 0].astype(params["pi_head"]["b"].dtype)},
+        "vf_head": {"w": dwvfT.T.astype(params["vf_head"]["w"].dtype),
+                    "b": dbvf[:, 0].astype(params["vf_head"]["b"].dtype)},
+        "log_std": dlstd[:, 0].astype(params["log_std"].dtype),
+    }
+    metric_dict = {
+        "pg_loss": metrics[0, 0] / m,
+        "vf_loss": metrics[0, 1] / m,
+        "approx_kl": metrics[0, 2] / m,
+    }
+    return grads, metric_dict
+
+
 @partial(
     jax.jit,
     static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype"),

@@ -348,6 +348,48 @@ def mlp_rollout_pallas(
     return obs, actions, logp[:, 0], values[:, 0], rewards[:, 0]
 
 
+class TRolloutBatch(NamedTuple):
+    """Feature-major rollout batch: every leaf keeps envs on the MINOR
+    dimension, so nothing is lane-padded and no transpose is materialized
+    (a (T, N, 4) f32 array pads 32x on TPU — 26.8 GB at pod batch)."""
+
+    obs_t: jax.Array  # (T, S, N)
+    actions_t: jax.Array  # (T, A, N)
+    log_probs: jax.Array  # (T, N)
+    values: jax.Array  # (T, N)
+    rewards: jax.Array  # (T, N)
+    advantages: jax.Array  # (T, N)
+    returns: jax.Array  # (T, N)
+
+
+def collect_rollout_fused_T(
+    env_cfg: EnvConfig,
+    params,
+    key: jax.Array,
+    gamma: float = 1.0,
+    lam: float = 0.95,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    noise=None,
+) -> TRolloutBatch:
+    """Fused rollout in its native feature-major layout + shared GAE —
+    the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`."""
+    from mbt_gym_tpu.agents.ppo import compute_gae
+
+    p = rollout_params_from_config(env_cfg)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+    obs_t, actions_t, log_probs, values, rewards = mlp_rollout_pallas(
+        p, params, seed, env_cfg.num_trajectories, tile=tile,
+        interpret=interpret, noise=noise,
+    )
+    last_value = jnp.zeros_like(values[0])
+    advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
+    return TRolloutBatch(
+        obs_t=obs_t, actions_t=actions_t, log_probs=log_probs, values=values,
+        rewards=rewards, advantages=advantages, returns=returns,
+    )
+
+
 def collect_rollout_fused(
     env_cfg: EnvConfig,
     params,
@@ -358,22 +400,20 @@ def collect_rollout_fused(
     interpret: bool = False,
     noise=None,
 ):
-    """Drop-in replacement for ``agents.ppo.collect_rollout`` on the fused
-    kernel path: returns the same :class:`RolloutBatch` (advantages/returns
-    via the shared GAE), with obs/actions transposed back to (T, N, ·)."""
-    from mbt_gym_tpu.agents.ppo import RolloutBatch, compute_gae
+    """Drop-in replacement for ``agents.ppo.collect_rollout``: returns the
+    row-major :class:`RolloutBatch`.  NOTE: the (T, N, S) transpose this
+    materializes is lane-padded 32x at the consumer — fine for tests and
+    small runs; at pod batch use :func:`collect_rollout_fused_T` + the
+    transposed update kernel (what ``train_iteration`` does when both
+    fused flags are set)."""
+    from mbt_gym_tpu.agents.ppo import RolloutBatch
 
-    p = rollout_params_from_config(env_cfg)
-    seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-    obs, actions, log_probs, values, rewards = mlp_rollout_pallas(
-        p, params, seed, env_cfg.num_trajectories, tile=tile,
+    tb = collect_rollout_fused_T(
+        env_cfg, params, key, gamma=gamma, lam=lam, tile=tile,
         interpret=interpret, noise=noise,
     )
-    obs = jnp.swapaxes(obs, 1, 2)  # (T, N, S)
-    actions = jnp.swapaxes(actions, 1, 2)  # (T, N, A)
-    last_value = jnp.zeros_like(values[0])
-    advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
     return RolloutBatch(
-        obs=obs, actions=actions, log_probs=log_probs, values=values,
-        rewards=rewards, advantages=advantages, returns=returns,
+        obs=jnp.swapaxes(tb.obs_t, 1, 2), actions=jnp.swapaxes(tb.actions_t, 1, 2),
+        log_probs=tb.log_probs, values=tb.values, rewards=tb.rewards,
+        advantages=tb.advantages, returns=tb.returns,
     )

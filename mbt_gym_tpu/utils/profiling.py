@@ -46,25 +46,31 @@ def _episode_thunk(cfg: EnvConfig, policy, episodes_per_call: int, mesh=None):
 
         return jax.tree_util.tree_map(c, tree)
 
+    from mbt_gym_tpu.rollout import _episode_steps, _should_predraw, native_noise_cube
+
+    n_scan = _episode_steps(cfg)
+    predraw = _should_predraw(cfg, n_scan, "auto")
+
     @jax.jit
     def many(key0):
         def ep(acc, key):
             state0, obs0 = env_lib.reset(cfg, key)
             state0, obs0 = constrain(state0), constrain(obs0)
+            # Episode noise in two threefry batches when it fits (measured
+            # +30% at 16k envs; see rollout.native_noise_cube).
+            cube = native_noise_cube(cfg, state0.key, n_scan) if predraw else None
 
-            def body(carry, _):
+            def body(carry, step_noise):
                 state, obs, racc = carry
                 action = policy(None, obs, state)
-                res = env_lib.step(cfg, state, action)
+                res = env_lib.step(cfg, state, action, noise=step_noise)
                 # consume rewards so the reward computation (part of the
                 # workload being measured) cannot be dead-code-eliminated
                 return (res.state, res.obs, racc + res.reward.sum()), None
 
-            from mbt_gym_tpu.rollout import _episode_steps
-
             (final_state, _, reward_acc), _ = jax.lax.scan(
-                body, (state0, obs0, jnp.zeros((), cfg.jdtype)), None,
-                length=_episode_steps(cfg),
+                body, (state0, obs0, jnp.zeros((), cfg.jdtype)), cube,
+                length=None if predraw else n_scan,
             )
             return acc + final_state.cash.sum() + reward_acc, None
 

@@ -38,17 +38,14 @@ def main():
         olp = jax.random.normal(jax.random.fold_in(k, 2), (m,))
         adv = jax.random.normal(jax.random.fold_in(k, 3), (m,))
         ret = jax.random.normal(jax.random.fold_in(k, 4), (m,))
-        log(f"  inputs materialized m={m}; lowering...")
+        # NOTE: plain jit dispatch only — executing a manually .compile()d
+        # AOT executable hangs through the axon relay (observed twice; the
+        # same kernel runs fine via the normal jit path).
+        log(f"  inputs materialized m={m}; dispatching (jit compile+run)...")
         t0 = time.time()
-        lowered = jax.jit(
-            lambda *a: fused_ppo.ppo_fused_grads(*a, tile=tile)
-        ).lower(params, obs, actions, olp, adv, ret)
-        log(f"  lowered in {time.time()-t0:.1f}s; compiling...")
-        t0 = time.time()
-        compiled = lowered.compile()
-        log(f"  compiled in {time.time()-t0:.1f}s; running...")
-        t0 = time.time()
-        g, met = compiled(params, obs, actions, olp, adv, ret)
+        g, met = fused_ppo.ppo_fused_grads(
+            params, obs, actions, olp, adv, ret, tile=tile
+        )
         log(f"  m={m} tile={tile} compile+run {time.time()-t0:.1f}s pg={float(met['pg_loss']):.4f}")
         t0 = time.time()
         acc = None

@@ -105,3 +105,48 @@ def test_fused_train_iteration_matches_xla():
             float(m_ref[name]), float(m_fused[name]), rtol=1e-3, atol=1e-5,
             err_msg=name,
         )
+
+
+def test_transposed_fused_grads_match_autodiff():
+    """Feature-major kernel (ppo_fused_grads_T) must produce the same grads
+    and metrics as jax.grad of the XLA loss on the same samples."""
+    s_dim, a_dim, T, L = 4, 2, 8, 64
+    m = T * L
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(2), s_dim, a_dim, hidden=(32, 32), shared_trunk=True
+    )
+    obs, actions, log_probs, adv, returns, values = _make_batch(
+        jax.random.PRNGKey(5), m, s_dim, a_dim, params
+    )
+
+    ppo_cfg = ppo.PPOConfig(normalise_advantages=False)
+    batch = ppo.RolloutBatch(
+        obs=obs, actions=actions, log_probs=log_probs, values=values,
+        rewards=jnp.zeros((m,)), advantages=adv, returns=returns,
+    )
+    (_, ref_metrics), ref_grads = jax.value_and_grad(ppo._ppo_loss, has_aux=True)(
+        params, ppo_cfg, batch
+    )
+
+    to_t = lambda x: x.reshape(T, L, -1).swapaxes(1, 2)  # (T, C, L)
+    grads, metrics = fused_ppo.ppo_fused_grads_T(
+        params, to_t(obs), to_t(actions),
+        log_probs.reshape(T, L), adv.reshape(T, L), returns.reshape(T, L),
+        clip_eps=0.2, vf_coef=0.5, tile=64, interpret=True,
+        compute_dtype="float32",
+    )
+    flat_got = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(grads)
+    )
+    for path, ref_leaf in jax.tree_util.tree_leaves_with_path(ref_grads):
+        got = flat_got[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref_leaf), rtol=2e-4, atol=2e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+    for name in ["pg_loss", "vf_loss", "approx_kl"]:
+        np.testing.assert_allclose(
+            float(metrics[name]), float(ref_metrics[name]), rtol=1e-4, atol=1e-6,
+            err_msg=name,
+        )

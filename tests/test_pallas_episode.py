@@ -247,3 +247,36 @@ def test_oe_kernel_noise_parity_with_xla_engine():
     np.testing.assert_allclose(np.asarray(perm), final[:, 4], rtol=1e-5, atol=1e-6)
     ref_rewards = np.asarray(res.trajectory.rewards.sum(axis=0))
     np.testing.assert_allclose(np.asarray(rewards), ref_rewards, rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.skipif(
+    not _on_tpu(),
+    reason="hardware PRNG required; the noise-injected variant above covers "
+    "CPU parity — this validates the hardware-PRNG path statistically.",
+)
+def test_oe_pallas_episode_hardware_stats():
+    """OE kernel with hardware PRNG: terminal inventory must match the
+    closed-form liquidation schedule (same invariant as
+    test_components.test_oe_schedule_matches_analytic_inventory)."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalOeAgent
+    from mbt_gym_tpu.ops.pallas_episode import (
+        oe_episode_pallas,
+        oe_params_from_config,
+        oe_speed_table,
+    )
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    cfg = oe_env_config(num_trajectories=8192, n_steps=200, initial_inventory=10)
+    agent = CarteaJaimungalOeAgent.from_config(cfg, phi=2e-4, alpha=0.01)
+    p = oe_params_from_config(cfg)
+    table = oe_speed_table(cfg, agent)
+    cash, inv, price, perm, _, _ = oe_episode_pallas(p, table, 3, 8192)
+    gamma = np.sqrt(agent.phi / agent.temporary_impact)
+    root = np.sqrt(agent.temporary_impact * agent.phi)
+    zeta = (agent.alpha - 0.5 * agent.permanent_impact + root) / (
+        agent.alpha - 0.5 * agent.permanent_impact - root
+    )
+    q_T = 10.0 * (zeta - 1.0) / (zeta * np.exp(gamma) - np.exp(-gamma))
+    # deterministic schedule -> all envs share the terminal inventory
+    np.testing.assert_allclose(np.asarray(inv), q_T, rtol=1e-3)
+    assert np.asarray(perm).std() < 1e-6  # impact path is deterministic too
