@@ -173,3 +173,24 @@ def test_cjmm_telescopes_on_real_rollouts():
             res = rollout(cfg, fixed_spread_policy(0.7), None, jax.random.PRNGKey(0), noise=noise)
             totals[name] = np.asarray(res.trajectory.rewards.sum(axis=0))
         np.testing.assert_allclose(totals["cjmm"], totals["rip"], atol=1e-9)
+
+
+def test_predraw_noise_mode_statistics_and_determinism():
+    """native_noise_cube predraw: deterministic in (key, config), same
+    distribution as per-step noise (episode stats agree within MC error)."""
+    from mbt_gym_tpu.agents.baseline import AvellanedaStoikovAgent
+    from mbt_gym_tpu.rollout import episode_stats, rollout
+
+    cfg = as_env_config(num_trajectories=512, n_steps=50)
+    pol = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+    r1 = rollout(cfg, pol, None, jax.random.PRNGKey(3), predraw_noise=True)
+    r2 = rollout(cfg, pol, None, jax.random.PRNGKey(3), predraw_noise=True)
+    np.testing.assert_array_equal(
+        np.asarray(r1.trajectory.rewards), np.asarray(r2.trajectory.rewards)
+    )
+    s_pre = {k: float(v) for k, v in episode_stats(cfg, r1.trajectory).items()}
+    r3 = rollout(cfg, pol, None, jax.random.PRNGKey(3), predraw_noise=False)
+    s_step = {k: float(v) for k, v in episode_stats(cfg, r3.trajectory).items()}
+    # Different stream, same distribution: means agree within a few SE.
+    assert abs(s_pre["mean_pnl"] - s_step["mean_pnl"]) < 4 * s_step["std_pnl"] / np.sqrt(512) + 1e-6
+    assert abs(s_pre["mean_spread"] - s_step["mean_spread"]) < 0.02
