@@ -65,8 +65,9 @@ def native_noise_cube(cfg: EnvConfig, key: jax.Array, n_steps: int) -> StepNoise
 
 # Auto predraw: below this cube size the two-big-draws mode wins; above it
 # (e.g. 1M envs x 1000 steps) the HBM cost of materializing the cube
-# exceeds the per-step launch overhead it removes.
-_PREDRAW_BYTES_LIMIT = 256 * 1024 * 1024
+# exceeds the per-step launch overhead it removes.  512MB admits the CJP
+# (16k x 1000) and composite (64k x 200) suite configs on a 16GB chip.
+_PREDRAW_BYTES_LIMIT = 512 * 1024 * 1024
 
 
 def _should_predraw(cfg: EnvConfig, n_steps: int, predraw) -> bool:

@@ -80,3 +80,35 @@ def test_ppo_approaches_closed_form():
         ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i))
         best = max(best, float(m["mean_episode_reward"]))
     assert best > 0.6 * cf, (best, cf)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fully-fused pipeline uses the TPU hardware PRNG; its gradient/"
+    "rollout parity vs the XLA path is covered on CPU by "
+    "tests/test_fused_ppo.py and tests/test_pallas_rollout.py",
+)
+def test_fused_pipeline_learns_on_tpu():
+    """PPO through the fully-fused path (Pallas rollout + transposed Pallas
+    update) on the AS env must approach the risk-neutral optimum (constant
+    1/k quotes -> mean episode PnL ~68.75, BASELINE.md gamma=0.01 row)."""
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=4096, n_steps=200),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(256, 256), n_epochs=1, n_minibatches=4, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_update=True,
+        learning_rate=1e-3,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    best = -np.inf
+    for i in range(150):
+        ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i))
+        best = max(best, float(m["mean_episode_reward"]))
+    # Risk-neutral optimum ~68.75; stochastic-policy rollouts with a loose
+    # bar (>=70% of optimum shows genuine learning, random init starts ~0).
+    assert best > 48.0, best
