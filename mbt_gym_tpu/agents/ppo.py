@@ -282,8 +282,7 @@ def _fused_train_iteration(
         if ppo_cfg.normalise_advantages:
             adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         grads, metrics = fused_ppo.ppo_fused_grads_T(
-            params, sl(tb.obs_t), sl(tb.actions_t),
-            sl(tb.log_probs), adv, sl(tb.returns),
+            params, sl(tb.packed), adv, sl(tb.returns),
             clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
             tile=tile, interpret=interpret,
             compute_dtype=ppo_cfg.fused_compute_dtype,

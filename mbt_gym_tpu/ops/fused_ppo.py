@@ -172,6 +172,7 @@ def _kernel(
 def _kernel_T(
     n_layers: int,
     n_steps: int,
+    s_dim: int,
     inv_m: float,
     clip_eps: float,
     vf_coef: float,
@@ -180,7 +181,9 @@ def _kernel_T(
 ):
     """One grid step = one env tile (all T timesteps).  ``refs`` layout:
 
-    inputs:  obs (T, S, L), actions (T, A, L), old_logp (T, 1, L),
+    inputs:  packed (T, S+A+3, L) — rows [obs(S), action(A), old_logp,
+             value, reward] (the fused rollout's buffer; value/reward rows
+             are carried but unused here),
              adv (T, 1, L), returns (T, 1, L),
              w0T (H, S), b0 (H, 1), ..., wpiT (A, H), bpi (A, 1),
              wvfT (1, H), bvf (1, 1), log_std (A, 1)
@@ -188,7 +191,8 @@ def _kernel_T(
              metrics (1, 128)
     """
     it = iter(refs)
-    obs_ref, act_ref, olp_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
+    packed_ref, adv_ref, ret_ref = (next(it) for _ in range(3))
+    a_dim = packed_ref.shape[1] - s_dim - 3
     trunk = [(next(it), next(it)) for _ in range(n_layers)]
     wpi_ref, bpi_ref, wvf_ref, bvf_ref, lstd_ref = (next(it) for _ in range(5))
     d_trunk = [(next(it), next(it)) for _ in range(n_layers)]
@@ -215,7 +219,8 @@ def _kernel_T(
 
     def step(t, carry):
         (accs, pg_sum, vf_sum, kl_sum) = carry
-        x = obs_ref[t].astype(jnp.float32)  # (S, L)
+        row = packed_ref[t].astype(jnp.float32)  # (S+A+3, L)
+        x = row[0:s_dim]  # (S, L)
 
         hs = [x]
         h = x
@@ -225,9 +230,9 @@ def _kernel_T(
         mean = _mm(wpi_ref[:], h, ((1,), (0,)), compute_dtype) + bpi_ref[:]  # (A, L)
         v = _mm(wvf_ref[:], h, ((1,), (0,)), compute_dtype) + bvf_ref[:]  # (1, L)
 
-        z = (act_ref[t].astype(jnp.float32) - mean) * inv_std  # (A, L)
+        z = (row[s_dim : s_dim + a_dim] - mean) * inv_std  # (A, L)
         logp = jnp.sum(-0.5 * z * z - log_std - 0.5 * _LOG_2PI, axis=0, keepdims=True)
-        old_logp = olp_ref[t].astype(jnp.float32)  # (1, L)
+        old_logp = row[s_dim + a_dim : s_dim + a_dim + 1]  # (1, L)
         adv = adv_ref[t].astype(jnp.float32)
         ret = ret_ref[t].astype(jnp.float32)
 
@@ -309,13 +314,11 @@ def _kernel_T(
 
 @partial(
     jax.jit,
-    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype"),
+    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype", "s_dim"),
 )
 def ppo_fused_grads_T(
     params: Dict,
-    obs_t: jax.Array,
-    actions_t: jax.Array,
-    old_logp: jax.Array,
+    packed: jax.Array,
     adv: jax.Array,
     returns: jax.Array,
     clip_eps: float = 0.2,
@@ -323,15 +326,17 @@ def ppo_fused_grads_T(
     tile: int = 512,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
+    s_dim: int = 4,
 ) -> Tuple[Dict, Dict]:
-    """Feature-major fused PPO grads: ``obs_t (T, S, N)``, ``actions_t
-    (T, A, N)``, ``old_logp/adv/returns (T, N)`` — the fused rollout
-    kernel's native layout.  ``N`` must be a multiple of ``tile``.
-    Returns grads in the standard (row-major) param layout + metrics.
+    """Feature-major fused PPO grads: ``packed (T, S+A+3, N)`` is the fused
+    rollout kernel's buffer (rows [obs(S), action(A), old_logp, value,
+    reward]); ``adv/returns (T, N)``.  ``N`` must be a multiple of
+    ``tile``.  Returns grads in the standard (row-major) param layout +
+    metrics.
     """
     assert "shared" in params, "fused update requires the shared-trunk layout"
-    T, s_dim, n = obs_t.shape
-    a_dim = actions_t.shape[1]
+    T, n_chan, n = packed.shape
+    a_dim = n_chan - s_dim - 3
     assert n % tile == 0, (n, tile)
     grid = n // tile
     m = T * n
@@ -343,11 +348,8 @@ def ppo_fused_grads_T(
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
 
     env_block = lambda c: pl.BlockSpec((T, c, tile), lambda i: (0, 0, i))
-    inputs = [
-        obs_t, actions_t,
-        old_logp.reshape(T, 1, n), adv.reshape(T, 1, n), returns.reshape(T, 1, n),
-    ]
-    in_specs = [env_block(s_dim), env_block(a_dim), env_block(1), env_block(1), env_block(1)]
+    inputs = [packed, adv.reshape(T, 1, n), returns.reshape(T, 1, n)]
+    in_specs = [env_block(n_chan), env_block(1), env_block(1)]
     for li in range(n_layers):
         wT = trunk[li]["w"].T  # (out, in)
         b = trunk[li]["b"].reshape(-1, 1)
@@ -390,7 +392,7 @@ def ppo_fused_grads_T(
         full((a_dim, 1)), full((1, 128)),
     ]
 
-    kernel = partial(_kernel_T, n_layers, T, 1.0 / m, clip_eps, vf_coef, cdt)
+    kernel = partial(_kernel_T, n_layers, T, s_dim, 1.0 / m, clip_eps, vf_coef, cdt)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

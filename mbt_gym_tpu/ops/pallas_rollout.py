@@ -219,14 +219,14 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             seed_ref = next(it)
         trunk = [(next(it), next(it)) for _ in range(n_layers)]
         w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
-        obs_ref, act_ref, logp_ref, val_ref, rew_ref = (next(it) for _ in range(5))
+        packed_ref = next(it)
 
         if not use_noise:
             # Two-component seed: (call seed, program id) gives each tile an
             # independent stream without the contiguous-block overlap of
             # `seed + program_id` across calls with nearby seeds.
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        L = obs_ref.shape[-1]
+        L = packed_ref.shape[-1]
 
         def hw_draws():
             u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
@@ -248,11 +248,10 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws
             )
-            obs_ref[i] = X
-            act_ref[i] = action
-            logp_ref[i] = logp
-            val_ref[i] = value
-            rew_ref[i] = reward
+            # One packed (C, L) row per step: separate small-channel output
+            # buffers would each pad their sublane dim to 8 in HBM (8x for
+            # 1-channel arrays); a single (T, S+A+3, N) buffer pads once.
+            packed_ref[i] = jnp.concatenate([X, action, logp, value, reward], axis=0)
             return new_carry
 
         init = (
@@ -280,9 +279,11 @@ def mlp_rollout_pallas(
 ):
     """Run one full episode for all envs with the MLP policy fused in.
 
-    Returns (obs (T, S, N), actions (T, A, N), log_probs (T, N),
-    values (T, N), rewards (T, N)) — note obs/actions are feature-major
-    (transposed); ``collect_rollout_fused`` converts for the learner.
+    Returns one PACKED feature-major buffer ``(T, S+A+3, N)`` with channel
+    rows ``[obs(S), action(A), log_prob, value, reward]`` — a single buffer
+    keeps the sublane padding to one ceil-to-8 instead of one per output
+    (1-channel arrays would pad 8x each).  Slice helpers:
+    :func:`unpack_rollout`.
 
     ``noise`` (optional): (T, 7, N) injected channels (4 env uniforms, 2
     policy-sample normals, 1 midprice normal) replacing the hardware PRNG —
@@ -316,20 +317,9 @@ def mlp_rollout_pallas(
     in_specs += [full(w_head.shape), full(b_head.shape), full(log_std.shape)]
 
     s_dim = 4
-    out_shape = [
-        jax.ShapeDtypeStruct((T, s_dim, n), jnp.float32),
-        jax.ShapeDtypeStruct((T, a_dim, n), jnp.float32),
-        jax.ShapeDtypeStruct((T, 1, n), jnp.float32),
-        jax.ShapeDtypeStruct((T, 1, n), jnp.float32),
-        jax.ShapeDtypeStruct((T, 1, n), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((T, s_dim, tile), lambda i: (0, 0, i)),
-        pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
-        pl.BlockSpec((T, 1, tile), lambda i: (0, 0, i)),
-        pl.BlockSpec((T, 1, tile), lambda i: (0, 0, i)),
-        pl.BlockSpec((T, 1, tile), lambda i: (0, 0, i)),
-    ]
+    n_chan = s_dim + a_dim + 3
+    out_shape = jax.ShapeDtypeStruct((T, n_chan, n), jnp.float32)
+    out_specs = pl.BlockSpec((T, n_chan, tile), lambda i: (0, 0, i))
     kernel = _make_kernel(p, n_layers, a_dim, use_noise=noise is not None)
     # The plain HLO interpreter has no lowering for prng_seed; the hardware-
     # PRNG path on CPU needs the Mosaic TPU interpreter (which stubs random
@@ -337,7 +327,7 @@ def mlp_rollout_pallas(
     interp = interpret
     if interpret is True and noise is None:
         interp = pltpu.InterpretParams()
-    obs, actions, logp, values, rewards = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
@@ -345,21 +335,46 @@ def mlp_rollout_pallas(
         out_shape=out_shape,
         interpret=interp,
     )(*inputs)
-    return obs, actions, logp[:, 0], values[:, 0], rewards[:, 0]
+    return packed
+
+
+S_DIM = 4  # AS env state columns (cash, inventory, time, price)
 
 
 class TRolloutBatch(NamedTuple):
-    """Feature-major rollout batch: every leaf keeps envs on the MINOR
-    dimension, so nothing is lane-padded and no transpose is materialized
-    (a (T, N, 4) f32 array pads 32x on TPU — 26.8 GB at pod batch)."""
+    """Feature-major rollout batch: one packed (T, S+A+3, N) buffer with
+    channel rows [obs(S), action(A), log_prob, value, reward] plus the GAE
+    outputs.  Envs stay on the MINOR dimension throughout, so nothing is
+    lane-padded and no transpose is materialized (a (T, N, 4) f32 array
+    pads 32x on TPU — 26.8 GB at pod batch)."""
 
-    obs_t: jax.Array  # (T, S, N)
-    actions_t: jax.Array  # (T, A, N)
-    log_probs: jax.Array  # (T, N)
-    values: jax.Array  # (T, N)
-    rewards: jax.Array  # (T, N)
+    packed: jax.Array  # (T, S+A+3, N)
     advantages: jax.Array  # (T, N)
     returns: jax.Array  # (T, N)
+
+    @property
+    def a_dim(self) -> int:
+        return self.packed.shape[1] - S_DIM - 3
+
+    @property
+    def obs_t(self) -> jax.Array:
+        return self.packed[:, :S_DIM]
+
+    @property
+    def actions_t(self) -> jax.Array:
+        return self.packed[:, S_DIM : S_DIM + self.a_dim]
+
+    @property
+    def log_probs(self) -> jax.Array:
+        return self.packed[:, S_DIM + self.a_dim]
+
+    @property
+    def values(self) -> jax.Array:
+        return self.packed[:, S_DIM + self.a_dim + 1]
+
+    @property
+    def rewards(self) -> jax.Array:
+        return self.packed[:, S_DIM + self.a_dim + 2]
 
 
 def collect_rollout_fused_T(
@@ -372,22 +387,22 @@ def collect_rollout_fused_T(
     interpret: bool = False,
     noise=None,
 ) -> TRolloutBatch:
-    """Fused rollout in its native feature-major layout + shared GAE —
-    the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`."""
+    """Fused rollout in its native packed feature-major layout + shared GAE
+    — the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`."""
     from mbt_gym_tpu.agents.ppo import compute_gae
 
     p = rollout_params_from_config(env_cfg)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-    obs_t, actions_t, log_probs, values, rewards = mlp_rollout_pallas(
+    packed = mlp_rollout_pallas(
         p, params, seed, env_cfg.num_trajectories, tile=tile,
         interpret=interpret, noise=noise,
     )
+    a_dim = packed.shape[1] - S_DIM - 3
+    values = packed[:, S_DIM + a_dim + 1]
+    rewards = packed[:, S_DIM + a_dim + 2]
     last_value = jnp.zeros_like(values[0])
     advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
-    return TRolloutBatch(
-        obs_t=obs_t, actions_t=actions_t, log_probs=log_probs, values=values,
-        rewards=rewards, advantages=advantages, returns=returns,
-    )
+    return TRolloutBatch(packed=packed, advantages=advantages, returns=returns)
 
 
 def collect_rollout_fused(

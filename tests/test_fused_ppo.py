@@ -129,9 +129,16 @@ def test_transposed_fused_grads_match_autodiff():
     )
 
     to_t = lambda x: x.reshape(T, L, -1).swapaxes(1, 2)  # (T, C, L)
+    packed = jnp.concatenate(
+        [
+            to_t(obs), to_t(actions), log_probs.reshape(T, 1, L),
+            values.reshape(T, 1, L),  # value row (carried, unused)
+            jnp.zeros((T, 1, L)),  # reward row (carried, unused)
+        ],
+        axis=1,
+    )
     grads, metrics = fused_ppo.ppo_fused_grads_T(
-        params, to_t(obs), to_t(actions),
-        log_probs.reshape(T, L), adv.reshape(T, L), returns.reshape(T, L),
+        params, packed, adv.reshape(T, L), returns.reshape(T, L),
         clip_eps=0.2, vf_coef=0.5, tile=64, interpret=True,
         compute_dtype="float32",
     )
