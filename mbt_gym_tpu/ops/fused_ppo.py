@@ -192,6 +192,9 @@ def _kernel_T(
     """
     it = iter(refs)
     packed_ref, adv_ref, ret_ref = (next(it) for _ in range(3))
+    # adv/ret ride as 2D (T, L) blocks: a (T, 1, L) block would pad its
+    # sublane dim 1 -> 8 (3.3 MB per double-buffered block at T=200,
+    # L=512), which alone overflows Mosaic's 16M scoped-vmem stack.
     a_dim = packed_ref.shape[1] - s_dim - 3
     trunk = [(next(it), next(it)) for _ in range(n_layers)]
     wpi_ref, bpi_ref, wvf_ref, bvf_ref, lstd_ref = (next(it) for _ in range(5))
@@ -233,8 +236,8 @@ def _kernel_T(
         z = (row[s_dim : s_dim + a_dim] - mean) * inv_std  # (A, L)
         logp = jnp.sum(-0.5 * z * z - log_std - 0.5 * _LOG_2PI, axis=0, keepdims=True)
         old_logp = row[s_dim + a_dim : s_dim + a_dim + 1]  # (1, L)
-        adv = adv_ref[t].astype(jnp.float32)
-        ret = ret_ref[t].astype(jnp.float32)
+        adv = adv_ref[t].reshape(1, -1)  # (L,) -> (1, L)
+        ret = ret_ref[t].reshape(1, -1)
 
         ratio = jnp.exp(logp - old_logp)
         pg1 = ratio * adv
@@ -348,8 +351,9 @@ def ppo_fused_grads_T(
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
 
     env_block = lambda c: pl.BlockSpec((T, c, tile), lambda i: (0, 0, i))
-    inputs = [packed, adv.reshape(T, 1, n), returns.reshape(T, 1, n)]
-    in_specs = [env_block(n_chan), env_block(1), env_block(1)]
+    flat_block = pl.BlockSpec((T, tile), lambda i: (0, i))
+    inputs = [packed, adv, returns]
+    in_specs = [env_block(n_chan), flat_block, flat_block]
     for li in range(n_layers):
         wT = trunk[li]["w"].T  # (out, in)
         b = trunk[li]["b"].reshape(-1, 1)

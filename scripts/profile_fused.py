@@ -1,14 +1,20 @@
-"""Isolated timing of the fused PPO update kernel on the real chip.
+"""Timing of the fused PPO kernels on the real chip, most valuable
+measurement first (the relay intermittently hangs a process's first
+dispatches; front-loading the headline number maximizes what a partial
+run yields).
 
-Stage 1: one kernel call on a small minibatch (sanity + compile time).
-Stage 2: kernel-only sweep over minibatch sizes.
-Stage 3: full config-5 train iteration with fused_update=True.
-Unbuffered prints so progress is visible through the relay.
+Stage A: full config-5 train iteration, fully-fused pipeline
+         (Pallas rollout -> transposed Pallas update), 262k envs x 200.
+Stage B: fused rollout kernel alone.
+Stage C: row-major fused update kernel sanity call.
+
+Plain jit dispatch only (a manually .lower().compile()d AOT executable
+hangs through the axon relay); unbuffered prints; chained iterations
+forced by one scalar fetch.
 """
 from __future__ import annotations
 
 import dataclasses
-import sys
 import time
 
 import jax
@@ -20,87 +26,21 @@ def log(*a):
 
 
 def main():
+    import functools
+
     from mbt_gym_tpu.agents import networks, ppo
-    from mbt_gym_tpu.ops import fused_ppo
+    from mbt_gym_tpu.ops import fused_ppo, pallas_rollout
     from mbt_gym_tpu.utils.config import as_env_config
 
     log("devices:", jax.devices())
 
-    s_dim, a_dim = 4, 2
-    params = networks.init_actor_critic(
-        jax.random.PRNGKey(0), s_dim, a_dim, hidden=(256, 256), shared_trunk=True
-    )
-
-    def run_kernel(m, tile, iters=3):
-        k = jax.random.PRNGKey(1)
-        obs = jax.random.normal(k, (m, s_dim), dtype=jnp.float32)
-        actions = jax.random.normal(jax.random.fold_in(k, 1), (m, a_dim))
-        olp = jax.random.normal(jax.random.fold_in(k, 2), (m,))
-        adv = jax.random.normal(jax.random.fold_in(k, 3), (m,))
-        ret = jax.random.normal(jax.random.fold_in(k, 4), (m,))
-        # NOTE: plain jit dispatch only — executing a manually .compile()d
-        # AOT executable hangs through the axon relay (observed twice; the
-        # same kernel runs fine via the normal jit path).
-        log(f"  inputs materialized m={m}; dispatching (jit compile+run)...")
-        t0 = time.time()
-        g, met = fused_ppo.ppo_fused_grads(
-            params, obs, actions, olp, adv, ret, tile=tile
-        )
-        log(f"  m={m} tile={tile} compile+run {time.time()-t0:.1f}s pg={float(met['pg_loss']):.4f}")
-        t0 = time.time()
-        acc = None
-        for i in range(iters):
-            g, met = fused_ppo.ppo_fused_grads(
-                params, obs, actions, olp, adv, ret, tile=tile
-            )
-            s = met["pg_loss"] + g["log_std"].sum()
-            acc = s if acc is None else acc + s
-        float(acc)
-        dt = (time.time() - t0) / iters
-        log(f"  m={m} tile={tile}: {dt*1e3:8.2f} ms/call -> {m/dt/1e6:8.1f}M samples/s")
-
-    # NOTE: standalone kernel calls are dispatch-dominated through the axon
-    # relay (~17-30 ms/call regardless of m) — only the in-jit measurement
-    # of stage 3 is meaningful.  tile=2048 exceeds Mosaic's 16M scoped-vmem
-    # stack; tile=1024 fits.
-    log("stage 1: sanity call")
-    run_kernel(819200, 1024, iters=1)
-
-    log("stage 2: fused rollout kernel (262k envs, 200 steps)")
-    import functools
-
-    from mbt_gym_tpu.ops import pallas_rollout
-
-    env_cfg_r = dataclasses.replace(
-        as_env_config(num_trajectories=1 << 18),
-        normalise_observation_space=True, normalise_action_space=True,
-    )
-
-    @functools.partial(jax.jit, static_argnames=())
-    def rollout_scalar(params, key):
-        batch = pallas_rollout.collect_rollout_fused(env_cfg_r, params, key)
-        return (batch.advantages.sum() + batch.obs.sum() + batch.actions.sum()
-                + batch.log_probs.sum() + batch.returns.sum())
-
-    t0 = time.time()
-    float(rollout_scalar(params, jax.random.PRNGKey(1)))
-    log(f"  rollout compile+first {time.time()-t0:.1f}s")
-    t0 = time.time()
-    acc = None
-    for i in range(3):
-        s = rollout_scalar(params, jax.random.PRNGKey(2 + i))
-        acc = s if acc is None else acc + s
-    float(acc)
-    dt = (time.time() - t0) / 3
-    total_r = (1 << 18) * env_cfg_r.n_steps
-    log(f"  fused rollout: {dt*1e3:8.1f} ms -> {total_r/dt/1e6:8.1f}M env-steps/s")
-
-    log("stage 3: full config-5 train iteration (fused, shared trunk)")
     env_cfg = dataclasses.replace(
         as_env_config(num_trajectories=1 << 18),
         normalise_observation_space=True, normalise_action_space=True,
     )
     total = (1 << 18) * env_cfg.n_steps
+
+    log("stage A: full config-5 train iteration (fully fused)")
     ppo_cfg = ppo.PPOConfig(
         hidden=(256, 256), n_epochs=1, n_minibatches=64, shuffle=False,
         compute_dtype="bfloat16", shared_trunk=True, fused_update=True,
@@ -118,7 +58,39 @@ def main():
         cur, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, cur, jax.random.PRNGKey(10 + i))
     float(m["pg_loss"])
     dt = (time.time() - t0) / iters
-    log(f"  full fused iteration: {dt*1e3:8.1f} ms -> {total/dt/1e6:8.1f}M env-steps/s")
+    log(f"  FULLY-FUSED iteration: {dt*1e3:8.1f} ms -> {total/dt/1e6:8.1f}M env-steps/s")
+
+    log("stage B: fused rollout kernel alone (262k envs)")
+
+    @functools.partial(jax.jit, static_argnums=())
+    def rollout_scalar(params, key):
+        tb = pallas_rollout.collect_rollout_fused_T(env_cfg, params, key)
+        return tb.packed.sum() + tb.advantages.sum() + tb.returns.sum()
+
+    t0 = time.time()
+    float(rollout_scalar(ts.params, jax.random.PRNGKey(1)))
+    log(f"  rollout compile+first {time.time()-t0:.1f}s")
+    t0 = time.time()
+    acc = None
+    for i in range(3):
+        s = rollout_scalar(ts.params, jax.random.PRNGKey(2 + i))
+        acc = s if acc is None else acc + s
+    float(acc)
+    dt = (time.time() - t0) / 3
+    log(f"  fused rollout: {dt*1e3:8.1f} ms -> {total/dt/1e6:8.1f}M env-steps/s")
+
+    log("stage C: row-major fused update sanity (m=819200)")
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(0), 4, 2, hidden=(256, 256), shared_trunk=True
+    )
+    k = jax.random.PRNGKey(1)
+    m_rows = 819200
+    obs = jax.random.normal(k, (m_rows, 4), dtype=jnp.float32)
+    actions = jax.random.normal(jax.random.fold_in(k, 1), (m_rows, 2))
+    col = jax.random.normal(jax.random.fold_in(k, 2), (m_rows,))
+    t0 = time.time()
+    g, met = fused_ppo.ppo_fused_grads(params, obs, actions, col, col, col, tile=1024)
+    log(f"  sanity pg={float(met['pg_loss']):.4f} ({time.time()-t0:.1f}s)")
 
 
 if __name__ == "__main__":
