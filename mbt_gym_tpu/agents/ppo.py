@@ -267,10 +267,11 @@ def _fused_train_iteration(
     n = env_cfg.num_trajectories
     nb = n // ppo_cfg.n_minibatches
     assert nb * ppo_cfg.n_minibatches == n, (n, ppo_cfg.n_minibatches)
-    # An env tile spans all T timesteps: its input blocks are T x tile
-    # arrays, so 512 envs keeps the double-buffered block set well inside
-    # Mosaic's 16M scoped-vmem stack at T=200 (1024 does not).
-    tile = min(512, nb)
+    # An env tile spans all T timesteps: the double-buffered packed input
+    # block is (T, ceil(C)->16, tile) f32 — 6.6 MB per buffer at T=200,
+    # tile=512, which overflows Mosaic's 16M scoped-vmem stack.  256 fits
+    # with ~6M headroom (measured OOM at 512: 17.4M > 16M).
+    tile = min(256, nb)
     assert nb % tile == 0, (nb, tile)
     optimizer = make_optimizer(ppo_cfg)
 
