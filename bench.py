@@ -68,9 +68,14 @@ def measure_engine(
         return acc
 
     float(episodes(jax.random.PRNGKey(999)))  # compile
+    # Chain iterations by data dependency, ONE scalar fetch at the end —
+    # a per-iteration fetch adds the relay RTT (~30-50 ms) to every call.
     t0 = time.time()
+    acc = None
     for i in range(iters):
-        checksum = float(episodes(jax.random.PRNGKey(i)))
+        s = episodes(jax.random.PRNGKey(i))
+        acc = s if acc is None else acc + s
+    checksum = float(acc)
     elapsed = (time.time() - t0) / iters
     print(
         f"engine: {elapsed*1e3:.1f} ms / {episodes_per_call} episodes, checksum {checksum:.2f}",
@@ -113,8 +118,11 @@ def measure_pallas_trajectories(
 
     float(episodes(jnp.int32(999)))
     t0 = time.time()
+    acc = None
     for i in range(iters):
-        checksum = float(episodes(jnp.int32(i * 1000)))
+        s = episodes(jnp.int32(i * 1000))
+        acc = s if acc is None else acc + s
+    checksum = float(acc)
     elapsed = (time.time() - t0) / iters
     print(
         f"pallas-traj: {elapsed*1e3:.1f} ms / {episodes_per_call} episodes, checksum {checksum:.2f}",

@@ -251,7 +251,13 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             # One packed (C, L) row per step: separate small-channel output
             # buffers would each pad their sublane dim to 8 in HBM (8x for
             # 1-channel arrays); a single (T, S+A+3, N) buffer pads once.
-            packed_ref[i] = jnp.concatenate([X, action, logp, value, reward], axis=0)
+            # Range stores, NOT a concatenate — the concat's sublane
+            # relayouts cost ~0.4 ms/step (198 ms vs 123 ms rollouts).
+            packed_ref[i, 0:4] = X
+            packed_ref[i, 4 : 4 + a_dim] = action
+            packed_ref[i, 4 + a_dim : 5 + a_dim] = logp
+            packed_ref[i, 5 + a_dim : 6 + a_dim] = value
+            packed_ref[i, 6 + a_dim : 7 + a_dim] = reward
             return new_carry
 
         init = (

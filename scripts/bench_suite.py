@@ -30,9 +30,15 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
     t0 = time.time()
     float(thunk(jax.random.PRNGKey(0)))
     compile_s = time.time() - t0
+    # Chain iterations by data dependency and fetch ONE scalar at the end:
+    # a per-iteration fetch adds the full relay RTT (~30-50 ms, varies by
+    # session) to every call, polluting the device-rate measurement.
     t0 = time.time()
+    acc = None
     for i in range(iters):
-        float(thunk(jax.random.PRNGKey(1 + i)))
+        s = thunk(jax.random.PRNGKey(1 + i))
+        acc = s if acc is None else acc + s
+    float(acc)
     dt = (time.time() - t0) / iters
     rate = cfg.num_trajectories * cfg.n_steps * episodes_per_call / dt
     return {"config": name, "envs": cfg.num_trajectories, "n_steps": cfg.n_steps,
@@ -113,8 +119,10 @@ def main():
     rows.append(measure("4. Composite Hawkes+ExoMM+L&M (64k envs)", cfg4, composite_policy, 4))
 
     # Config 5 is the pod-scale setting (1M+ envs over N>=2 hosts); a single
-    # chip runs its share of a 4-chip 1M-env pod.  Minibatch count is sized
-    # so PPO activation memory fits HBM (52M transitions/iteration).
+    # chip runs its share of a 4-chip 1M-env pod.  The fused pipeline never
+    # materializes update activations, so the minibatch count is a free
+    # hyperparameter (16 here; 64 was needed by the round-1 row-major path
+    # to fit activation memory, and its per-minibatch overheads cost ~15%).
     cfg5 = as_env_config(num_trajectories=(1 << 18) // scale)
     ppo_cfg5 = dataclasses.replace(
         cfg5, normalise_observation_space=True, normalise_action_space=True
@@ -123,7 +131,7 @@ def main():
         measure_ppo(
             "5. PPO consumer, 262k envs/chip (1M-env pod share)",
             ppo_cfg5,
-            n_minibatches=4 if args.small else 64,
+            n_minibatches=4 if args.small else 16,
         )
     )
 
