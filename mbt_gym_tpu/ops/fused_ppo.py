@@ -173,6 +173,7 @@ def _kernel_T(
     n_layers: int,
     n_steps: int,
     s_dim: int,
+    a_dim: int,
     inv_m: float,
     clip_eps: float,
     vf_coef: float,
@@ -181,21 +182,18 @@ def _kernel_T(
 ):
     """One grid step = one env tile (all T timesteps).  ``refs`` layout:
 
-    inputs:  packed (T, S+A+3, L) — rows [obs(S), action(A), old_logp,
-             value, reward] (the fused rollout's buffer; value/reward rows
-             are carried but unused here),
-             adv (T, 1, L), returns (T, 1, L),
+    inputs:  obs_g / act_g / aux_g — three (T, GROUP, L) views of the SAME
+             packed rollout buffer selected by channel-group block index,
+             so every in-kernel row slice starts at a sublane boundary
+             (aux rows: [old_logp, value, reward]; value/reward unused),
+             adv (T, L), returns (T, L) — 2D, unpadded,
              w0T (H, S), b0 (H, 1), ..., wpiT (A, H), bpi (A, 1),
              wvfT (1, H), bvf (1, 1), log_std (A, 1)
     outputs: dw0T, db0, ..., dwpiT, dbpi, dwvfT, dbvf, dlog_std (A, 1),
              metrics (1, 128)
     """
     it = iter(refs)
-    packed_ref, adv_ref, ret_ref = (next(it) for _ in range(3))
-    # adv/ret ride as 2D (T, L) blocks: a (T, 1, L) block would pad its
-    # sublane dim 1 -> 8 (3.3 MB per double-buffered block at T=200,
-    # L=512), which alone overflows Mosaic's 16M scoped-vmem stack.
-    a_dim = packed_ref.shape[1] - s_dim - 3
+    obs_ref, act_ref, aux_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
     trunk = [(next(it), next(it)) for _ in range(n_layers)]
     wpi_ref, bpi_ref, wvf_ref, bvf_ref, lstd_ref = (next(it) for _ in range(5))
     d_trunk = [(next(it), next(it)) for _ in range(n_layers)]
@@ -222,8 +220,7 @@ def _kernel_T(
 
     def step(t, carry):
         (accs, pg_sum, vf_sum, kl_sum) = carry
-        row = packed_ref[t].astype(jnp.float32)  # (S+A+3, L)
-        x = row[0:s_dim]  # (S, L)
+        x = obs_ref[t, 0:s_dim]  # (S, L) — group offset 0, aligned
 
         hs = [x]
         h = x
@@ -233,9 +230,9 @@ def _kernel_T(
         mean = _mm(wpi_ref[:], h, ((1,), (0,)), compute_dtype) + bpi_ref[:]  # (A, L)
         v = _mm(wvf_ref[:], h, ((1,), (0,)), compute_dtype) + bvf_ref[:]  # (1, L)
 
-        z = (row[s_dim : s_dim + a_dim] - mean) * inv_std  # (A, L)
+        z = (act_ref[t, 0:a_dim] - mean) * inv_std  # (A, L)
         logp = jnp.sum(-0.5 * z * z - log_std - 0.5 * _LOG_2PI, axis=0, keepdims=True)
-        old_logp = row[s_dim + a_dim : s_dim + a_dim + 1]  # (1, L)
+        old_logp = aux_ref[t, 0:1]  # (1, L)
         adv = adv_ref[t].reshape(1, -1)  # (L,) -> (1, L)
         ret = ret_ref[t].reshape(1, -1)
 
@@ -317,7 +314,7 @@ def _kernel_T(
 
 @partial(
     jax.jit,
-    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype", "s_dim"),
+    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype", "s_dim", "a_dim"),
 )
 def ppo_fused_grads_T(
     params: Dict,
@@ -330,16 +327,19 @@ def ppo_fused_grads_T(
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     s_dim: int = 4,
+    a_dim: int = 2,
 ) -> Tuple[Dict, Dict]:
-    """Feature-major fused PPO grads: ``packed (T, S+A+3, N)`` is the fused
-    rollout kernel's buffer (rows [obs(S), action(A), old_logp, value,
-    reward]); ``adv/returns (T, N)``.  ``N`` must be a multiple of
-    ``tile``.  Returns grads in the standard (row-major) param layout +
-    metrics.
+    """Feature-major fused PPO grads: ``packed (T, 3*GROUP, N)`` is the
+    fused rollout kernel's sublane-aligned buffer (channel groups
+    [obs | actions | (old_logp, value, reward)], GROUP=8 rows each);
+    ``adv/returns (T, N)``.  ``N`` must be a multiple of ``tile``.
+    Returns grads in the standard (row-major) param layout + metrics.
     """
+    from mbt_gym_tpu.ops.pallas_rollout import GROUP
+
     assert "shared" in params, "fused update requires the shared-trunk layout"
     T, n_chan, n = packed.shape
-    a_dim = n_chan - s_dim - 3
+    assert n_chan == 3 * GROUP, (n_chan, GROUP)
     assert n % tile == 0, (n, tile)
     grid = n // tile
     m = T * n
@@ -350,10 +350,14 @@ def ppo_fused_grads_T(
     def full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
 
-    env_block = lambda c: pl.BlockSpec((T, c, tile), lambda i: (0, 0, i))
+    # The same packed array is passed three times; the channel-group BLOCK
+    # index (0/1/2) selects obs / actions / aux rows, each sublane-aligned.
+    def group_block(g):
+        return pl.BlockSpec((T, GROUP, tile), lambda i, _g=g: (0, _g, i))
+
     flat_block = pl.BlockSpec((T, tile), lambda i: (0, i))
-    inputs = [packed, adv, returns]
-    in_specs = [env_block(n_chan), flat_block, flat_block]
+    inputs = [packed, packed, packed, adv, returns]
+    in_specs = [group_block(0), group_block(1), group_block(2), flat_block, flat_block]
     for li in range(n_layers):
         wT = trunk[li]["w"].T  # (out, in)
         b = trunk[li]["b"].reshape(-1, 1)
@@ -396,7 +400,7 @@ def ppo_fused_grads_T(
         full((a_dim, 1)), full((1, 128)),
     ]
 
-    kernel = partial(_kernel_T, n_layers, T, s_dim, 1.0 / m, clip_eps, vf_coef, cdt)
+    kernel = partial(_kernel_T, n_layers, T, s_dim, a_dim, 1.0 / m, clip_eps, vf_coef, cdt)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

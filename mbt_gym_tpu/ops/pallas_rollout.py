@@ -35,6 +35,7 @@ from mbt_gym_tpu.ops.pallas_episode import _uniform_from_bits
 LANES = 128
 DEFAULT_TILE = 512  # envs per program (lane dim)
 _LOG_2PI = math.log(2.0 * math.pi)
+GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 
 # Injected-noise channel order (noise mode):
 N_CHANNELS = 7  # u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps0, eps1, n_mid
@@ -248,16 +249,17 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws
             )
-            # One packed (C, L) row per step: separate small-channel output
-            # buffers would each pad their sublane dim to 8 in HBM (8x for
-            # 1-channel arrays); a single (T, S+A+3, N) buffer pads once.
-            # Range stores, NOT a concatenate — the concat's sublane
-            # relayouts cost ~0.4 ms/step (198 ms vs 123 ms rollouts).
+            # Packed output with SUBLANE-ALIGNED channel groups (f32 sublane
+            # granularity is 8 rows): obs at rows 0.., actions at GROUP..,
+            # [logp, value, reward] at 2*GROUP.. — every store (and the
+            # update kernel's reads) starts at a sublane boundary, avoiding
+            # the per-step relayouts that cost ~0.3 ms/step when channels
+            # were tightly packed at odd offsets.
             packed_ref[i, 0:4] = X
-            packed_ref[i, 4 : 4 + a_dim] = action
-            packed_ref[i, 4 + a_dim : 5 + a_dim] = logp
-            packed_ref[i, 5 + a_dim : 6 + a_dim] = value
-            packed_ref[i, 6 + a_dim : 7 + a_dim] = reward
+            packed_ref[i, GROUP : GROUP + a_dim] = action
+            packed_ref[i, 2 * GROUP : 2 * GROUP + 3] = jnp.concatenate(
+                [logp, value, reward], axis=0
+            )
             return new_carry
 
         init = (
@@ -322,8 +324,7 @@ def mlp_rollout_pallas(
     inputs += [w_head, b_head, log_std]
     in_specs += [full(w_head.shape), full(b_head.shape), full(log_std.shape)]
 
-    s_dim = 4
-    n_chan = s_dim + a_dim + 3
+    n_chan = 3 * GROUP  # [obs | pad][actions | pad][logp, value, reward | pad]
     out_shape = jax.ShapeDtypeStruct((T, n_chan, n), jnp.float32)
     out_specs = pl.BlockSpec((T, n_chan, tile), lambda i: (0, 0, i))
     kernel = _make_kernel(p, n_layers, a_dim, use_noise=noise is not None)
@@ -345,22 +346,20 @@ def mlp_rollout_pallas(
 
 
 S_DIM = 4  # AS env state columns (cash, inventory, time, price)
+A_DIM = 2  # bid/ask depths
 
 
 class TRolloutBatch(NamedTuple):
-    """Feature-major rollout batch: one packed (T, S+A+3, N) buffer with
-    channel rows [obs(S), action(A), log_prob, value, reward] plus the GAE
+    """Feature-major rollout batch: one packed (T, 3*GROUP, N) buffer with
+    sublane-aligned channel groups — rows [0:S] obs, [GROUP:GROUP+A]
+    actions, [2*GROUP:2*GROUP+3] (log_prob, value, reward) — plus the GAE
     outputs.  Envs stay on the MINOR dimension throughout, so nothing is
     lane-padded and no transpose is materialized (a (T, N, 4) f32 array
     pads 32x on TPU — 26.8 GB at pod batch)."""
 
-    packed: jax.Array  # (T, S+A+3, N)
+    packed: jax.Array  # (T, 3*GROUP, N)
     advantages: jax.Array  # (T, N)
     returns: jax.Array  # (T, N)
-
-    @property
-    def a_dim(self) -> int:
-        return self.packed.shape[1] - S_DIM - 3
 
     @property
     def obs_t(self) -> jax.Array:
@@ -368,19 +367,19 @@ class TRolloutBatch(NamedTuple):
 
     @property
     def actions_t(self) -> jax.Array:
-        return self.packed[:, S_DIM : S_DIM + self.a_dim]
+        return self.packed[:, GROUP : GROUP + A_DIM]
 
     @property
     def log_probs(self) -> jax.Array:
-        return self.packed[:, S_DIM + self.a_dim]
+        return self.packed[:, 2 * GROUP]
 
     @property
     def values(self) -> jax.Array:
-        return self.packed[:, S_DIM + self.a_dim + 1]
+        return self.packed[:, 2 * GROUP + 1]
 
     @property
     def rewards(self) -> jax.Array:
-        return self.packed[:, S_DIM + self.a_dim + 2]
+        return self.packed[:, 2 * GROUP + 2]
 
 
 def collect_rollout_fused_T(
@@ -403,9 +402,8 @@ def collect_rollout_fused_T(
         p, params, seed, env_cfg.num_trajectories, tile=tile,
         interpret=interpret, noise=noise,
     )
-    a_dim = packed.shape[1] - S_DIM - 3
-    values = packed[:, S_DIM + a_dim + 1]
-    rewards = packed[:, S_DIM + a_dim + 2]
+    values = packed[:, 2 * GROUP + 1]
+    rewards = packed[:, 2 * GROUP + 2]
     last_value = jnp.zeros_like(values[0])
     advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
     return TRolloutBatch(packed=packed, advantages=advantages, returns=returns)

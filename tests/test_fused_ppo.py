@@ -128,12 +128,21 @@ def test_transposed_fused_grads_match_autodiff():
         params, ppo_cfg, batch
     )
 
+    from mbt_gym_tpu.ops.pallas_rollout import GROUP
+
     to_t = lambda x: x.reshape(T, L, -1).swapaxes(1, 2)  # (T, C, L)
+    pad = lambda x, rows: jnp.concatenate(
+        [x, jnp.zeros((T, rows - x.shape[1], L))], axis=1
+    )
     packed = jnp.concatenate(
         [
-            to_t(obs), to_t(actions), log_probs.reshape(T, 1, L),
-            values.reshape(T, 1, L),  # value row (carried, unused)
-            jnp.zeros((T, 1, L)),  # reward row (carried, unused)
+            pad(to_t(obs), GROUP),
+            pad(to_t(actions), GROUP),
+            pad(
+                jnp.stack([log_probs.reshape(T, L), values.reshape(T, L),
+                           jnp.zeros((T, L))], axis=1),
+                GROUP,
+            ),
         ],
         axis=1,
     )
