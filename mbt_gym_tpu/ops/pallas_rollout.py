@@ -33,7 +33,9 @@ from mbt_gym_tpu.env import EnvConfig
 from mbt_gym_tpu.ops.pallas_episode import _uniform_from_bits
 
 LANES = 128
-DEFAULT_TILE = 512  # envs per program (lane dim)
+DEFAULT_TILE = 256  # envs per program (lane dim); the (T, 3*GROUP, tile)
+# packed output block double-buffers at 4.9 MB each — 512 would overflow
+# Mosaic's 16M scoped-vmem stack (measured 18.79M)
 _LOG_2PI = math.log(2.0 * math.pi)
 GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 
