@@ -58,7 +58,7 @@ class PPOConfig:
     # forward runs with VMEM-resident activations inside the episode
     # kernel.  AS-config + shared_trunk only; single-chip (mesh=None).
     fused_rollout: bool = False
-    fused_rollout_tile: int = 256
+    fused_rollout_tile: int = 512
     # The fused rollout's hardware PRNG only exists on TPU; on other
     # backends the Mosaic interpreter stubs random bits to ZEROS, which
     # would silently train on degenerate data.  Tests opt in explicitly.
@@ -267,10 +267,9 @@ def _fused_train_iteration(
     n = env_cfg.num_trajectories
     nb = n // ppo_cfg.n_minibatches
     assert nb * ppo_cfg.n_minibatches == n, (n, ppo_cfg.n_minibatches)
-    # An env tile spans all T timesteps: the double-buffered packed input
-    # block is (T, ceil(C)->16, tile) f32 — 6.6 MB per buffer at T=200,
-    # tile=512, which overflows Mosaic's 16M scoped-vmem stack.  256 fits
-    # with ~6M headroom (measured OOM at 512: 17.4M > 16M).
+    # An env tile spans all T timesteps; the double-buffered obs/action
+    # input blocks overflow Mosaic's 16M scoped-vmem stack at tile=512
+    # (measured 17.4M) — 256 fits with headroom.
     tile = min(256, nb)
     assert nb % tile == 0, (nb, tile)
     optimizer = make_optimizer(ppo_cfg)
@@ -283,7 +282,7 @@ def _fused_train_iteration(
         if ppo_cfg.normalise_advantages:
             adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         grads, metrics = fused_ppo.ppo_fused_grads_T(
-            params, sl(tb.packed), adv, sl(tb.returns),
+            params, sl(tb.obs_t), sl(tb.actions_t), sl(tb.log_probs), adv, sl(tb.returns),
             clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
             tile=tile, interpret=interpret,
             compute_dtype=ppo_cfg.fused_compute_dtype,

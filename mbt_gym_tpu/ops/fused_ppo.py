@@ -182,18 +182,15 @@ def _kernel_T(
 ):
     """One grid step = one env tile (all T timesteps).  ``refs`` layout:
 
-    inputs:  obs_g / act_g / aux_g — three (T, GROUP, L) views of the SAME
-             packed rollout buffer selected by channel-group block index,
-             so every in-kernel row slice starts at a sublane boundary
-             (aux rows: [old_logp, value, reward]; value/reward unused),
-             adv (T, L), returns (T, L) — 2D, unpadded,
+    inputs:  obs (T, S, L), actions (T, A, L) — the fused rollout's
+             buffers; old_logp / adv / returns (T, L) — 2D, unpadded,
              w0T (H, S), b0 (H, 1), ..., wpiT (A, H), bpi (A, 1),
              wvfT (1, H), bvf (1, 1), log_std (A, 1)
     outputs: dw0T, db0, ..., dwpiT, dbpi, dwvfT, dbvf, dlog_std (A, 1),
              metrics (1, 128)
     """
     it = iter(refs)
-    obs_ref, act_ref, aux_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
+    obs_ref, act_ref, olp_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
     trunk = [(next(it), next(it)) for _ in range(n_layers)]
     wpi_ref, bpi_ref, wvf_ref, bvf_ref, lstd_ref = (next(it) for _ in range(5))
     d_trunk = [(next(it), next(it)) for _ in range(n_layers)]
@@ -220,7 +217,7 @@ def _kernel_T(
 
     def step(t, carry):
         (accs, pg_sum, vf_sum, kl_sum) = carry
-        x = obs_ref[t, 0:s_dim]  # (S, L) — group offset 0, aligned
+        x = obs_ref[t]  # (S, L)
 
         hs = [x]
         h = x
@@ -230,10 +227,10 @@ def _kernel_T(
         mean = _mm(wpi_ref[:], h, ((1,), (0,)), compute_dtype) + bpi_ref[:]  # (A, L)
         v = _mm(wvf_ref[:], h, ((1,), (0,)), compute_dtype) + bvf_ref[:]  # (1, L)
 
-        z = (act_ref[t, 0:a_dim] - mean) * inv_std  # (A, L)
+        z = (act_ref[t] - mean) * inv_std  # (A, L)
         logp = jnp.sum(-0.5 * z * z - log_std - 0.5 * _LOG_2PI, axis=0, keepdims=True)
-        old_logp = aux_ref[t, 0:1]  # (1, L)
-        adv = adv_ref[t].reshape(1, -1)  # (L,) -> (1, L)
+        old_logp = olp_ref[t].reshape(1, -1)  # (L,) -> (1, L)
+        adv = adv_ref[t].reshape(1, -1)
         ret = ret_ref[t].reshape(1, -1)
 
         ratio = jnp.exp(logp - old_logp)
@@ -314,11 +311,13 @@ def _kernel_T(
 
 @partial(
     jax.jit,
-    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype", "s_dim", "a_dim"),
+    static_argnames=("clip_eps", "vf_coef", "tile", "interpret", "compute_dtype"),
 )
 def ppo_fused_grads_T(
     params: Dict,
-    packed: jax.Array,
+    obs_t: jax.Array,
+    actions_t: jax.Array,
+    old_logp: jax.Array,
     adv: jax.Array,
     returns: jax.Array,
     clip_eps: float = 0.2,
@@ -326,20 +325,15 @@ def ppo_fused_grads_T(
     tile: int = 512,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
-    s_dim: int = 4,
-    a_dim: int = 2,
 ) -> Tuple[Dict, Dict]:
-    """Feature-major fused PPO grads: ``packed (T, 3*GROUP, N)`` is the
-    fused rollout kernel's sublane-aligned buffer (channel groups
-    [obs | actions | (old_logp, value, reward)], GROUP=8 rows each);
-    ``adv/returns (T, N)``.  ``N`` must be a multiple of ``tile``.
+    """Feature-major fused PPO grads: ``obs_t (T, S, N)``, ``actions_t
+    (T, A, N)``, ``old_logp/adv/returns (T, N)`` — the fused rollout
+    kernel's native buffers.  ``N`` must be a multiple of ``tile``.
     Returns grads in the standard (row-major) param layout + metrics.
     """
-    from mbt_gym_tpu.ops.pallas_rollout import GROUP
-
     assert "shared" in params, "fused update requires the shared-trunk layout"
-    T, n_chan, n = packed.shape
-    assert n_chan == 3 * GROUP, (n_chan, GROUP)
+    T, s_dim, n = obs_t.shape
+    a_dim = actions_t.shape[1]
     assert n % tile == 0, (n, tile)
     grid = n // tile
     m = T * n
@@ -350,14 +344,13 @@ def ppo_fused_grads_T(
     def full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
 
-    # The same packed array is passed three times; the channel-group BLOCK
-    # index (0/1/2) selects obs / actions / aux rows, each sublane-aligned.
-    def group_block(g):
-        return pl.BlockSpec((T, GROUP, tile), lambda i, _g=g: (0, _g, i))
-
     flat_block = pl.BlockSpec((T, tile), lambda i: (0, i))
-    inputs = [packed, packed, packed, adv, returns]
-    in_specs = [group_block(0), group_block(1), group_block(2), flat_block, flat_block]
+    inputs = [obs_t, actions_t, old_logp, adv, returns]
+    in_specs = [
+        pl.BlockSpec((T, s_dim, tile), lambda i: (0, 0, i)),
+        pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
+        flat_block, flat_block, flat_block,
+    ]
     for li in range(n_layers):
         wT = trunk[li]["w"].T  # (out, in)
         b = trunk[li]["b"].reshape(-1, 1)

@@ -33,9 +33,7 @@ from mbt_gym_tpu.env import EnvConfig
 from mbt_gym_tpu.ops.pallas_episode import _uniform_from_bits
 
 LANES = 128
-DEFAULT_TILE = 256  # envs per program (lane dim); the (T, 3*GROUP, tile)
-# packed output block double-buffers at 4.9 MB each — 512 would overflow
-# Mosaic's 16M scoped-vmem stack (measured 18.79M)
+DEFAULT_TILE = 512  # envs per program (lane dim)
 _LOG_2PI = math.log(2.0 * math.pi)
 GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 
@@ -222,14 +220,14 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             seed_ref = next(it)
         trunk = [(next(it), next(it)) for _ in range(n_layers)]
         w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
-        packed_ref = next(it)
+        obs_ref, act_ref, logp_ref, val_ref, rew_ref = (next(it) for _ in range(5))
 
         if not use_noise:
             # Two-component seed: (call seed, program id) gives each tile an
             # independent stream without the contiguous-block overlap of
             # `seed + program_id` across calls with nearby seeds.
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        L = packed_ref.shape[-1]
+        L = obs_ref.shape[-1]
 
         def hw_draws():
             u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
@@ -251,17 +249,14 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws
             )
-            # Packed output with SUBLANE-ALIGNED channel groups (f32 sublane
-            # granularity is 8 rows): obs at rows 0.., actions at GROUP..,
-            # [logp, value, reward] at 2*GROUP.. — every store (and the
-            # update kernel's reads) starts at a sublane boundary, avoiding
-            # the per-step relayouts that cost ~0.3 ms/step when channels
-            # were tightly packed at odd offsets.
-            packed_ref[i, 0:4] = X
-            packed_ref[i, GROUP : GROUP + a_dim] = action
-            packed_ref[i, 2 * GROUP : 2 * GROUP + 3] = jnp.concatenate(
-                [logp, value, reward], axis=0
-            )
+            # Separate output buffers measured fastest (123 ms vs 174-198 ms
+            # for packed-single-buffer variants at 262k envs); the 1-channel
+            # streams write plain 2D (T, L) rows, so nothing pads anywhere.
+            obs_ref[i] = X
+            act_ref[i] = action
+            logp_ref[i] = logp[0]
+            val_ref[i] = value[0]
+            rew_ref[i] = reward[0]
             return new_carry
 
         init = (
@@ -289,11 +284,10 @@ def mlp_rollout_pallas(
 ):
     """Run one full episode for all envs with the MLP policy fused in.
 
-    Returns one PACKED feature-major buffer ``(T, S+A+3, N)`` with channel
-    rows ``[obs(S), action(A), log_prob, value, reward]`` — a single buffer
-    keeps the sublane padding to one ceil-to-8 instead of one per output
-    (1-channel arrays would pad 8x each).  Slice helpers:
-    :func:`unpack_rollout`.
+    Returns feature-major buffers (obs (T, S, N), actions (T, A, N),
+    log_probs (T, N), values (T, N), rewards (T, N)) — envs on the minor
+    dimension throughout, so nothing is lane-padded; the 2D single-channel
+    streams avoid sublane padding too.
 
     ``noise`` (optional): (T, 7, N) injected channels (4 env uniforms, 2
     policy-sample normals, 1 midprice normal) replacing the hardware PRNG —
@@ -326,9 +320,20 @@ def mlp_rollout_pallas(
     inputs += [w_head, b_head, log_std]
     in_specs += [full(w_head.shape), full(b_head.shape), full(log_std.shape)]
 
-    n_chan = 3 * GROUP  # [obs | pad][actions | pad][logp, value, reward | pad]
-    out_shape = jax.ShapeDtypeStruct((T, n_chan, n), jnp.float32)
-    out_specs = pl.BlockSpec((T, n_chan, tile), lambda i: (0, 0, i))
+    s_dim = 4
+    out_shape = [
+        jax.ShapeDtypeStruct((T, s_dim, n), jnp.float32),  # obs
+        jax.ShapeDtypeStruct((T, a_dim, n), jnp.float32),  # actions
+        jax.ShapeDtypeStruct((T, n), jnp.float32),  # log-probs
+        jax.ShapeDtypeStruct((T, n), jnp.float32),  # values
+        jax.ShapeDtypeStruct((T, n), jnp.float32),  # rewards
+    ]
+    flat = pl.BlockSpec((T, tile), lambda i: (0, i))
+    out_specs = [
+        pl.BlockSpec((T, s_dim, tile), lambda i: (0, 0, i)),
+        pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
+        flat, flat, flat,
+    ]
     kernel = _make_kernel(p, n_layers, a_dim, use_noise=noise is not None)
     # The plain HLO interpreter has no lowering for prng_seed; the hardware-
     # PRNG path on CPU needs the Mosaic TPU interpreter (which stubs random
@@ -336,7 +341,7 @@ def mlp_rollout_pallas(
     interp = interpret
     if interpret is True and noise is None:
         interp = pltpu.InterpretParams()
-    packed = pl.pallas_call(
+    obs_t, actions_t, log_probs, values, rewards = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
@@ -344,7 +349,7 @@ def mlp_rollout_pallas(
         out_shape=out_shape,
         interpret=interp,
     )(*inputs)
-    return packed
+    return obs_t, actions_t, log_probs, values, rewards
 
 
 S_DIM = 4  # AS env state columns (cash, inventory, time, price)
@@ -352,36 +357,17 @@ A_DIM = 2  # bid/ask depths
 
 
 class TRolloutBatch(NamedTuple):
-    """Feature-major rollout batch: one packed (T, 3*GROUP, N) buffer with
-    sublane-aligned channel groups — rows [0:S] obs, [GROUP:GROUP+A]
-    actions, [2*GROUP:2*GROUP+3] (log_prob, value, reward) — plus the GAE
-    outputs.  Envs stay on the MINOR dimension throughout, so nothing is
-    lane-padded and no transpose is materialized (a (T, N, 4) f32 array
-    pads 32x on TPU — 26.8 GB at pod batch)."""
+    """Feature-major rollout batch: envs stay on the MINOR dimension of
+    every leaf, so nothing is lane-padded and no transpose is materialized
+    (a (T, N, 4) f32 array pads 32x on TPU — 26.8 GB at pod batch)."""
 
-    packed: jax.Array  # (T, 3*GROUP, N)
+    obs_t: jax.Array  # (T, S, N)
+    actions_t: jax.Array  # (T, A, N)
+    log_probs: jax.Array  # (T, N)
+    values: jax.Array  # (T, N)
+    rewards: jax.Array  # (T, N)
     advantages: jax.Array  # (T, N)
     returns: jax.Array  # (T, N)
-
-    @property
-    def obs_t(self) -> jax.Array:
-        return self.packed[:, :S_DIM]
-
-    @property
-    def actions_t(self) -> jax.Array:
-        return self.packed[:, GROUP : GROUP + A_DIM]
-
-    @property
-    def log_probs(self) -> jax.Array:
-        return self.packed[:, 2 * GROUP]
-
-    @property
-    def values(self) -> jax.Array:
-        return self.packed[:, 2 * GROUP + 1]
-
-    @property
-    def rewards(self) -> jax.Array:
-        return self.packed[:, 2 * GROUP + 2]
 
 
 def collect_rollout_fused_T(
@@ -394,21 +380,22 @@ def collect_rollout_fused_T(
     interpret: bool = False,
     noise=None,
 ) -> TRolloutBatch:
-    """Fused rollout in its native packed feature-major layout + shared GAE
-    — the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`."""
+    """Fused rollout in its native feature-major layout + shared GAE —
+    the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`."""
     from mbt_gym_tpu.agents.ppo import compute_gae
 
     p = rollout_params_from_config(env_cfg)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-    packed = mlp_rollout_pallas(
+    obs_t, actions_t, log_probs, values, rewards = mlp_rollout_pallas(
         p, params, seed, env_cfg.num_trajectories, tile=tile,
         interpret=interpret, noise=noise,
     )
-    values = packed[:, 2 * GROUP + 1]
-    rewards = packed[:, 2 * GROUP + 2]
     last_value = jnp.zeros_like(values[0])
     advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
-    return TRolloutBatch(packed=packed, advantages=advantages, returns=returns)
+    return TRolloutBatch(
+        obs_t=obs_t, actions_t=actions_t, log_probs=log_probs, values=values,
+        rewards=rewards, advantages=advantages, returns=returns,
+    )
 
 
 def collect_rollout_fused(

@@ -128,26 +128,10 @@ def test_transposed_fused_grads_match_autodiff():
         params, ppo_cfg, batch
     )
 
-    from mbt_gym_tpu.ops.pallas_rollout import GROUP
-
     to_t = lambda x: x.reshape(T, L, -1).swapaxes(1, 2)  # (T, C, L)
-    pad = lambda x, rows: jnp.concatenate(
-        [x, jnp.zeros((T, rows - x.shape[1], L))], axis=1
-    )
-    packed = jnp.concatenate(
-        [
-            pad(to_t(obs), GROUP),
-            pad(to_t(actions), GROUP),
-            pad(
-                jnp.stack([log_probs.reshape(T, L), values.reshape(T, L),
-                           jnp.zeros((T, L))], axis=1),
-                GROUP,
-            ),
-        ],
-        axis=1,
-    )
     grads, metrics = fused_ppo.ppo_fused_grads_T(
-        params, packed, adv.reshape(T, L), returns.reshape(T, L),
+        params, to_t(obs), to_t(actions), log_probs.reshape(T, L),
+        adv.reshape(T, L), returns.reshape(T, L),
         clip_eps=0.2, vf_coef=0.5, tile=64, interpret=True,
         compute_dtype="float32",
     )
