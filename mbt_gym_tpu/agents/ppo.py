@@ -267,10 +267,10 @@ def _fused_train_iteration(
     n = env_cfg.num_trajectories
     nb = n // ppo_cfg.n_minibatches
     assert nb * ppo_cfg.n_minibatches == n, (n, ppo_cfg.n_minibatches)
-    # An env tile spans all T timesteps; the double-buffered obs/action
-    # input blocks overflow Mosaic's 16M scoped-vmem stack at tile=512
-    # (measured 17.4M) — 256 fits with headroom.
-    tile = min(256, nb)
+    # With the 2D (env-tile x T-chunk) update grid, lane width is limited
+    # only by the per-chunk VMEM set — 1024 lanes keeps the MXU matmuls
+    # wide (the old all-T-per-program blocking capped lanes at 256).
+    tile = min(1024, nb)
     assert nb % tile == 0, (nb, tile)
     optimizer = make_optimizer(ppo_cfg)
 

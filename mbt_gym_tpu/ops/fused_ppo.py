@@ -180,14 +180,20 @@ def _kernel_T(
     compute_dtype,
     *refs,
 ):
-    """One grid step = one env tile (all T timesteps).  ``refs`` layout:
+    """One grid step = one (env tile x T-chunk) block; grid is 2D
+    ``(n/L, T/Tc)`` so the per-step matmul lane width L can be large
+    (1024) without holding all T timesteps of the tile in VMEM — at a
+    fixed total FLOP count, wider matmuls mean ~4x fewer kernel-loop
+    iterations and far better MXU utilisation than the 1D (all-T,
+    L=256) blocking (measured 355 ms vs the 107 ms FLOP floor).
 
-    inputs:  obs (T, S, L), actions (T, A, L) — the fused rollout's
-             buffers; old_logp / adv / returns (T, L) — 2D, unpadded,
+    ``refs`` layout:
+    inputs:  obs (Tc, S, L), actions (Tc, A, L) — the fused rollout's
+             buffers; old_logp / adv / returns (Tc, L) — 2D, unpadded,
              w0T (H, S), b0 (H, 1), ..., wpiT (A, H), bpi (A, 1),
              wvfT (1, H), bvf (1, 1), log_std (A, 1)
     outputs: dw0T, db0, ..., dwpiT, dbpi, dwvfT, dbvf, dlog_std (A, 1),
-             metrics (1, 128)
+             metrics (1, 128) — accumulated across the whole grid
     """
     it = iter(refs)
     obs_ref, act_ref, olp_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
@@ -198,9 +204,9 @@ def _kernel_T(
         next(it) for _ in range(6)
     )
 
-    i = pl.program_id(0)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _init():
         for dw, db in d_trunk:
             dw[:] = jnp.zeros_like(dw)
@@ -222,7 +228,9 @@ def _kernel_T(
         hs = [x]
         h = x
         for w_ref, b_ref in trunk:
-            h = jnp.tanh(_mm(w_ref[:], h, ((1,), (0,)), compute_dtype) + b_ref[:])
+            # saved activations in compute_dtype (bf16 in production):
+            # halves the live VMEM so L=1024 lanes fit
+            h = jnp.tanh(_mm(w_ref[:], h, ((1,), (0,)), compute_dtype) + b_ref[:]).astype(compute_dtype)
             hs.append(h)
         mean = _mm(wpi_ref[:], h, ((1,), (0,)), compute_dtype) + bpi_ref[:]  # (A, L)
         v = _mm(wvf_ref[:], h, ((1,), (0,)), compute_dtype) + bvf_ref[:]  # (1, L)
@@ -290,7 +298,7 @@ def _kernel_T(
         jnp.zeros(dlstd_ref.shape, jnp.float32),
     )
     (accs, pg_sum, vf_sum, kl_sum) = jax.lax.fori_loop(
-        0, n_steps, step, (zero_accs, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        0, obs_ref.shape[0], step, (zero_accs, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
     )
     (a_trunk, a_wpi, a_bpi, a_wvf, a_bvf, a_lstd) = accs
     for (dw_ref, db_ref), (a_w, a_b) in zip(d_trunk, a_trunk):
@@ -335,20 +343,23 @@ def ppo_fused_grads_T(
     T, s_dim, n = obs_t.shape
     a_dim = actions_t.shape[1]
     assert n % tile == 0, (n, tile)
-    grid = n // tile
+    # T-chunk: largest divisor of T <= 40 keeps the double-buffered input
+    # blocks small enough that the lane width can be the full `tile`.
+    t_chunk = next(d for d in range(min(40, T), 0, -1) if T % d == 0)
+    grid = (n // tile, T // t_chunk)
     m = T * n
     trunk = params["shared"]
     n_layers = len(trunk)
     cdt = jnp.dtype(compute_dtype)
 
     def full(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+        return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape))
 
-    flat_block = pl.BlockSpec((T, tile), lambda i: (0, i))
+    flat_block = pl.BlockSpec((t_chunk, tile), lambda i, j: (j, i))
     inputs = [obs_t, actions_t, old_logp, adv, returns]
     in_specs = [
-        pl.BlockSpec((T, s_dim, tile), lambda i: (0, 0, i)),
-        pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
+        pl.BlockSpec((t_chunk, s_dim, tile), lambda i, j: (j, 0, i)),
+        pl.BlockSpec((t_chunk, a_dim, tile), lambda i, j: (j, 0, i)),
         flat_block, flat_block, flat_block,
     ]
     for li in range(n_layers):
@@ -396,7 +407,7 @@ def ppo_fused_grads_T(
     kernel = partial(_kernel_T, n_layers, T, s_dim, a_dim, 1.0 / m, clip_eps, vf_coef, cdt)
     outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,

@@ -58,7 +58,8 @@ def main():
     @functools.partial(jax.jit, static_argnums=())
     def rollout_scalar(params, key):
         tb = pallas_rollout.collect_rollout_fused_T(env_cfg, params, key)
-        return tb.packed.sum() + tb.advantages.sum() + tb.returns.sum()
+        return (tb.obs_t.sum() + tb.actions_t.sum() + tb.log_probs.sum()
+                + tb.advantages.sum() + tb.returns.sum())
 
     float(rollout_scalar(ts.params, jax.random.PRNGKey(1)))
     t0 = time.time()
@@ -69,6 +70,28 @@ def main():
     float(acc)
     dt = (time.time() - t0) / 3
     log(f"  fused rollout: {dt*1e3:8.1f} ms -> {total/dt/1e6:8.1f}M env-steps/s")
+
+    log("B2: transposed update kernel alone (full 262k x 200 batch, one call)")
+    from mbt_gym_tpu.ops import fused_ppo
+
+    T = env_cfg.n_steps
+    n = 1 << 18
+    k = jax.random.PRNGKey(3)
+    obs_t = jax.random.normal(k, (T, 4, n), dtype=jnp.float32)
+    act_t = jax.random.normal(jax.random.fold_in(k, 1), (T, 2, n), dtype=jnp.float32)
+    flat = lambda i: jax.random.normal(jax.random.fold_in(k, i), (T, n), dtype=jnp.float32)
+    olp, adv, ret = flat(2), flat(3), flat(4)
+    g, met = fused_ppo.ppo_fused_grads_T(ts.params, obs_t, act_t, olp, adv, ret, tile=1024)
+    float(met["pg_loss"])
+    t0 = time.time()
+    acc = None
+    for i in range(3):
+        g, met = fused_ppo.ppo_fused_grads_T(ts.params, obs_t, act_t, olp, adv, ret, tile=1024)
+        s = met["pg_loss"] + g["log_std"].sum()
+        acc = s if acc is None else acc + s
+    float(acc)
+    dt = (time.time() - t0) / 3
+    log(f"  update kernel: {dt*1e3:8.1f} ms -> {total/dt/1e6:8.1f}M samples/s")
 
     log("C: bench_suite table")
     import os
