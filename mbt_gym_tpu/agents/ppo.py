@@ -268,9 +268,9 @@ def _fused_train_iteration(
     nb = n // ppo_cfg.n_minibatches
     assert nb * ppo_cfg.n_minibatches == n, (n, ppo_cfg.n_minibatches)
     # With the 2D (env-tile x T-chunk) update grid, lane width is limited
-    # only by the per-chunk VMEM set — 1024 lanes keeps the MXU matmuls
+    # only by the per-chunk VMEM set — 2048 lanes keeps the MXU matmuls
     # wide (the old all-T-per-program blocking capped lanes at 256).
-    tile = min(1024, nb)
+    tile = min(2048, nb)
     assert nb % tile == 0, (nb, tile)
     optimizer = make_optimizer(ppo_cfg)
 

@@ -343,9 +343,11 @@ def ppo_fused_grads_T(
     T, s_dim, n = obs_t.shape
     a_dim = actions_t.shape[1]
     assert n % tile == 0, (n, tile)
-    # T-chunk: largest divisor of T <= 40 keeps the double-buffered input
-    # blocks small enough that the lane width can be the full `tile`.
-    t_chunk = next(d for d in range(min(40, T), 0, -1) if T % d == 0)
+    # T-chunk: largest divisor of T under a cap chosen so the
+    # double-buffered input blocks + bf16 activations fit the 16M scoped
+    # vmem at this lane width.
+    cap = 20 if tile >= 2048 else 40
+    t_chunk = next(d for d in range(min(cap, T), 0, -1) if T % d == 0)
     grid = (n // tile, T // t_chunk)
     m = T * n
     trunk = params["shared"]

@@ -81,12 +81,12 @@ def main():
     act_t = jax.random.normal(jax.random.fold_in(k, 1), (T, 2, n), dtype=jnp.float32)
     flat = lambda i: jax.random.normal(jax.random.fold_in(k, i), (T, n), dtype=jnp.float32)
     olp, adv, ret = flat(2), flat(3), flat(4)
-    g, met = fused_ppo.ppo_fused_grads_T(ts.params, obs_t, act_t, olp, adv, ret, tile=1024)
+    g, met = fused_ppo.ppo_fused_grads_T(ts.params, obs_t, act_t, olp, adv, ret, tile=2048)
     float(met["pg_loss"])
     t0 = time.time()
     acc = None
     for i in range(3):
-        g, met = fused_ppo.ppo_fused_grads_T(ts.params, obs_t, act_t, olp, adv, ret, tile=1024)
+        g, met = fused_ppo.ppo_fused_grads_T(ts.params, obs_t, act_t, olp, adv, ret, tile=2048)
         s = met["pg_loss"] + g["log_std"].sum()
         acc = s if acc is None else acc + s
     float(acc)
