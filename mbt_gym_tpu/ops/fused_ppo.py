@@ -343,11 +343,16 @@ def ppo_fused_grads_T(
     T, s_dim, n = obs_t.shape
     a_dim = actions_t.shape[1]
     assert n % tile == 0, (n, tile)
-    # T-chunk: largest divisor of T under a cap chosen so the
-    # double-buffered input blocks + bf16 activations fit the 16M scoped
-    # vmem at this lane width.
-    cap = 20 if tile >= 2048 else 40
-    t_chunk = next(d for d in range(min(cap, T), 0, -1) if T % d == 0)
+    # T-chunk: a divisor of T that is a multiple of 8 (Mosaic requires 2D
+    # block sublane dims divisible by 8 unless equal to the array dim),
+    # under a cap chosen so double-buffered input blocks + bf16 activations
+    # fit the 16M scoped vmem at this lane width.  Falls back to T itself
+    # (always legal) for small test shapes.
+    cap = 8 if tile >= 2048 else 40
+    t_chunk = next(
+        (d for d in range(min(cap, T), 0, -1) if T % d == 0 and d % 8 == 0),
+        T,
+    )
     grid = (n // tile, T // t_chunk)
     m = T * n
     trunk = params["shared"]
