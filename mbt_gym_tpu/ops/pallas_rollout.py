@@ -10,11 +10,12 @@ with ``X (features, lanes)``), so the matmul chain never leaves VMEM and
 only the fundamental per-step outputs (obs, action, log-prob, value,
 reward ≈ 36 B/env-step) are written out.
 
-Scope: the flagship AS market-making config (BM midprice + Poisson
-arrivals + exponential fill + limit-order dynamics + PnL) with the
-shared-trunk actor-critic of ``networks.init_actor_critic(shared_trunk=
-True)`` — the bench_suite config-5 production path.  Other configs use the
-XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
+Scope: the flagship market-making model family (BM midprice + Poisson
+arrivals + exponential fill + limit-order dynamics) with PnL, CjMm, or
+RunningInventoryPenalty rewards — i.e. both the bench_suite config-5
+production path and the "learning to make a market" CJ training setting —
+with the shared-trunk actor-critic of ``networks.init_actor_critic(
+shared_trunk=True)``.  Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
 engine + networks on the SAME noise.
 """
@@ -64,6 +65,13 @@ class MlpRolloutParams(NamedTuple):
     act_grad: tuple
     normalise_obs: bool
     normalise_act: bool
+    # reward: "pnl" (RewardFunctions.py:20-36), "cjmm" (pathwise CJ MM
+    # criterion, :77-113) or "running" (RunningInventoryPenalty, :116-141),
+    # all with inventory exponent 2.
+    reward_kind: str = "pnl"
+    phi: float = 0.0  # per-step inventory aversion
+    alpha: float = 0.0  # terminal inventory aversion
+    terminal_time: float = 1.0
 
     @property
     def run_steps(self) -> int:
@@ -75,14 +83,27 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     from mbt_gym_tpu.processes.arrivals import PoissonArrivals
     from mbt_gym_tpu.processes.fills import ExponentialFill
     from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
-    from mbt_gym_tpu.rewards import PnL
+    from mbt_gym_tpu.rewards import CjMmCriterion, PnL, RunningInventoryPenalty
 
     d = cfg.dynamics
     assert isinstance(d, LimitOrderDynamics), "fused rollout: limit-order dynamics only"
     assert isinstance(d.midprice_model, BrownianMotionMidprice)
     assert isinstance(d.arrival_model, PoissonArrivals)
     assert isinstance(d.fill_probability_model, ExponentialFill)
-    assert isinstance(cfg.reward_function, PnL), "fused rollout computes PnL rewards"
+    r = cfg.reward_function
+    if isinstance(r, PnL):
+        reward_kind, phi, alpha = "pnl", 0.0, 0.0
+    elif isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
+        reward_kind = "cjmm"
+        phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+    elif isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
+        reward_kind = "running"
+        phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+    else:
+        raise AssertionError(
+            f"fused rollout supports PnL / CjMmCriterion / "
+            f"RunningInventoryPenalty (exponent 2); got {r}"
+        )
     assert cfg.reward_scaling is None
     assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
     assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time)
@@ -112,6 +133,10 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         act_grad=tuple(float(h - l) / 2.0 for l, h in zip(act_low, act_high)),
         normalise_obs=bool(cfg.normalise_observation_space),
         normalise_act=bool(cfg.normalise_action_space),
+        reward_kind=reward_kind,
+        phi=phi,
+        alpha=alpha,
+        terminal_time=cfg.terminal_time,
     )
 
 
@@ -143,9 +168,11 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
     )
 
 
-def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws):
+def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
+                  is_last=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is the
-    7-channel tuple of N_CHANNELS.  Returns (new_carry, outputs)."""
+    7-channel tuple of N_CHANNELS; ``is_last`` (traced bool) marks the
+    terminal step for the "running" reward.  Returns (new_carry, outputs)."""
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
     cash, inv, price = carry
     L = cash.shape[-1]
@@ -205,9 +232,29 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     new_cash = jnp.clip(new_cash, -p.max_cash, p.max_cash)
     new_price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * n_mid
 
-    # PnL reward at the post-bookkeeping, post-price-move state
-    # (RewardFunctions.py:20-36: both sides mark at their own price).
-    reward = (new_cash + new_inv * new_price) - (cash + inv * price)
+    # Reward at the post-bookkeeping, post-price-move state (both sides
+    # mark at their own price).  "cjmm": pathwise CJ criterion
+    # (RewardFunctions.py:96-109 with exponent 2); "running": terminal
+    # penalty at the last step only (:128-138).
+    pnl = (new_cash + new_inv * new_price) - (cash + inv * price)
+    if p.reward_kind == "pnl":
+        reward = pnl
+    elif p.reward_kind == "cjmm":
+        episode_length = p.terminal_time - p.start_time
+        const = p.alpha * p.dt * (p.initial_inventory**2) / episode_length
+        reward = (
+            pnl
+            - p.dt * p.phi * new_inv * new_inv
+            - p.alpha * (new_inv * new_inv - inv * inv)
+            - const
+        )
+    else:  # "running"
+        terminal = is_last.astype(jnp.float32)
+        reward = (
+            pnl
+            - p.dt * p.phi * new_inv * new_inv
+            - p.alpha * terminal * new_inv * new_inv
+        )
     return (new_cash, new_inv, new_price), (X, action, logp, value, reward)
 
 
@@ -247,7 +294,8 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             else:
                 draws = hw_draws()
             new_carry, (X, action, logp, value, reward) = _rollout_step(
-                p, n_layers, a_dim, weight_refs, carry, t_val, draws
+                p, n_layers, a_dim, weight_refs, carry, t_val, draws,
+                is_last=(i == p.run_steps - 1),
             )
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel

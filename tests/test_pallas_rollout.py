@@ -80,12 +80,68 @@ def test_fused_rollout_matches_xla_engine(setup):
 
 
 def test_fused_rollout_config_guard():
-    from mbt_gym_tpu.rewards import RunningInventoryPenalty
+    from mbt_gym_tpu.rewards import CjMmCriterion, ExponentialUtility, RunningInventoryPenalty
 
     cfg = as_env_config(num_trajectories=N)
-    bad = dataclasses.replace(cfg, reward_function=RunningInventoryPenalty())
-    with pytest.raises(AssertionError):
+    bad = dataclasses.replace(cfg, reward_function=ExponentialUtility())
+    with pytest.raises(AssertionError, match="fused rollout supports"):
         pallas_rollout.rollout_params_from_config(bad)
+    # CjMm / RunningInventoryPenalty (exponent 2) are supported reward kinds.
+    p = pallas_rollout.rollout_params_from_config(
+        dataclasses.replace(
+            cfg,
+            reward_function=CjMmCriterion(
+                per_step_inventory_aversion=0.5,
+                terminal_inventory_aversion=0.001,
+                terminal_time=cfg.terminal_time,
+            ),
+        )
+    )
+    assert p.reward_kind == "cjmm" and p.phi == 0.5 and p.alpha == 0.001
+    p = pallas_rollout.rollout_params_from_config(
+        dataclasses.replace(cfg, reward_function=RunningInventoryPenalty())
+    )
+    assert p.reward_kind == "running"
+
+
+@pytest.mark.parametrize("reward_name", ["cjmm", "running"])
+def test_fused_rollout_cj_rewards_match_xla_engine(reward_name):
+    """The CJ market-making reward kinds ("learning to make a market") must
+    reproduce the XLA engine's per-step rewards on the same noise."""
+    from mbt_gym_tpu.rewards import CjMmCriterion, RunningInventoryPenalty
+
+    if reward_name == "cjmm":
+        reward = CjMmCriterion(
+            per_step_inventory_aversion=0.5,
+            terminal_inventory_aversion=0.001,
+            terminal_time=1.0,
+        )
+    else:
+        reward = RunningInventoryPenalty(
+            per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001
+        )
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=N, n_steps=T),
+        reward_function=reward, initial_inventory=3,
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    rng = np.random.default_rng(13)
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    _, _, _, _, ref_r = _xla_reference(env_cfg, params, channels)
+    np.testing.assert_allclose(
+        np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3
+    )
 
 
 def test_train_iteration_with_fused_rollout_runs():
