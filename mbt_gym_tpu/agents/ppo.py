@@ -58,7 +58,8 @@ class PPOConfig:
     # forward runs with VMEM-resident activations inside the episode
     # kernel.  AS-config + shared_trunk only; single-chip (mesh=None).
     fused_rollout: bool = False
-    fused_rollout_tile: int = 512
+    # None -> auto: widest lane tile fitting scoped vmem (pallas_rollout.auto_tile)
+    fused_rollout_tile: int | None = None
     # The fused rollout's hardware PRNG only exists on TPU; on other
     # backends the Mosaic interpreter stubs random bits to ZEROS, which
     # would silently train on degenerate data.  Tests opt in explicitly.

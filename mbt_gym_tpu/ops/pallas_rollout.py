@@ -34,7 +34,6 @@ from mbt_gym_tpu.env import EnvConfig
 from mbt_gym_tpu.ops.pallas_episode import _uniform_from_bits
 
 LANES = 128
-DEFAULT_TILE = 512  # envs per program (lane dim)
 _LOG_2PI = math.log(2.0 * math.pi)
 GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 
@@ -317,6 +316,21 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
     return kernel
 
 
+def auto_tile(n: int, run_steps: int, has_noise: bool) -> int:
+    """Widest lane tile whose double-buffered per-program output blocks
+    (T x (S+A+3) x tile f32, plus the noise input block when injected)
+    fit Mosaic's 16M scoped vmem with margin.  Lane width is the dominant
+    rollout throughput lever — 1024 lanes measured 86.9 ms vs 165.4 ms at
+    512 for the 52.4M-step config-5 rollout (scripts/exp_rollout_kernel.py);
+    2048 exceeds scoped vmem at T=200."""
+    budget = 15 * 1024 * 1024
+    per_lane = 2 * run_steps * 4 * (S_DIM + A_DIM + 3 + (N_CHANNELS if has_noise else 0))
+    for cand in (2048, 1024, 512, 256, 128):
+        if cand <= n and n % cand == 0 and cand * per_lane <= budget:
+            return cand
+    return 128
+
+
 @partial(
     jax.jit,
     static_argnames=("p", "num_trajectories", "tile", "interpret"),
@@ -326,7 +340,7 @@ def mlp_rollout_pallas(
     params,
     seed,
     num_trajectories: int,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = None,
     interpret: bool = False,
     noise=None,
 ):
@@ -342,9 +356,11 @@ def mlp_rollout_pallas(
     the CPU-testable parity mode.
     """
     n = num_trajectories
+    T = p.run_steps
+    if tile is None:
+        tile = auto_tile(n, T, noise is not None)
     assert n % tile == 0 and tile % LANES == 0, (n, tile)
     grid = n // tile
-    T = p.run_steps
     trunk, w_head, b_head, log_std = transpose_params(params)
     n_layers = len(trunk)
     a_dim = w_head.shape[0] - 1
@@ -424,7 +440,7 @@ def collect_rollout_fused_T(
     key: jax.Array,
     gamma: float = 1.0,
     lam: float = 0.95,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = None,
     interpret: bool = False,
     noise=None,
 ) -> TRolloutBatch:
@@ -452,7 +468,7 @@ def collect_rollout_fused(
     key: jax.Array,
     gamma: float = 1.0,
     lam: float = 0.95,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = None,
     interpret: bool = False,
     noise=None,
 ):

@@ -65,7 +65,7 @@ def main():
     @functools.partial(jax.jit, static_argnums=())
     def rollout_scalar(params, key):
         tb = pallas_rollout.collect_rollout_fused_T(env_cfg, params, key)
-        return tb.packed.sum() + tb.advantages.sum() + tb.returns.sum()
+        return tb.obs_t.sum() + tb.advantages.sum() + tb.returns.sum()
 
     t0 = time.time()
     float(rollout_scalar(ts.params, jax.random.PRNGKey(1)))
