@@ -168,3 +168,17 @@ def test_train_iteration_with_fused_rollout_runs():
         for a, b in zip(jax.tree_util.tree_leaves(ts.params), jax.tree_util.tree_leaves(new_ts.params))
     )
     assert moved
+
+
+def test_auto_tile_selection():
+    """auto_tile picks the widest lane tile fitting Mosaic's 16M scoped
+    vmem (pallas_rollout.auto_tile); 2048 exceeds it at T=200 but fits at
+    short horizons, and noise-injected runs budget the extra input block."""
+    at = pallas_rollout.auto_tile
+    assert at(1 << 18, 200, False) == 1024  # config-5 production choice
+    assert at(1 << 18, 40, False) == 2048  # short horizon frees vmem
+    assert at(1 << 18, 200, True) < at(1 << 18, 200, False)  # noise block costs
+    assert at(512, 200, False) == 512  # never exceeds n
+    assert at(640, 200, False) == 128  # must divide n
+    tile = at(1 << 18, 200, False)
+    assert (1 << 18) % tile == 0 and tile % pallas_rollout.LANES == 0
