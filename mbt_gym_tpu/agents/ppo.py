@@ -56,7 +56,8 @@ class PPOConfig:
     fused_compute_dtype: str = "bfloat16"
     # Fused Pallas policy+env rollout (ops/pallas_rollout.py): the MLP
     # forward runs with VMEM-resident activations inside the episode
-    # kernel.  AS-config + shared_trunk only; single-chip (mesh=None).
+    # kernel.  Limit-order (AS / CJ-MM) and trading-speed (OE) families,
+    # shared_trunk only; single-chip (mesh=None).
     fused_rollout: bool = False
     # None -> auto: widest lane tile fitting scoped vmem (pallas_rollout.auto_tile)
     fused_rollout_tile: int | None = None

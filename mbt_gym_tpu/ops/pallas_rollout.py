@@ -10,12 +10,18 @@ with ``X (features, lanes)``), so the matmul chain never leaves VMEM and
 only the fundamental per-step outputs (obs, action, log-prob, value,
 reward ≈ 36 B/env-step) are written out.
 
-Scope: the flagship market-making model family (BM midprice + Poisson
-arrivals + exponential fill + limit-order dynamics) with PnL, CjMm, or
-RunningInventoryPenalty rewards — i.e. both the bench_suite config-5
-production path and the "learning to make a market" CJ training setting —
-with the shared-trunk actor-critic of ``networks.init_actor_critic(
-shared_trunk=True)``.  Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
+Scope: two model families, both with the shared-trunk actor-critic of
+``networks.init_actor_critic(shared_trunk=True)``:
+
+- "limit": the flagship market-making family (BM midprice + Poisson
+  arrivals + exponential fill + limit-order dynamics) with PnL, CjMm, or
+  RunningInventoryPenalty rewards — the bench_suite config-5 production
+  path and the "learning to make a market" CJ training setting;
+- "speed": the optimal-execution family (BM midprice + trading-speed
+  dynamics + temporary-and-permanent impact, ModelDynamics.py:243-275)
+  with PnL or CjOe rewards — the Test_2 / bench_suite config-3 setting.
+
+Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
 engine + networks on the SAME noise.
 """
@@ -58,19 +64,26 @@ class MlpRolloutParams(NamedTuple):
     initial_cash: float
     initial_inventory: float
     start_time: float
-    obs_low: tuple  # (4,) cash, inventory, time, price
+    obs_low: tuple  # (S,) cash, inventory, time, price[, impact state]
     obs_grad: tuple  # (high - low) / 2 per channel
-    act_low: tuple  # (2,) bid/ask depth lower bounds
+    act_low: tuple  # (A,) bid/ask depth (limit) or speed (speed) lower bounds
     act_grad: tuple
     normalise_obs: bool
     normalise_act: bool
     # reward: "pnl" (RewardFunctions.py:20-36), "cjmm" (pathwise CJ MM
-    # criterion, :77-113) or "running" (RunningInventoryPenalty, :116-141),
-    # all with inventory exponent 2.
+    # criterion, :77-113), "running" (RunningInventoryPenalty, :116-141)
+    # or "cjoe" (CJ optimal-execution criterion, :39-74), all with
+    # inventory exponent 2.
     reward_kind: str = "pnl"
     phi: float = 0.0  # per-step inventory aversion
     alpha: float = 0.0  # terminal inventory aversion
     terminal_time: float = 1.0
+    # dynamics: "limit" (ModelDynamics.py:87-131) or "speed" (:243-275,
+    # trading-speed execution against temporary + permanent impact; the
+    # intensity/fill fields above are unused there).
+    dynamics_kind: str = "limit"
+    temporary_impact: float = 0.0
+    permanent_impact: float = 0.0
 
     @property
     def run_steps(self) -> int:
@@ -78,30 +91,60 @@ class MlpRolloutParams(NamedTuple):
 
 
 def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
-    from mbt_gym_tpu.dynamics import LimitOrderDynamics
+    from mbt_gym_tpu.dynamics import LimitOrderDynamics, TradingWithSpeedDynamics
     from mbt_gym_tpu.processes.arrivals import PoissonArrivals
     from mbt_gym_tpu.processes.fills import ExponentialFill
+    from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
     from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
-    from mbt_gym_tpu.rewards import CjMmCriterion, PnL, RunningInventoryPenalty
+    from mbt_gym_tpu.rewards import (
+        CjMmCriterion, CjOeCriterion, PnL, RunningInventoryPenalty,
+    )
 
     d = cfg.dynamics
-    assert isinstance(d, LimitOrderDynamics), "fused rollout: limit-order dynamics only"
     assert isinstance(d.midprice_model, BrownianMotionMidprice)
-    assert isinstance(d.arrival_model, PoissonArrivals)
-    assert isinstance(d.fill_probability_model, ExponentialFill)
     r = cfg.reward_function
-    if isinstance(r, PnL):
-        reward_kind, phi, alpha = "pnl", 0.0, 0.0
-    elif isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
-        reward_kind = "cjmm"
-        phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
-    elif isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
-        reward_kind = "running"
-        phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+    if isinstance(d, LimitOrderDynamics):
+        assert isinstance(d.arrival_model, PoissonArrivals)
+        assert isinstance(d.fill_probability_model, ExponentialFill)
+        dynamics_kind = "limit"
+        temp_imp = perm_imp = 0.0
+        intensity = d.arrival_model.intensity
+        fill_exponent = d.fill_probability_model.fill_exponent
+        if isinstance(r, PnL):
+            reward_kind, phi, alpha = "pnl", 0.0, 0.0
+        elif isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
+            reward_kind = "cjmm"
+            phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+        elif isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
+            reward_kind = "running"
+            phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+        else:
+            raise AssertionError(
+                f"fused rollout (limit dynamics) supports PnL / CjMmCriterion / "
+                f"RunningInventoryPenalty (exponent 2); got {r}"
+            )
+    elif isinstance(d, TradingWithSpeedDynamics):
+        assert isinstance(d.price_impact_model, TemporaryAndPermanentImpact), (
+            "fused rollout (speed dynamics): TemporaryAndPermanentImpact only"
+        )
+        dynamics_kind = "speed"
+        temp_imp = d.price_impact_model.temporary_impact_coefficient
+        perm_imp = d.price_impact_model.permanent_impact_coefficient
+        intensity = (0.0, 0.0)
+        fill_exponent = 0.0
+        if isinstance(r, PnL):
+            reward_kind, phi, alpha = "pnl", 0.0, 0.0
+        elif isinstance(r, CjOeCriterion) and r.inventory_exponent == 2.0:
+            reward_kind = "cjoe"
+            phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+        else:
+            raise AssertionError(
+                f"fused rollout (speed dynamics) supports PnL / CjOeCriterion "
+                f"(exponent 2); got {r}"
+            )
     else:
         raise AssertionError(
-            f"fused rollout supports PnL / CjMmCriterion / "
-            f"RunningInventoryPenalty (exponent 2); got {r}"
+            "fused rollout: limit-order or trading-speed dynamics only"
         )
     assert cfg.reward_scaling is None
     assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
@@ -118,9 +161,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         drift=d.midprice_model.drift,
         volatility=d.midprice_model.volatility,
         initial_price=d.midprice_model.initial_price,
-        intensity_bid=d.arrival_model.intensity[0],
-        intensity_ask=d.arrival_model.intensity[1],
-        fill_exponent=d.fill_probability_model.fill_exponent,
+        intensity_bid=intensity[0],
+        intensity_ask=intensity[1],
+        fill_exponent=fill_exponent,
         max_inventory=float(cfg.max_inventory),
         max_cash=float(cfg.resolved_max_cash()),
         initial_cash=float(cfg.initial_cash),
@@ -136,6 +179,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         phi=phi,
         alpha=alpha,
         terminal_time=cfg.terminal_time,
+        dynamics_kind=dynamics_kind,
+        temporary_impact=temp_imp,
+        permanent_impact=perm_imp,
     )
 
 
@@ -171,33 +217,47 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
                   is_last=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is the
     7-channel tuple of N_CHANNELS; ``is_last`` (traced bool) marks the
-    terminal step for the "running" reward.  Returns (new_carry, outputs)."""
+    terminal step for the "running" reward.  The carry is (cash, inv,
+    price) for "limit" dynamics plus a trailing permanent-impact plane for
+    "speed".  Returns (new_carry, outputs)."""
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
-    cash, inv, price = carry
+    if p.dynamics_kind == "speed":
+        cash, inv, price, imp = carry
+    else:
+        cash, inv, price = carry
     L = cash.shape[-1]
     u_ab, u_aa, u_fb, u_fa, eps0, eps1, n_mid = draws
 
     # --- observation the policy sees (normalised per env flags) ---
+    # Column order = raw_observation: cash, inventory, time, then process
+    # states in slot order (midprice; + the permanent-impact state for
+    # speed dynamics, whose state column is observed).
     time_plane = jnp.full((1, L), t_val, jnp.float32)
     planes = [cash, inv, time_plane, price]
+    if p.dynamics_kind == "speed":
+        planes.append(imp)
     if p.normalise_obs:
         planes = [
             (x - p.obs_low[c]) / p.obs_grad[c] - 1.0 for c, x in enumerate(planes)
         ]
-    X = jnp.concatenate(planes, axis=0)  # (4, L)
+    X = jnp.concatenate(planes, axis=0)  # (S, L)
 
     # --- policy/value forward, transposed ---
+    # bf16 matmuls are safe on normalised [-1, 1] observations; raw-scale
+    # observations (e.g. price ~ 100 in the unnormalised OE config) lose
+    # ~1e-2 absolute on the policy mean in bf16, so compute f32 there.
+    cdt = jnp.bfloat16 if p.normalise_obs else jnp.float32
     h = X
     for li in range(n_layers):
         w_ref, b_ref = trunk[li]
-        h = jnp.tanh(_mmT(w_ref[:], h) + b_ref[:])
-    hd = _mmT(w_head_ref[:], h) + b_head_ref[:]  # (A+1, L)
+        h = jnp.tanh(_mmT(w_ref[:], h, cdt) + b_ref[:])
+    hd = _mmT(w_head_ref[:], h, cdt) + b_head_ref[:]  # (A+1, L)
     mean = hd[0:a_dim]
     value = hd[a_dim : a_dim + 1]
 
     # --- Gaussian sample; log-prob of the UNCLIPPED sample (SB3 convention) ---
     log_std = lstd_ref[:]  # (A, 1)
-    eps = jnp.concatenate([eps0, eps1], axis=0)  # (A, L)
+    eps = jnp.concatenate([eps0, eps1], axis=0)[:a_dim]  # (A, L)
     action = mean + jnp.exp(log_std) * eps
     logp = jnp.sum(-0.5 * eps * eps - log_std, axis=0, keepdims=True) - (
         0.5 * _LOG_2PI * a_dim
@@ -206,24 +266,38 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # --- executed action: clip to the box, then to model units ---
     if p.normalise_act:
         clipped = jnp.clip(action, -1.0, 1.0)
-        bid_depth = (clipped[0:1] + 1.0) * p.act_grad[0] + p.act_low[0]
-        ask_depth = (clipped[1:2] + 1.0) * p.act_grad[1] + p.act_low[1]
+        exec_action = tuple(
+            (clipped[c : c + 1] + 1.0) * p.act_grad[c] + p.act_low[c]
+            for c in range(a_dim)
+        )
     else:
-        bid_depth = jnp.clip(action[0:1], p.act_low[0], p.act_low[0] + 2 * p.act_grad[0])
-        ask_depth = jnp.clip(action[1:2], p.act_low[1], p.act_low[1] + 2 * p.act_grad[1])
+        exec_action = tuple(
+            jnp.clip(action[c : c + 1], p.act_low[c], p.act_low[c] + 2 * p.act_grad[c])
+            for c in range(a_dim)
+        )
 
-    # --- env step (TradingEnvironment.py:198-216 order) ---
-    k = p.fill_exponent
-    arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
-    arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
-    fill_bid = (u_fb < jnp.exp(-k * bid_depth)).astype(jnp.float32)
-    fill_ask = (u_fa < jnp.exp(-k * ask_depth)).astype(jnp.float32)
-    fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
-    fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
-    hit_bid = arr_bid * fill_bid
-    hit_ask = arr_ask * fill_ask
-    new_inv = inv + hit_bid - hit_ask
-    new_cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    if p.dynamics_kind == "limit":
+        bid_depth, ask_depth = exec_action
+        # --- env step (TradingEnvironment.py:198-216 order) ---
+        k = p.fill_exponent
+        arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
+        arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
+        fill_bid = (u_fb < jnp.exp(-k * bid_depth)).astype(jnp.float32)
+        fill_ask = (u_fa < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+        fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
+        fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
+        hit_bid = arr_bid * fill_bid
+        hit_ask = arr_ask * fill_ask
+        new_inv = inv + hit_bid - hit_ask
+        new_cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    else:  # "speed" (ModelDynamics.py:243-275; impact per
+        # price_impact_models.py:64-96, pre-update impact state)
+        (speed,) = exec_action
+        execution_price = price + (p.temporary_impact * speed + imp)
+        volume = speed * p.dt
+        new_inv = inv + volume
+        new_cash = cash - volume * execution_price
+        new_imp = imp + p.permanent_impact * speed * p.dt
     # Inventory/cash clipping BEFORE the reward, like env.step
     # (TradingEnvironment.py:283-297; clip_events diagnostics are an
     # XLA-engine feature — use it when the clip is expected to bind).
@@ -234,7 +308,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # Reward at the post-bookkeeping, post-price-move state (both sides
     # mark at their own price).  "cjmm": pathwise CJ criterion
     # (RewardFunctions.py:96-109 with exponent 2); "running": terminal
-    # penalty at the last step only (:128-138).
+    # penalty at the last step only (:128-138); "cjoe": CJ execution
+    # criterion with the terminal aversion spread over steps (:39-74).
     pnl = (new_cash + new_inv * new_price) - (cash + inv * price)
     if p.reward_kind == "pnl":
         reward = pnl
@@ -247,6 +322,16 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             - p.alpha * (new_inv * new_inv - inv * inv)
             - const
         )
+    elif p.reward_kind == "cjoe":
+        (speed,) = exec_action
+        episode_length = p.terminal_time - p.start_time
+        reward = (
+            pnl
+            - p.dt * p.phi * new_inv * new_inv
+            - p.dt * p.alpha * (
+                2.0 * speed * inv + (p.initial_inventory**2) * episode_length
+            )
+        )
     else:  # "running"
         terminal = is_last.astype(jnp.float32)
         reward = (
@@ -254,7 +339,10 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             - p.dt * p.phi * new_inv * new_inv
             - p.alpha * terminal * new_inv * new_inv
         )
-    return (new_cash, new_inv, new_price), (X, action, logp, value, reward)
+    new_carry = (new_cash, new_inv, new_price)
+    if p.dynamics_kind == "speed":
+        new_carry = new_carry + (new_imp,)
+    return new_carry, (X, action, logp, value, reward)
 
 
 def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool):
@@ -311,20 +399,39 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             jnp.full((1, L), p.initial_inventory, jnp.float32),
             jnp.full((1, L), p.initial_price, jnp.float32),
         )
+        if p.dynamics_kind == "speed":
+            # permanent-impact state starts at zero (ProcessBase.initial_state)
+            init = init + (jnp.zeros((1, L), jnp.float32),)
         jax.lax.fori_loop(0, p.run_steps, body, init)
 
     return kernel
 
 
-def auto_tile(n: int, run_steps: int, has_noise: bool) -> int:
+def _sublane_pad(d: int) -> int:
+    """Padded second-minor extent of a (T, d, lanes) f32 block: XLA tiles
+    the sublane dim with the largest power-of-two tile <= 8 that divides
+    it, else pads up (observed: d=4 -> T(4,128) unpadded, d=5 -> T(8,128)
+    padded to 8 — an 18.79M scoped-vmem OOM at tile 1024 for the S=5 OE
+    obs block)."""
+    if d >= 8:
+        return -(-d // 8) * 8
+    return d if d & (d - 1) == 0 else (4 if d == 3 else 8)
+
+
+def auto_tile(
+    n: int, run_steps: int, has_noise: bool, s_dim: int = 4, a_dim: int = 2
+) -> int:
     """Widest lane tile whose double-buffered per-program output blocks
-    (T x (S+A+3) x tile f32, plus the noise input block when injected)
-    fit Mosaic's 16M scoped vmem with margin.  Lane width is the dominant
-    rollout throughput lever — 1024 lanes measured 86.9 ms vs 165.4 ms at
-    512 for the 52.4M-step config-5 rollout (scripts/exp_rollout_kernel.py);
-    2048 exceeds scoped vmem at T=200."""
+    (T x (S+A+3) x tile f32, sublane-padded, plus the noise input block
+    when injected) fit Mosaic's 16M scoped vmem with margin.  Lane width
+    is the dominant rollout throughput lever — 1024 lanes measured 86.9 ms
+    vs 165.4 ms at 512 for the 52.4M-step config-5 rollout
+    (scripts/exp_rollout_kernel.py); 2048 exceeds scoped vmem at T=200."""
     budget = 15 * 1024 * 1024
-    per_lane = 2 * run_steps * 4 * (S_DIM + A_DIM + 3 + (N_CHANNELS if has_noise else 0))
+    channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
+    if has_noise:
+        channels += _sublane_pad(N_CHANNELS)
+    per_lane = 2 * run_steps * 4 * channels
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= n and n % cand == 0 and cand * per_lane <= budget:
             return cand
@@ -358,7 +465,10 @@ def mlp_rollout_pallas(
     n = num_trajectories
     T = p.run_steps
     if tile is None:
-        tile = auto_tile(n, T, noise is not None)
+        tile = auto_tile(
+            n, T, noise is not None,
+            s_dim=len(p.obs_low), a_dim=len(p.act_low),
+        )
     assert n % tile == 0 and tile % LANES == 0, (n, tile)
     grid = n // tile
     trunk, w_head, b_head, log_std = transpose_params(params)
@@ -384,7 +494,7 @@ def mlp_rollout_pallas(
     inputs += [w_head, b_head, log_std]
     in_specs += [full(w_head.shape), full(b_head.shape), full(log_std.shape)]
 
-    s_dim = 4
+    s_dim = len(p.obs_low)  # 4 (limit) or 5 (speed: + impact state column)
     out_shape = [
         jax.ShapeDtypeStruct((T, s_dim, n), jnp.float32),  # obs
         jax.ShapeDtypeStruct((T, a_dim, n), jnp.float32),  # actions

@@ -84,7 +84,7 @@ def test_fused_rollout_config_guard():
 
     cfg = as_env_config(num_trajectories=N)
     bad = dataclasses.replace(cfg, reward_function=ExponentialUtility())
-    with pytest.raises(AssertionError, match="fused rollout supports"):
+    with pytest.raises(AssertionError, match="limit dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(bad)
     # CjMm / RunningInventoryPenalty (exponent 2) are supported reward kinds.
     p = pallas_rollout.rollout_params_from_config(
@@ -182,3 +182,122 @@ def test_auto_tile_selection():
     assert at(640, 200, False) == 128  # must divide n
     tile = at(1 << 18, 200, False)
     assert (1 << 18) % tile == 0 and tile % pallas_rollout.LANES == 0
+
+
+# ------------------------------------------------------- speed dynamics (OE)
+def _xla_reference_speed(env_cfg, params, channels):
+    """Independent replica of the fused speed-dynamics rollout: the general
+    engine + networks on the same injected noise (optimal-execution family,
+    utils.config.oe_env_config — normalise flags off, so actions clip to
+    the +/- max_speed box)."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4:5].T  # (N, 1)
+        action = mean + std * eps
+        logp = networks.gaussian_log_prob(params, mean, action)
+        clipped = jnp.clip(action, low, high)
+        noise = (
+            SlotNoise(normal=channels[t, 6][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=None),  # impact model: noise-free
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, action, logp, v, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+@pytest.mark.parametrize("reward_name", ["cjoe", "pnl"])
+def test_fused_rollout_speed_dynamics_matches_xla_engine(reward_name):
+    """Optimal-execution family: trading-speed dynamics + temporary-and-
+    permanent impact with the CjOe / PnL rewards must reproduce the XLA
+    engine on the same noise (interpret mode)."""
+    from mbt_gym_tpu.rewards import PnL
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    env_cfg = oe_env_config(num_trajectories=N, n_steps=T)
+    if reward_name == "pnl":
+        env_cfg = dataclasses.replace(env_cfg, reward_function=PnL())
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(5), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    rng = np.random.default_rng(21)
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.dynamics_kind == "speed"
+    assert p.reward_kind == reward_name
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference_speed(
+        env_cfg, params, channels
+    )
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+def test_speed_dynamics_config_guard():
+    from mbt_gym_tpu.processes.impact import TemporaryPowerImpact
+    from mbt_gym_tpu.rewards import ExponentialUtility
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    cfg = oe_env_config(num_trajectories=N)
+    with pytest.raises(AssertionError, match="speed dynamics.*supports"):
+        pallas_rollout.rollout_params_from_config(
+            dataclasses.replace(cfg, reward_function=ExponentialUtility())
+        )
+    bad_impact = dataclasses.replace(
+        cfg,
+        dynamics=dataclasses.replace(
+            cfg.dynamics, price_impact_model=TemporaryPowerImpact()
+        ),
+    )
+    with pytest.raises(AssertionError, match="TemporaryAndPermanentImpact"):
+        pallas_rollout.rollout_params_from_config(bad_impact)
+
+
+def test_train_iteration_with_fused_speed_rollout_runs():
+    """End-to-end fused PPO (rollout + update) on the optimal-execution
+    family in CPU interpret mode — finite metrics and param movement."""
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    env_cfg = oe_env_config(num_trajectories=128, n_steps=8)
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_interpret_ok=True,
+        fused_update=True, fused_tile=128, fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    new_ts, metrics = ppo.jit_train_iteration(
+        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1)
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, new_ts.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
+def test_auto_tile_speed_family():
+    """S=5 obs blocks sublane-pad to 8, so the OE family fits only 512
+    lanes at T=200 (observed 18.79M scoped-vmem OOM at 1024 on v5e)."""
+    at = pallas_rollout.auto_tile
+    assert at(1 << 18, 200, False, s_dim=5, a_dim=1) == 512
+    assert pallas_rollout._sublane_pad(4) == 4
+    assert pallas_rollout._sublane_pad(5) == 8
+    assert pallas_rollout._sublane_pad(3) == 4
+    assert pallas_rollout._sublane_pad(12) == 16
