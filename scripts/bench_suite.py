@@ -4,12 +4,13 @@ Prints a markdown table (stdout) of amortized env-steps/s per config on the
 current default JAX backend (real TPU chip under the platform default, or
 CPU for smoke runs with --small).
 
-Configs (BASELINE.json "configs"):
+Configs (BASELINE.json "configs"; 6 is a repo addition):
  1. AS market making, 16k envs, 200-step episodes (headline; also bench.py)
  2. CJP market making with CjMm reward, 1000 steps
  3. Optimal execution, speed dynamics + impact, 8192 envs
  4. Composite: Hawkes + exogenous-MM fills + limit-and-market, 64k envs
  5. Pod scale: 1M envs feeding the on-device PPO-style rollout consumer
+ 6. The fused PPO pipeline on the optimal-execution family (speed + CjOe)
 """
 from __future__ import annotations
 
@@ -131,6 +132,21 @@ def main():
         measure_ppo(
             "5. PPO consumer, 262k envs/chip (1M-env pod share)",
             ppo_cfg5,
+            n_minibatches=4 if args.small else 16,
+        )
+    )
+
+    # Config 6: the same fully-fused PPO pipeline on the optimal-execution
+    # family (speed dynamics + CjOe reward, normalised spaces) — the
+    # second model family the fused rollout kernel covers.
+    cfg6 = dataclasses.replace(
+        oe_env_config(num_trajectories=(1 << 18) // scale),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    rows.append(
+        measure_ppo(
+            "6. PPO on optimal execution, 262k envs/chip",
+            cfg6,
             n_minibatches=4 if args.small else 16,
         )
     )
