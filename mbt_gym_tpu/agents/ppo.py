@@ -246,25 +246,42 @@ def _fused_grads_and_metrics(params, ppo_cfg: PPOConfig, mb: RolloutBatch):
     return grads, metrics
 
 
-def _fused_train_iteration(
-    env_cfg: EnvConfig, ppo_cfg: PPOConfig, train_state: PPOTrainState, key: jax.Array
-) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
-    """Fully-fused single-chip path (fused_rollout AND fused_update): the
-    rollout kernel's feature-major (T, C, N) buffers feed the transposed
-    update kernel directly — no transpose is ever materialized and no array
-    is lane-padded (a row-major (T, N, 4) f32 buffer pads 32x -> 26.8 GB at
-    pod batch, which OOMs HBM).  Minibatches are contiguous ENV slices (all
-    T timesteps each); with shuffle=False this mixes at least as well as
-    the row-major path's time-contiguous blocks."""
+def _fused_iteration_body(
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    params,
+    opt_state,
+    key: jax.Array,
+    axis_name: str | None = None,
+    noise=None,
+):
+    """Fully-fused pipeline (fused_rollout AND fused_update) over ONE
+    device's env shard: the rollout kernel's feature-major (T, C, N)
+    buffers feed the transposed update kernel directly — no transpose is
+    ever materialized and no array is lane-padded (a row-major (T, N, 4)
+    f32 buffer pads 32x -> 26.8 GB at pod batch, which OOMs HBM).
+    Minibatches are contiguous ENV slices (all T timesteps each); with
+    shuffle=False this mixes at least as well as the row-major path's
+    time-contiguous blocks.
+
+    ``axis_name`` (mesh mode, called under ``jax.shard_map``): gradients,
+    metrics and the advantage-normalisation statistics are ``pmean``-ed
+    over that axis, so every device applies the identical optimizer update
+    and params stay replicated — the fused-kernel analogue of GSPMD's
+    gradient all-reduce in the XLA path.  ``noise`` is this shard's
+    injected (T, 7, n_local) channel block (CPU-mesh tests)."""
     from mbt_gym_tpu.ops import fused_ppo, pallas_rollout
 
     assert not ppo_cfg.shuffle, "fused path uses contiguous env-slice minibatches"
     interpret = jax.default_backend() != "tpu"
+    if axis_name is not None:
+        # Distinct per-device noise streams from the replicated key.
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     rollout_key, _ = jax.random.split(key)
     tb = pallas_rollout.collect_rollout_fused_T(
-        env_cfg, train_state.params, rollout_key,
+        env_cfg, params, rollout_key,
         gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,
-        tile=ppo_cfg.fused_rollout_tile, interpret=interpret,
+        tile=ppo_cfg.fused_rollout_tile, interpret=interpret, noise=noise,
     )
     n = env_cfg.num_trajectories
     nb = n // ppo_cfg.n_minibatches
@@ -282,13 +299,26 @@ def _fused_train_iteration(
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, nb, axis=x.ndim - 1)
         adv = sl(tb.advantages)
         if ppo_cfg.normalise_advantages:
-            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            if axis_name is None:
+                adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            else:
+                # Cross-device minibatch statistics: every shard normalises
+                # with the same global mean/std, so the update is identical
+                # to a single chip holding the whole minibatch.
+                mean = jax.lax.pmean(adv.mean(), axis_name)
+                std = jnp.sqrt(jax.lax.pmean(((adv - mean) ** 2).mean(), axis_name))
+                adv = (adv - mean) / (std + 1e-8)
         grads, metrics = fused_ppo.ppo_fused_grads_T(
             params, sl(tb.obs_t), sl(tb.actions_t), sl(tb.log_probs), adv, sl(tb.returns),
             clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
             tile=tile, interpret=interpret,
             compute_dtype=ppo_cfg.fused_compute_dtype,
         )
+        if axis_name is not None:
+            # Per-shard grads/metrics are means over the local minibatch;
+            # equal shard sizes make pmean the exact global mean.
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         if ppo_cfg.ent_coef:
             grads["log_std"] = grads["log_std"] - ppo_cfg.ent_coef
         metrics = dict(metrics)
@@ -301,14 +331,75 @@ def _fused_train_iteration(
         return jax.lax.scan(mb_body, carry, jnp.arange(ppo_cfg.n_minibatches))
 
     (params, opt_state), metrics = jax.lax.scan(
-        epoch_body, (train_state.params, train_state.opt_state), None,
-        length=ppo_cfg.n_epochs,
+        epoch_body, (params, opt_state), None, length=ppo_cfg.n_epochs,
+    )
+    out_metrics = {k: v.mean() for k, v in metrics.items()}
+    reward = tb.rewards.sum(axis=0).mean()
+    if axis_name is not None:
+        reward = jax.lax.pmean(reward, axis_name)
+    out_metrics["mean_episode_reward"] = reward
+    return params, opt_state, out_metrics
+
+
+def _fused_train_iteration(
+    env_cfg: EnvConfig, ppo_cfg: PPOConfig, train_state: PPOTrainState, key: jax.Array
+) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
+    """Single-chip fully-fused path — see :func:`_fused_iteration_body`."""
+    params, opt_state, out_metrics = _fused_iteration_body(
+        env_cfg, ppo_cfg, train_state.params, train_state.opt_state, key
     )
     new_state = PPOTrainState(
         params=params, opt_state=opt_state, update_count=train_state.update_count + 1
     )
-    out_metrics = {k: v.mean() for k, v in metrics.items()}
-    out_metrics["mean_episode_reward"] = tb.rewards.sum(axis=0).mean()
+    return new_state, out_metrics
+
+
+def _fused_train_iteration_mesh(
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_state: PPOTrainState,
+    key: jax.Array,
+    mesh,
+    noise=None,
+) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
+    """Data-parallel fully-fused path: envs shard over the mesh's 'data'
+    axis, every device runs the fused rollout+update Pallas kernels on its
+    shard, and the per-minibatch gradient ``pmean`` keeps params
+    replicated — the fused-kernel counterpart of the XLA path's GSPMD DP
+    (SURVEY.md §5.8).  Params/opt-state/key are replicated in and out;
+    only the collectives (grad/metric/adv-stat pmeans) cross the ICI.
+
+    ``noise``: optional (T, 7, N) injected channels (global env axis last),
+    sharded per device — the CPU-mesh validation mode."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape["data"]
+    assert mesh.shape.get("model", 1) == 1, (
+        "fused kernels hold the whole MLP per device (replicated-params "
+        "DP); use the XLA path for tensor-parallel learners"
+    )
+    n = env_cfg.num_trajectories
+    assert n % n_dev == 0, (n, n_dev)
+    local_cfg = dataclasses.replace(env_cfg, num_trajectories=n // n_dev)
+
+    def body(params, opt_state, key, *maybe_noise):
+        return _fused_iteration_body(
+            local_cfg, ppo_cfg, params, opt_state, key, axis_name="data",
+            noise=maybe_noise[0] if maybe_noise else None,
+        )
+
+    in_specs = [P(), P(), P()]
+    args = [train_state.params, train_state.opt_state, key]
+    if noise is not None:
+        in_specs.append(P(None, None, "data"))
+        args.append(noise)
+    params, opt_state, out_metrics = jax.shard_map(
+        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(*args)
+    new_state = PPOTrainState(
+        params=params, opt_state=opt_state, update_count=train_state.update_count + 1
+    )
     return new_state, out_metrics
 
 
@@ -325,7 +416,6 @@ def train_iteration(
     if ppo_cfg.fused_rollout:
         from mbt_gym_tpu.ops import pallas_rollout
 
-        assert mesh is None, "fused_rollout is the single-chip fast path"
         assert ppo_cfg.shared_trunk, "fused_rollout requires shared_trunk=True"
         if jax.default_backend() != "tpu" and not ppo_cfg.fused_interpret_ok:
             raise RuntimeError(
@@ -337,7 +427,12 @@ def train_iteration(
         if ppo_cfg.fused_update:
             # Fully-fused feature-major pipeline: never materializes a
             # row-major (T, N, S) buffer (32x lane padding at pod batch).
+            if mesh is not None:
+                return _fused_train_iteration_mesh(
+                    env_cfg, ppo_cfg, train_state, key, mesh
+                )
             return _fused_train_iteration(env_cfg, ppo_cfg, train_state, key)
+        assert mesh is None, "fused_rollout without fused_update is single-chip"
         batch = pallas_rollout.collect_rollout_fused(
             env_cfg, train_state.params, rollout_key,
             gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,
