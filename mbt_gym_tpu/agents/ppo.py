@@ -370,7 +370,12 @@ def _fused_train_iteration_mesh(
     only the collectives (grad/metric/adv-stat pmeans) cross the ICI.
 
     ``noise``: optional (T, 7, N) injected channels (global env axis last),
-    sharded per device — the CPU-mesh validation mode."""
+    sharded per device — the CPU-mesh validation mode.  NOTE: off-TPU with
+    ``noise=None`` the rollout kernel falls back to the Mosaic TPU
+    interpreter, whose host callbacks do not compose with a MULTI-PROCESS
+    mesh (deadlock); single-process virtual-device meshes are fine, and
+    cross-process CPU validation must inject noise
+    (tests/test_multihost.py::WORKER_FUSED)."""
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape["data"]

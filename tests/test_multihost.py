@@ -97,6 +97,65 @@ WORKER_PPO = textwrap.dedent(
 )
 
 
+WORKER_FUSED = textwrap.dedent(
+    """
+    import sys, os, hashlib
+    proc_id = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+    )
+    import dataclasses
+    import numpy as np
+    from jax.sharding import Mesh
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1, 1), ("data", "model"))
+    T, N = 8, 256
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=N, n_steps=T),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    # Fully-fused Pallas pipeline with INJECTED noise (the plain-HLO
+    # interpret mode; the Mosaic TPU interpreter's host callbacks do not
+    # compose with a cross-process mesh).  The per-minibatch grad/adv-stat
+    # pmeans cross the Gloo boundary; both ranks must land on
+    # bitwise-identical, moved params.
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_update=True, fused_tile=128, fused_interpret_ok=True,
+        fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    from mbt_gym_tpu.ops import pallas_rollout
+    rng = np.random.default_rng(3)  # same on both ranks
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    new_ts, metrics = ppo._fused_train_iteration_mesh(
+        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1), mesh, noise=channels
+    )
+    leaves = jax.tree_util.tree_leaves(jax.device_get(new_ts.params))
+    digest = hashlib.sha256(
+        b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)
+    ).hexdigest()
+    assert np.isfinite(float(metrics["pg_loss"])), metrics
+    moved = max(
+        float(abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(ts.params)), leaves
+        )
+    )
+    assert moved > 0.0
+    print(f"RESULT {digest} pg={float(metrics['pg_loss']):.9e}", flush=True)
+    """
+)
+
+
 def _run_two_process(tmp_path, worker_src):
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -135,6 +194,15 @@ def test_two_process_ppo_gradient_allreduce(tmp_path):
     gradient all-reduce must leave both ranks with bitwise-identical params
     (VERDICT round-1 weak-item 5)."""
     results = _run_two_process(tmp_path, WORKER_PPO)
+    assert results[0] == results[1], results
+
+
+@pytest.mark.skipif(os.environ.get("MBT_SKIP_MULTIHOST") == "1", reason="disabled")
+def test_two_process_fused_pipeline_allreduce(tmp_path):
+    """Fully-fused Pallas PPO pipeline (shard_map DP) over a 2-process mesh:
+    the fused path's grad/adv-stat pmeans must cross the real process
+    boundary and leave both ranks with bitwise-identical params."""
+    results = _run_two_process(tmp_path, WORKER_FUSED)
     assert results[0] == results[1], results
 
 
