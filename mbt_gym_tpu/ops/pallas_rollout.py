@@ -19,7 +19,10 @@ Scope: two model families, both with the shared-trunk actor-critic of
   path and the "learning to make a market" CJ training setting;
 - "speed": the optimal-execution family (BM midprice + trading-speed
   dynamics + temporary-and-permanent impact, ModelDynamics.py:243-275)
-  with PnL or CjOe rewards — the Test_2 / bench_suite config-3 setting.
+  with PnL or CjOe rewards — the Test_2 / bench_suite config-3 setting;
+- "touch": post-or-not at a fixed half-spread (AtTheTouchModelDynamics,
+  ModelDynamics.py:134-176) with Poisson arrivals and the same reward
+  kinds as "limit" — fills ARE the clipped action columns.
 
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
@@ -78,12 +81,14 @@ class MlpRolloutParams(NamedTuple):
     phi: float = 0.0  # per-step inventory aversion
     alpha: float = 0.0  # terminal inventory aversion
     terminal_time: float = 1.0
-    # dynamics: "limit" (ModelDynamics.py:87-131) or "speed" (:243-275,
+    # dynamics: "limit" (ModelDynamics.py:87-131), "speed" (:243-275,
     # trading-speed execution against temporary + permanent impact; the
-    # intensity/fill fields above are unused there).
+    # intensity/fill fields above are unused there) or "touch" (:134-176,
+    # post-or-not at fixed_half_spread; fill_exponent unused).
     dynamics_kind: str = "limit"
     temporary_impact: float = 0.0
     permanent_impact: float = 0.0
+    fixed_half_spread: float = 0.0
 
     @property
     def run_steps(self) -> int:
@@ -91,7 +96,9 @@ class MlpRolloutParams(NamedTuple):
 
 
 def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
-    from mbt_gym_tpu.dynamics import LimitOrderDynamics, TradingWithSpeedDynamics
+    from mbt_gym_tpu.dynamics import (
+        AtTheTouchDynamics, LimitOrderDynamics, TradingWithSpeedDynamics,
+    )
     from mbt_gym_tpu.processes.arrivals import PoissonArrivals
     from mbt_gym_tpu.processes.fills import ExponentialFill
     from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
@@ -100,29 +107,43 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         CjMmCriterion, CjOeCriterion, PnL, RunningInventoryPenalty,
     )
 
+    def _mm_reward(r, label):
+        """PnL / CjMm / RunningInventoryPenalty — the market-making reward
+        kinds shared by the limit and touch dynamics."""
+        if isinstance(r, PnL):
+            return "pnl", 0.0, 0.0
+        if isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
+            return "cjmm", r.per_step_inventory_aversion, r.terminal_inventory_aversion
+        if isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
+            return (
+                "running", r.per_step_inventory_aversion, r.terminal_inventory_aversion
+            )
+        raise AssertionError(
+            f"fused rollout ({label} dynamics) supports PnL / CjMmCriterion / "
+            f"RunningInventoryPenalty (exponent 2); got {r}"
+        )
+
     d = cfg.dynamics
     assert isinstance(d.midprice_model, BrownianMotionMidprice)
     r = cfg.reward_function
-    if isinstance(d, LimitOrderDynamics):
+    half_spread = 0.0
+    if isinstance(d, AtTheTouchDynamics):
+        assert isinstance(d.arrival_model, PoissonArrivals)
+        dynamics_kind = "touch"
+        temp_imp = perm_imp = 0.0
+        intensity = d.arrival_model.intensity
+        fill_exponent = 0.0
+        half_spread = float(d.fixed_market_half_spread)
+        reward_kind, phi, alpha = _mm_reward(r, "touch")
+    elif isinstance(d, LimitOrderDynamics) and d.action_dim == 2:
+        # (the 4-action LimitAndMarketOrderDynamics subclass is excluded)
         assert isinstance(d.arrival_model, PoissonArrivals)
         assert isinstance(d.fill_probability_model, ExponentialFill)
         dynamics_kind = "limit"
         temp_imp = perm_imp = 0.0
         intensity = d.arrival_model.intensity
         fill_exponent = d.fill_probability_model.fill_exponent
-        if isinstance(r, PnL):
-            reward_kind, phi, alpha = "pnl", 0.0, 0.0
-        elif isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
-            reward_kind = "cjmm"
-            phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
-        elif isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
-            reward_kind = "running"
-            phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
-        else:
-            raise AssertionError(
-                f"fused rollout (limit dynamics) supports PnL / CjMmCriterion / "
-                f"RunningInventoryPenalty (exponent 2); got {r}"
-            )
+        reward_kind, phi, alpha = _mm_reward(r, "limit")
     elif isinstance(d, TradingWithSpeedDynamics):
         assert isinstance(d.price_impact_model, TemporaryAndPermanentImpact), (
             "fused rollout (speed dynamics): TemporaryAndPermanentImpact only"
@@ -144,7 +165,8 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             )
     else:
         raise AssertionError(
-            "fused rollout: limit-order or trading-speed dynamics only"
+            "fused rollout: limit-order, at-the-touch or trading-speed "
+            "dynamics only"
         )
     assert cfg.reward_scaling is None
     assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
@@ -182,6 +204,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         dynamics_kind=dynamics_kind,
         temporary_impact=temp_imp,
         permanent_impact=perm_imp,
+        fixed_half_spread=half_spread,
     )
 
 
@@ -290,6 +313,21 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         hit_ask = arr_ask * fill_ask
         new_inv = inv + hit_bid - hit_ask
         new_cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    elif p.dynamics_kind == "touch":
+        # Post-or-not at the fixed half-spread (ModelDynamics.py:134-176):
+        # fills ARE the clipped action columns (continuous, like the XLA
+        # engine's dynamics.get_arrivals_and_fills), masked at the
+        # inventory boundary exactly like env.step step 2.
+        post_bid, post_ask = exec_action
+        hs = p.fixed_half_spread
+        arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
+        arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
+        fill_bid = post_bid * (inv < p.max_inventory).astype(jnp.float32)
+        fill_ask = post_ask * (inv > -p.max_inventory).astype(jnp.float32)
+        hit_bid = arr_bid * fill_bid
+        hit_ask = arr_ask * fill_ask
+        new_inv = inv + hit_bid - hit_ask
+        new_cash = cash - hit_bid * (price - hs) + hit_ask * (price + hs)
     else:  # "speed" (ModelDynamics.py:243-275; impact per
         # price_impact_models.py:64-96, pre-update impact state)
         (speed,) = exec_action

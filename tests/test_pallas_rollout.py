@@ -292,6 +292,133 @@ def test_train_iteration_with_fused_speed_rollout_runs():
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
 
 
+# ---------------------------------------------------- at-the-touch dynamics
+def _touch_env_config(reward_function=None, **kw):
+    from mbt_gym_tpu.dynamics import AtTheTouchDynamics
+    from mbt_gym_tpu.processes.arrivals import PoissonArrivals
+    from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+    from mbt_gym_tpu.rewards import PnL
+
+    if reward_function is None:
+        reward_function = PnL()
+    return env_lib.EnvConfig(
+        dynamics=AtTheTouchDynamics(
+            midprice_model=BrownianMotionMidprice(volatility=2.0),
+            arrival_model=PoissonArrivals(intensity=(140.0, 140.0)),
+            fixed_market_half_spread=0.5,
+        ),
+        reward_function=reward_function,
+        n_steps=kw.pop("n_steps", T),
+        terminal_time=1.0,
+        num_trajectories=kw.pop("num_trajectories", N),
+        normalise_observation_space=True,
+        **kw,
+    )
+
+
+def _xla_reference_touch(env_cfg, params, channels):
+    """Independent replica of the fused at-the-touch rollout: the general
+    engine + networks on the same injected noise.  Action normalisation is
+    forbidden for this family, so actions clip to the {0,1} box; fills are
+    the clipped columns themselves (dynamics.AtTheTouchDynamics)."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4:6].T  # (N, 2)
+        action = mean + std * eps
+        logp = networks.gaussian_log_prob(params, mean, action)
+        clipped = jnp.clip(action, low, high)
+        noise = (
+            SlotNoise(normal=channels[t, 6][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, action, logp, v, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+@pytest.mark.parametrize("reward_name", ["pnl", "cjmm", "running"])
+def test_fused_rollout_touch_dynamics_matches_xla_engine(reward_name):
+    """At-the-touch family: post-or-not fills at the fixed half-spread with
+    the market-making reward kinds must reproduce the XLA engine on the
+    same noise (interpret mode)."""
+    from mbt_gym_tpu.rewards import CjMmCriterion, PnL, RunningInventoryPenalty
+
+    reward = {
+        "pnl": PnL(),
+        "cjmm": CjMmCriterion(
+            per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001,
+            terminal_time=1.0,
+        ),
+        "running": RunningInventoryPenalty(
+            per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001
+        ),
+    }[reward_name]
+    env_cfg = _touch_env_config(reward_function=reward)
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(11), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    rng = np.random.default_rng(33)
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.dynamics_kind == "touch"
+    assert p.reward_kind == reward_name
+    assert p.fixed_half_spread == 0.5
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference_touch(
+        env_cfg, params, channels
+    )
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+def test_touch_dynamics_config_guard():
+    from mbt_gym_tpu.rewards import ExponentialUtility
+
+    with pytest.raises(AssertionError, match="touch dynamics.*supports"):
+        pallas_rollout.rollout_params_from_config(
+            _touch_env_config(reward_function=ExponentialUtility())
+        )
+
+
+def test_train_iteration_with_fused_touch_rollout_runs():
+    """End-to-end fused PPO (rollout + update) on the at-the-touch family
+    in CPU interpret mode — finite metrics and param movement."""
+    from mbt_gym_tpu.agents import ppo
+
+    env_cfg = _touch_env_config(num_trajectories=128, n_steps=8)
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_interpret_ok=True,
+        fused_update=True, fused_tile=128, fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    new_ts, metrics = ppo.jit_train_iteration(
+        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1)
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, new_ts.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
 def test_auto_tile_speed_family():
     """S=5 obs blocks sublane-pad to 8, so the OE family fits only 512
     lanes at T=200 (observed 18.79M scoped-vmem OOM at 1024 on v5e)."""
