@@ -139,6 +139,48 @@ def oe_env_config(
     )
 
 
+def touch_env_config(
+    num_trajectories: int = 1000,
+    initial_price: float = 100.0,
+    terminal_time: float = 1.0,
+    sigma: float = 2.0,
+    n_steps: int = 200,
+    arrival_rate: float = 140.0,
+    fixed_market_half_spread: float = 0.5,
+    per_step_inventory_aversion: float = 0.01,
+    terminal_inventory_aversion: float = 0.001,
+    max_inventory: float = 100.0,
+    dtype: str = "float32",
+) -> EnvConfig:
+    """At-the-touch market making: post-or-not at a fixed half-spread
+    (AtTheTouchModelDynamics, ModelDynamics.py:134-176) with the running
+    inventory penalty.  Action normalisation stays off — the action box is
+    the reference's MultiBinary(2) exposed as {0,1} columns."""
+    from mbt_gym_tpu.dynamics import AtTheTouchDynamics
+
+    dynamics = AtTheTouchDynamics(
+        midprice_model=BrownianMotionMidprice(
+            initial_price=initial_price, volatility=sigma, terminal_time=terminal_time
+        ),
+        arrival_model=PoissonArrivals(intensity=(arrival_rate, arrival_rate)),
+        fixed_market_half_spread=fixed_market_half_spread,
+    )
+    return EnvConfig(
+        dynamics=dynamics,
+        reward_function=RunningInventoryPenalty(
+            per_step_inventory_aversion=per_step_inventory_aversion,
+            terminal_inventory_aversion=terminal_inventory_aversion,
+        ),
+        terminal_time=terminal_time,
+        n_steps=n_steps,
+        max_inventory=max_inventory,
+        num_trajectories=num_trajectories,
+        normalise_action_space=False,
+        normalise_observation_space=False,
+        dtype=dtype,
+    )
+
+
 def composite_env_config(
     num_trajectories: int = 65536,
     initial_price: float = 100.0,

@@ -11,6 +11,7 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
  4. Composite: Hawkes + exogenous-MM fills + limit-and-market, 64k envs
  5. Pod scale: 1M envs feeding the on-device PPO-style rollout consumer
  6. The fused PPO pipeline on the optimal-execution family (speed + CjOe)
+ 7. The fused PPO pipeline on the at-the-touch family (running penalty)
 """
 from __future__ import annotations
 
@@ -93,6 +94,7 @@ def main():
         cj_env_config,
         composite_env_config,
         oe_env_config,
+        touch_env_config,
     )
 
     rows = []
@@ -147,6 +149,23 @@ def main():
         measure_ppo(
             "6. PPO on optimal execution, 262k envs/chip",
             cfg6,
+            n_minibatches=4 if args.small else 16,
+        )
+    )
+
+    # Config 7: fused PPO on the at-the-touch family (post-or-not fills at
+    # a fixed half-spread, running inventory penalty) — the third model
+    # family the fused rollout kernel covers.  Action normalisation is
+    # forbidden for this dynamics (MultiBinary semantics); observations
+    # are normalised so the rollout kernel's matmuls run in bf16.
+    cfg7 = dataclasses.replace(
+        touch_env_config(num_trajectories=(1 << 18) // scale),
+        normalise_observation_space=True,
+    )
+    rows.append(
+        measure_ppo(
+            "7. PPO on at-the-touch MM, 262k envs/chip",
+            cfg7,
             n_minibatches=4 if args.small else 16,
         )
     )
