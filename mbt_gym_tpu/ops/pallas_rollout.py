@@ -10,7 +10,7 @@ with ``X (features, lanes)``), so the matmul chain never leaves VMEM and
 only the fundamental per-step outputs (obs, action, log-prob, value,
 reward ≈ 36 B/env-step) are written out.
 
-Scope: two model families, both with the shared-trunk actor-critic of
+Scope: four model families, all with the shared-trunk actor-critic of
 ``networks.init_actor_critic(shared_trunk=True)``:
 
 - "limit": the flagship market-making family (BM midprice + Poisson
@@ -22,7 +22,12 @@ Scope: two model families, both with the shared-trunk actor-critic of
   with PnL or CjOe rewards — the Test_2 / bench_suite config-3 setting;
 - "touch": post-or-not at a fixed half-spread (AtTheTouchModelDynamics,
   ModelDynamics.py:134-176) with Poisson arrivals and the same reward
-  kinds as "limit" — fills ARE the clipped action columns.
+  kinds as "limit" — fills ARE the clipped action columns;
+- "lam": limit orders PLUS unit market orders
+  (LimitAndMarketOrderModelDynamics, ModelDynamics.py:179-240) — 4 action
+  columns (bid/ask depth, MO-buy, MO-sell; a market order fires when its
+  column exceeds 0.5, trading at mid +/- the fixed half-spread), same
+  reward kinds as "limit".
 
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
@@ -46,8 +51,16 @@ LANES = 128
 _LOG_2PI = math.log(2.0 * math.pi)
 GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 
-# Injected-noise channel order (noise mode):
-N_CHANNELS = 7  # u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps0, eps1, n_mid
+# Injected-noise channel order (noise mode): 4 env uniforms (u_arr_bid,
+# u_arr_ask, u_fill_bid, u_fill_ask), then max(a_dim, 2) policy-sample
+# normals, then the midprice normal.  7 for every a_dim<=2 family; 9 for
+# the 4-action "lam" family.
+N_CHANNELS = 7
+
+
+def n_noise_channels(a_dim: int) -> int:
+    """Injected-noise channel count for a family with ``a_dim`` actions."""
+    return 4 + max(a_dim, 2) + 1
 
 
 class MlpRolloutParams(NamedTuple):
@@ -83,8 +96,10 @@ class MlpRolloutParams(NamedTuple):
     terminal_time: float = 1.0
     # dynamics: "limit" (ModelDynamics.py:87-131), "speed" (:243-275,
     # trading-speed execution against temporary + permanent impact; the
-    # intensity/fill fields above are unused there) or "touch" (:134-176,
-    # post-or-not at fixed_half_spread; fill_exponent unused).
+    # intensity/fill fields above are unused there), "touch" (:134-176,
+    # post-or-not at fixed_half_spread; fill_exponent unused) or "lam"
+    # (:179-240, limit orders + unit market orders at mid +/-
+    # fixed_half_spread).
     dynamics_kind: str = "limit"
     temporary_impact: float = 0.0
     permanent_impact: float = 0.0
@@ -97,7 +112,8 @@ class MlpRolloutParams(NamedTuple):
 
 def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     from mbt_gym_tpu.dynamics import (
-        AtTheTouchDynamics, LimitOrderDynamics, TradingWithSpeedDynamics,
+        AtTheTouchDynamics, LimitAndMarketOrderDynamics, LimitOrderDynamics,
+        TradingWithSpeedDynamics,
     )
     from mbt_gym_tpu.processes.arrivals import PoissonArrivals
     from mbt_gym_tpu.processes.fills import ExponentialFill
@@ -135,8 +151,16 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         fill_exponent = 0.0
         half_spread = float(d.fixed_market_half_spread)
         reward_kind, phi, alpha = _mm_reward(r, "touch")
+    elif isinstance(d, LimitAndMarketOrderDynamics):
+        assert isinstance(d.arrival_model, PoissonArrivals)
+        assert isinstance(d.fill_probability_model, ExponentialFill)
+        dynamics_kind = "lam"
+        temp_imp = perm_imp = 0.0
+        intensity = d.arrival_model.intensity
+        fill_exponent = d.fill_probability_model.fill_exponent
+        half_spread = float(d.fixed_market_half_spread)
+        reward_kind, phi, alpha = _mm_reward(r, "lam")
     elif isinstance(d, LimitOrderDynamics) and d.action_dim == 2:
-        # (the 4-action LimitAndMarketOrderDynamics subclass is excluded)
         assert isinstance(d.arrival_model, PoissonArrivals)
         assert isinstance(d.fill_probability_model, ExponentialFill)
         dynamics_kind = "limit"
@@ -165,8 +189,8 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             )
     else:
         raise AssertionError(
-            "fused rollout: limit-order, at-the-touch or trading-speed "
-            "dynamics only"
+            "fused rollout: limit-order, limit-and-market-order, "
+            "at-the-touch or trading-speed dynamics only"
         )
     assert cfg.reward_scaling is None
     assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
@@ -238,18 +262,19 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
 
 def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
                   is_last=None):
-    """One fused policy+env step for a (.., L) lane tile.  ``draws`` is the
-    7-channel tuple of N_CHANNELS; ``is_last`` (traced bool) marks the
-    terminal step for the "running" reward.  The carry is (cash, inv,
-    price) for "limit" dynamics plus a trailing permanent-impact plane for
-    "speed".  Returns (new_carry, outputs)."""
+    """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
+    ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
+    n_mid)``; ``is_last`` (traced bool) marks the terminal step for the
+    "running" reward.  The carry is (cash, inv, price) for "limit" dynamics
+    plus a trailing permanent-impact plane for "speed".  Returns
+    (new_carry, outputs)."""
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
     if p.dynamics_kind == "speed":
         cash, inv, price, imp = carry
     else:
         cash, inv, price = carry
     L = cash.shape[-1]
-    u_ab, u_aa, u_fb, u_fa, eps0, eps1, n_mid = draws
+    u_ab, u_aa, u_fb, u_fa, eps_all, n_mid = draws
 
     # --- observation the policy sees (normalised per env flags) ---
     # Column order = raw_observation: cash, inventory, time, then process
@@ -280,7 +305,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 
     # --- Gaussian sample; log-prob of the UNCLIPPED sample (SB3 convention) ---
     log_std = lstd_ref[:]  # (A, 1)
-    eps = jnp.concatenate([eps0, eps1], axis=0)[:a_dim]  # (A, L)
+    eps = eps_all[:a_dim]  # (A, L)
     action = mean + jnp.exp(log_std) * eps
     logp = jnp.sum(-0.5 * eps * eps - log_std, axis=0, keepdims=True) - (
         0.5 * _LOG_2PI * a_dim
@@ -313,6 +338,34 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         hit_ask = arr_ask * fill_ask
         new_inv = inv + hit_bid - hit_ask
         new_cash = cash - hit_bid * (price - bid_depth) + hit_ask * (price + ask_depth)
+    elif p.dynamics_kind == "lam":
+        # Limit orders + unit market orders (ModelDynamics.py:179-240):
+        # a market order fires when its column exceeds 0.5, buying at
+        # mid + half_spread / selling at mid - half_spread (:202-215),
+        # BEFORE the standard limit-order bookkeeping.  Limit-fill masking
+        # uses the PRE-STEP inventory, exactly like env.step step 2
+        # (TradingEnvironment.py:323-327 masks before update_state).
+        bid_depth, ask_depth, mo_buy_raw, mo_sell_raw = exec_action
+        hs = p.fixed_half_spread
+        mo_buy = (mo_buy_raw > 0.5).astype(jnp.float32)
+        mo_sell = (mo_sell_raw > 0.5).astype(jnp.float32)
+        k = p.fill_exponent
+        arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
+        arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
+        fill_bid = (u_fb < jnp.exp(-k * bid_depth)).astype(jnp.float32)
+        fill_ask = (u_fa < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+        fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
+        fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
+        hit_bid = arr_bid * fill_bid
+        hit_ask = arr_ask * fill_ask
+        new_inv = inv + (mo_buy - mo_sell) + hit_bid - hit_ask
+        new_cash = (
+            cash
+            + mo_sell * (price - hs)
+            - mo_buy * (price + hs)
+            - hit_bid * (price - bid_depth)
+            + hit_ask * (price + ask_depth)
+        )
     elif p.dynamics_kind == "touch":
         # Post-or-not at the fixed half-spread (ModelDynamics.py:134-176):
         # fills ARE the clipped action columns (continuous, like the XLA
@@ -400,22 +453,36 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             # `seed + program_id` across calls with nearby seeds.
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         L = obs_ref.shape[-1]
+        n_eps = max(a_dim, 2)  # policy-sample normal rows (channel layout)
+        # Box-Muller pairs covering n_eps action normals + 1 midprice
+        # normal; for n_eps=2 this reproduces the original draw stream
+        # exactly (4 uniforms -> [cos0, cos1, sin0, sin1]).
+        pairs = (n_eps + 2) // 2
 
         def hw_draws():
             u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
-            bm_u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
-            r = jnp.sqrt(-2.0 * jnp.log(1.0 - bm_u[0:2]))
-            theta = (2.0 * math.pi) * bm_u[2:4]
-            cosz = r * jnp.cos(theta)  # (2, L): action eps
-            sinz = r * jnp.sin(theta)  # (2, L): row 0 = midprice normal
-            return (u[0:1], u[1:2], u[2:3], u[3:4], cosz[0:1], cosz[1:2], sinz[0:1])
+            bm_u = _uniform_from_bits(pltpu.prng_random_bits((2 * pairs, L)))
+            r = jnp.sqrt(-2.0 * jnp.log(1.0 - bm_u[0:pairs]))
+            theta = (2.0 * math.pi) * bm_u[pairs:]
+            normals = jnp.concatenate(
+                [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0
+            )  # (2*pairs, L): rows [0, n_eps) = action eps, row n_eps = midprice
+            return (
+                u[0:1], u[1:2], u[2:3], u[3:4],
+                normals[0:n_eps], normals[n_eps : n_eps + 1],
+            )
 
         weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
 
         def body(i, carry):
             t_val = p.start_time + i.astype(jnp.float32) * p.dt
             if use_noise:
-                draws = tuple(noise_ref[i, c : c + 1] for c in range(N_CHANNELS))
+                draws = (
+                    noise_ref[i, 0:1], noise_ref[i, 1:2],
+                    noise_ref[i, 2:3], noise_ref[i, 3:4],
+                    noise_ref[i, 4 : 4 + n_eps],
+                    noise_ref[i, 4 + n_eps : 5 + n_eps],
+                )
             else:
                 draws = hw_draws()
             new_carry, (X, action, logp, value, reward) = _rollout_step(
@@ -468,7 +535,7 @@ def auto_tile(
     budget = 15 * 1024 * 1024
     channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
     if has_noise:
-        channels += _sublane_pad(N_CHANNELS)
+        channels += _sublane_pad(n_noise_channels(a_dim))
     per_lane = 2 * run_steps * 4 * channels
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= n and n % cand == 0 and cand * per_lane <= budget:
@@ -496,9 +563,9 @@ def mlp_rollout_pallas(
     dimension throughout, so nothing is lane-padded; the 2D single-channel
     streams avoid sublane padding too.
 
-    ``noise`` (optional): (T, 7, N) injected channels (4 env uniforms, 2
-    policy-sample normals, 1 midprice normal) replacing the hardware PRNG —
-    the CPU-testable parity mode.
+    ``noise`` (optional): (T, n_noise_channels(a_dim), N) injected channels
+    (4 env uniforms, max(a_dim, 2) policy-sample normals, 1 midprice
+    normal) replacing the hardware PRNG — the CPU-testable parity mode.
     """
     n = num_trajectories
     T = p.run_steps
@@ -523,9 +590,10 @@ def mlp_rollout_pallas(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
         noise = jnp.asarray(noise, jnp.float32)
-        assert noise.shape == (T, N_CHANNELS, n), noise.shape
+        n_ch = n_noise_channels(len(p.act_low))
+        assert noise.shape == (T, n_ch, n), (noise.shape, n_ch)
         inputs.append(noise)
-        in_specs.append(pl.BlockSpec((T, N_CHANNELS, tile), lambda i: (0, 0, i)))
+        in_specs.append(pl.BlockSpec((T, n_ch, tile), lambda i: (0, 0, i)))
     for w, b in trunk:
         inputs += [w, b]
         in_specs += [full(w.shape), full(b.shape)]

@@ -181,6 +181,50 @@ def touch_env_config(
     )
 
 
+def lam_env_config(
+    num_trajectories: int = 1000,
+    initial_price: float = 100.0,
+    terminal_time: float = 1.0,
+    sigma: float = 2.0,
+    n_steps: int = 200,
+    arrival_rate: float = 140.0,
+    fill_exponent: float = 1.5,
+    fixed_market_half_spread: float = 0.5,
+    per_step_inventory_aversion: float = 0.01,
+    terminal_inventory_aversion: float = 0.001,
+    max_inventory: float = 100.0,
+    dtype: str = "float32",
+) -> EnvConfig:
+    """Limit-and-market-order market making: limit quotes plus unit market
+    orders at mid +/- the fixed half-spread
+    (LimitAndMarketOrderModelDynamics, ModelDynamics.py:179-240) with
+    Poisson arrivals, exponential fills and the running inventory penalty —
+    the canonical 4-action MM setting, and the fourth model family covered
+    by the fused Pallas PPO pipeline (bench_suite config 8)."""
+    dynamics = LimitAndMarketOrderDynamics(
+        midprice_model=BrownianMotionMidprice(
+            initial_price=initial_price, volatility=sigma, terminal_time=terminal_time
+        ),
+        arrival_model=PoissonArrivals(intensity=(arrival_rate, arrival_rate)),
+        fill_probability_model=ExponentialFill(fill_exponent=fill_exponent),
+        fixed_market_half_spread=fixed_market_half_spread,
+    )
+    return EnvConfig(
+        dynamics=dynamics,
+        reward_function=RunningInventoryPenalty(
+            per_step_inventory_aversion=per_step_inventory_aversion,
+            terminal_inventory_aversion=terminal_inventory_aversion,
+        ),
+        terminal_time=terminal_time,
+        n_steps=n_steps,
+        max_inventory=max_inventory,
+        num_trajectories=num_trajectories,
+        normalise_action_space=False,
+        normalise_observation_space=False,
+        dtype=dtype,
+    )
+
+
 def composite_env_config(
     num_trajectories: int = 65536,
     initial_price: float = 100.0,

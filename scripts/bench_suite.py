@@ -12,6 +12,7 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
  5. Pod scale: 1M envs feeding the on-device PPO-style rollout consumer
  6. The fused PPO pipeline on the optimal-execution family (speed + CjOe)
  7. The fused PPO pipeline on the at-the-touch family (running penalty)
+ 8. The fused PPO pipeline on the limit-and-market-order family (a_dim=4)
 """
 from __future__ import annotations
 
@@ -93,6 +94,7 @@ def main():
         as_env_config,
         cj_env_config,
         composite_env_config,
+        lam_env_config,
         oe_env_config,
         touch_env_config,
     )
@@ -166,6 +168,21 @@ def main():
         measure_ppo(
             "7. PPO on at-the-touch MM, 262k envs/chip",
             cfg7,
+            n_minibatches=4 if args.small else 16,
+        )
+    )
+
+    # Config 8: fused PPO on the limit-and-market-order family — 4 action
+    # columns (bid/ask depths + MO-buy/MO-sell triggers), the fourth and
+    # final dynamics family the fused rollout kernel covers.
+    cfg8 = dataclasses.replace(
+        lam_env_config(num_trajectories=(1 << 18) // scale),
+        normalise_observation_space=True,
+    )
+    rows.append(
+        measure_ppo(
+            "8. PPO on limit-and-market MM, 262k envs/chip",
+            cfg8,
             n_minibatches=4 if args.small else 16,
         )
     )

@@ -419,6 +419,132 @@ def test_train_iteration_with_fused_touch_rollout_runs():
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
 
 
+# -------------------------------------------- limit-and-market-order dynamics
+def _xla_reference_lam(env_cfg, params, channels):
+    """Independent replica of the fused limit-and-market-order rollout: the
+    general engine + networks on the same injected noise.  The 9-channel
+    layout is 4 env uniforms, 4 policy-sample normals (a_dim=4), then the
+    midprice normal (pallas_rollout.n_noise_channels)."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4:8].T  # (N, 4)
+        action = mean + std * eps
+        logp = networks.gaussian_log_prob(params, mean, action)
+        clipped = jnp.clip(action, low, high)
+        noise = (
+            SlotNoise(normal=channels[t, 8][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, action, logp, v, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+@pytest.mark.parametrize("reward_name", ["pnl", "cjmm", "running"])
+def test_fused_rollout_lam_dynamics_matches_xla_engine(reward_name):
+    """Limit-and-market-order family (a_dim=4): limit quotes plus unit
+    market orders at mid +/- half_spread with the market-making reward
+    kinds must reproduce the XLA engine on the same noise (interpret
+    mode).  The policy-sample normals are scaled up so market orders
+    actually fire (columns 2/3 must cross the 0.5 trigger)."""
+    from mbt_gym_tpu.rewards import CjMmCriterion, PnL, RunningInventoryPenalty
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    reward = {
+        "pnl": PnL(),
+        "cjmm": CjMmCriterion(
+            per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001,
+            terminal_time=1.0,
+        ),
+        "running": RunningInventoryPenalty(
+            per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001
+        ),
+    }[reward_name]
+    env_cfg = dataclasses.replace(
+        lam_env_config(num_trajectories=N, n_steps=T),
+        reward_function=reward, normalise_observation_space=True,
+    )
+    assert env_cfg.action_dim == 4
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(7), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    # log_std=0 by init; widen the sample spread so MO columns cross 0.5
+    params = dict(params, log_std=params["log_std"] + 0.5)
+    n_ch = pallas_rollout.n_noise_channels(env_cfg.action_dim)
+    assert n_ch == 9
+    rng = np.random.default_rng(41)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:9] = rng.normal(size=(T, 5, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.dynamics_kind == "lam"
+    assert p.reward_kind == reward_name
+    assert p.fixed_half_spread == 0.5
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference_lam(
+        env_cfg, params, channels
+    )
+    # market orders must actually fire for the test to exercise MO paths
+    assert float(jnp.sum((ref_act[..., 2:] > 0.5).astype(jnp.float32))) > 0
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+def test_lam_dynamics_config_guard():
+    from mbt_gym_tpu.rewards import ExponentialUtility
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    with pytest.raises(AssertionError, match="lam dynamics.*supports"):
+        pallas_rollout.rollout_params_from_config(
+            dataclasses.replace(
+                lam_env_config(num_trajectories=N),
+                reward_function=ExponentialUtility(),
+            )
+        )
+
+
+def test_train_iteration_with_fused_lam_rollout_runs():
+    """End-to-end fused PPO (rollout + update) on the limit-and-market-order
+    family in CPU interpret mode — finite metrics and param movement."""
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    env_cfg = dataclasses.replace(
+        lam_env_config(num_trajectories=128, n_steps=8),
+        normalise_observation_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_interpret_ok=True,
+        fused_update=True, fused_tile=128, fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    new_ts, metrics = ppo.jit_train_iteration(
+        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1)
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, new_ts.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
 def test_auto_tile_speed_family():
     """S=5 obs blocks sublane-pad to 8, so the OE family fits only 512
     lanes at T=200 (observed 18.79M scoped-vmem OOM at 1024 on v5e)."""
