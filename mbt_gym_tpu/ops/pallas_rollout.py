@@ -87,9 +87,10 @@ class MlpRolloutParams(NamedTuple):
     normalise_obs: bool
     normalise_act: bool
     # reward: "pnl" (RewardFunctions.py:20-36), "cjmm" (pathwise CJ MM
-    # criterion, :77-113), "running" (RunningInventoryPenalty, :116-141)
-    # or "cjoe" (CJ optimal-execution criterion, :39-74), all with
-    # inventory exponent 2.
+    # criterion, :77-113), "running" (RunningInventoryPenalty, :116-141),
+    # "cjoe" (CJ optimal-execution criterion, :39-74) — all with inventory
+    # exponent 2 — or "exp_utility" (terminal-only exponential utility,
+    # :149-166, with `risk_aversion` below).
     reward_kind: str = "pnl"
     phi: float = 0.0  # per-step inventory aversion
     alpha: float = 0.0  # terminal inventory aversion
@@ -104,6 +105,7 @@ class MlpRolloutParams(NamedTuple):
     temporary_impact: float = 0.0
     permanent_impact: float = 0.0
     fixed_half_spread: float = 0.0
+    risk_aversion: float = 0.0  # "exp_utility" reward only
 
     @property
     def run_steps(self) -> int:
@@ -120,23 +122,31 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
     from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
     from mbt_gym_tpu.rewards import (
-        CjMmCriterion, CjOeCriterion, PnL, RunningInventoryPenalty,
+        CjMmCriterion, CjOeCriterion, ExponentialUtility, PnL,
+        RunningInventoryPenalty,
     )
 
     def _mm_reward(r, label):
-        """PnL / CjMm / RunningInventoryPenalty — the market-making reward
-        kinds shared by the limit and touch dynamics."""
+        """PnL / CjMm / RunningInventoryPenalty / ExponentialUtility — the
+        market-making reward kinds shared by the limit, lam and touch
+        dynamics.  Returns (kind, phi, alpha, risk_aversion)."""
         if isinstance(r, PnL):
-            return "pnl", 0.0, 0.0
+            return "pnl", 0.0, 0.0, 0.0
         if isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
-            return "cjmm", r.per_step_inventory_aversion, r.terminal_inventory_aversion
+            return (
+                "cjmm", r.per_step_inventory_aversion,
+                r.terminal_inventory_aversion, 0.0,
+            )
         if isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
             return (
-                "running", r.per_step_inventory_aversion, r.terminal_inventory_aversion
+                "running", r.per_step_inventory_aversion,
+                r.terminal_inventory_aversion, 0.0,
             )
+        if isinstance(r, ExponentialUtility):
+            return "exp_utility", 0.0, 0.0, r.risk_aversion
         raise AssertionError(
             f"fused rollout ({label} dynamics) supports PnL / CjMmCriterion / "
-            f"RunningInventoryPenalty (exponent 2); got {r}"
+            f"RunningInventoryPenalty (exponent 2) / ExponentialUtility; got {r}"
         )
 
     d = cfg.dynamics
@@ -150,7 +160,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         intensity = d.arrival_model.intensity
         fill_exponent = 0.0
         half_spread = float(d.fixed_market_half_spread)
-        reward_kind, phi, alpha = _mm_reward(r, "touch")
+        reward_kind, phi, alpha, gamma_u = _mm_reward(r, "touch")
     elif isinstance(d, LimitAndMarketOrderDynamics):
         assert isinstance(d.arrival_model, PoissonArrivals)
         assert isinstance(d.fill_probability_model, ExponentialFill)
@@ -159,7 +169,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         intensity = d.arrival_model.intensity
         fill_exponent = d.fill_probability_model.fill_exponent
         half_spread = float(d.fixed_market_half_spread)
-        reward_kind, phi, alpha = _mm_reward(r, "lam")
+        reward_kind, phi, alpha, gamma_u = _mm_reward(r, "lam")
     elif isinstance(d, LimitOrderDynamics) and d.action_dim == 2:
         assert isinstance(d.arrival_model, PoissonArrivals)
         assert isinstance(d.fill_probability_model, ExponentialFill)
@@ -167,7 +177,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         temp_imp = perm_imp = 0.0
         intensity = d.arrival_model.intensity
         fill_exponent = d.fill_probability_model.fill_exponent
-        reward_kind, phi, alpha = _mm_reward(r, "limit")
+        reward_kind, phi, alpha, gamma_u = _mm_reward(r, "limit")
     elif isinstance(d, TradingWithSpeedDynamics):
         assert isinstance(d.price_impact_model, TemporaryAndPermanentImpact), (
             "fused rollout (speed dynamics): TemporaryAndPermanentImpact only"
@@ -177,15 +187,19 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         perm_imp = d.price_impact_model.permanent_impact_coefficient
         intensity = (0.0, 0.0)
         fill_exponent = 0.0
+        gamma_u = 0.0
         if isinstance(r, PnL):
             reward_kind, phi, alpha = "pnl", 0.0, 0.0
         elif isinstance(r, CjOeCriterion) and r.inventory_exponent == 2.0:
             reward_kind = "cjoe"
             phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
+        elif isinstance(r, ExponentialUtility):
+            reward_kind, phi, alpha = "exp_utility", 0.0, 0.0
+            gamma_u = r.risk_aversion
         else:
             raise AssertionError(
                 f"fused rollout (speed dynamics) supports PnL / CjOeCriterion "
-                f"(exponent 2); got {r}"
+                f"(exponent 2) / ExponentialUtility; got {r}"
             )
     else:
         raise AssertionError(
@@ -229,6 +243,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         temporary_impact=temp_imp,
         permanent_impact=perm_imp,
         fixed_half_spread=half_spread,
+        risk_aversion=gamma_u,
     )
 
 
@@ -422,6 +437,13 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             - p.dt * p.alpha * (
                 2.0 * speed * inv + (p.initial_inventory**2) * episode_length
             )
+        )
+    elif p.reward_kind == "exp_utility":
+        # -exp(-gamma * terminal mark-to-market) at the last step, else 0
+        # (RewardFunctions.py:149-166).
+        terminal = is_last.astype(jnp.float32)
+        reward = terminal * -jnp.exp(
+            -p.risk_aversion * (new_cash + new_inv * new_price)
         )
     else:  # "running"
         terminal = is_last.astype(jnp.float32)

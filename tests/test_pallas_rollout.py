@@ -83,9 +83,17 @@ def test_fused_rollout_config_guard():
     from mbt_gym_tpu.rewards import CjMmCriterion, ExponentialUtility, RunningInventoryPenalty
 
     cfg = as_env_config(num_trajectories=N)
-    bad = dataclasses.replace(cfg, reward_function=ExponentialUtility())
+    # non-quadratic inventory penalties stay on the XLA path
+    bad = dataclasses.replace(
+        cfg, reward_function=RunningInventoryPenalty(inventory_exponent=3.0)
+    )
     with pytest.raises(AssertionError, match="limit dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(bad)
+    # ExponentialUtility is a supported terminal-only reward kind
+    p = pallas_rollout.rollout_params_from_config(
+        dataclasses.replace(cfg, reward_function=ExponentialUtility(risk_aversion=0.3))
+    )
+    assert p.reward_kind == "exp_utility" and p.risk_aversion == 0.3
     # CjMm / RunningInventoryPenalty (exponent 2) are supported reward kinds.
     p = pallas_rollout.rollout_params_from_config(
         dataclasses.replace(
@@ -104,11 +112,13 @@ def test_fused_rollout_config_guard():
     assert p.reward_kind == "running"
 
 
-@pytest.mark.parametrize("reward_name", ["cjmm", "running"])
+@pytest.mark.parametrize("reward_name", ["cjmm", "running", "exp_utility"])
 def test_fused_rollout_cj_rewards_match_xla_engine(reward_name):
     """The CJ market-making reward kinds ("learning to make a market") must
     reproduce the XLA engine's per-step rewards on the same noise."""
     from mbt_gym_tpu.rewards import CjMmCriterion, RunningInventoryPenalty
+
+    from mbt_gym_tpu.rewards import ExponentialUtility
 
     if reward_name == "cjmm":
         reward = CjMmCriterion(
@@ -116,6 +126,10 @@ def test_fused_rollout_cj_rewards_match_xla_engine(reward_name):
             terminal_inventory_aversion=0.001,
             terminal_time=1.0,
         )
+    elif reward_name == "exp_utility":
+        # tiny risk aversion keeps exp(-gamma*wealth) in a testable range
+        # at price ~ 100
+        reward = ExponentialUtility(risk_aversion=0.01)
     else:
         reward = RunningInventoryPenalty(
             per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001
@@ -253,11 +267,19 @@ def test_speed_dynamics_config_guard():
     from mbt_gym_tpu.rewards import ExponentialUtility
     from mbt_gym_tpu.utils.config import oe_env_config
 
+    from mbt_gym_tpu.rewards import CjOeCriterion
+
     cfg = oe_env_config(num_trajectories=N)
     with pytest.raises(AssertionError, match="speed dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(
-            dataclasses.replace(cfg, reward_function=ExponentialUtility())
+            dataclasses.replace(
+                cfg, reward_function=CjOeCriterion(inventory_exponent=3.0)
+            )
         )
+    p = pallas_rollout.rollout_params_from_config(
+        dataclasses.replace(cfg, reward_function=ExponentialUtility(risk_aversion=0.3))
+    )
+    assert p.reward_kind == "exp_utility" and p.risk_aversion == 0.3
     bad_impact = dataclasses.replace(
         cfg,
         dynamics=dataclasses.replace(
@@ -388,11 +410,13 @@ def test_fused_rollout_touch_dynamics_matches_xla_engine(reward_name):
 
 
 def test_touch_dynamics_config_guard():
-    from mbt_gym_tpu.rewards import ExponentialUtility
+    from mbt_gym_tpu.rewards import RunningInventoryPenalty
 
     with pytest.raises(AssertionError, match="touch dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(
-            _touch_env_config(reward_function=ExponentialUtility())
+            _touch_env_config(
+                reward_function=RunningInventoryPenalty(inventory_exponent=3.0)
+            )
         )
 
 
@@ -506,14 +530,14 @@ def test_fused_rollout_lam_dynamics_matches_xla_engine(reward_name):
 
 
 def test_lam_dynamics_config_guard():
-    from mbt_gym_tpu.rewards import ExponentialUtility
+    from mbt_gym_tpu.rewards import RunningInventoryPenalty
     from mbt_gym_tpu.utils.config import lam_env_config
 
     with pytest.raises(AssertionError, match="lam dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(
             dataclasses.replace(
                 lam_env_config(num_trajectories=N),
-                reward_function=ExponentialUtility(),
+                reward_function=RunningInventoryPenalty(inventory_exponent=3.0),
             )
         )
 
