@@ -68,6 +68,10 @@ def measure_engine(
         return acc
 
     float(episodes(jax.random.PRNGKey(999)))  # compile
+    # Untimed warmup: the first post-compile dispatch pays relay/executable-
+    # cache warmup (~130 ms extra observed) — at ~30 ms/call that would
+    # dominate the timed window.
+    float(episodes(jax.random.PRNGKey(998)))
     # Chain iterations by data dependency, ONE scalar fetch at the end —
     # a per-iteration fetch adds the relay RTT (~30-50 ms) to every call.
     t0 = time.time()
@@ -117,6 +121,7 @@ def measure_pallas_trajectories(
         return acc
 
     float(episodes(jnp.int32(999)))
+    float(episodes(jnp.int32(998)))  # untimed warmup (see measure_engine)
     t0 = time.time()
     acc = None
     for i in range(iters):

@@ -33,6 +33,11 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
     t0 = time.time()
     float(thunk(jax.random.PRNGKey(0)))
     compile_s = time.time() - t0
+    # One untimed warmup dispatch: the first post-compile call pays relay/
+    # executable-cache warmup (~130 ms extra observed), which at ~30 ms/call
+    # configs would dominate the 3-call timed window (config 1 measured 179M
+    # cold vs ~800M warm in the same session).
+    float(thunk(jax.random.PRNGKey(99)))
     # Chain iterations by data dependency and fetch ONE scalar at the end:
     # a per-iteration fetch adds the full relay RTT (~30-50 ms, varies by
     # session) to every call, polluting the device-rate measurement.
