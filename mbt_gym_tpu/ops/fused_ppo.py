@@ -350,11 +350,29 @@ def ppo_fused_grads_T(
         (d for d in range(min(cap, T), 0, -1) if T % d == 0 and d % 8 == 0),
         T,
     )
-    grid = (n // tile, T // t_chunk)
-    m = T * n
+    # Scoped-vmem fit: shrink the lane tile when the footprint would exceed
+    # Mosaic's 16M stack.  Footprint = double-buffered input blocks
+    # (2 x 4 B x t_chunk x tile x (pad(S) + pad(A) + 3 flat channels)) plus
+    # the per-step live tensors, which scale with the lane width
+    # (~9600 B/lane at h=256: saved bf16 activations + f32 dz/dh/loss
+    # intermediates).  Calibrated on three measured points: T=200/Tc=40/
+    # tile=1024 fits (12.8M), tile=2048 OOMs at 19.95M, and the fallback
+    # t_chunk=T (T=100 has no multiple-of-8 divisor: Mosaic requires 2D
+    # block sublane dims divisible by 8 unless equal to the array dim)
+    # OOMs at 17.94M with tile=1024.
+    from mbt_gym_tpu.ops.pallas_rollout import _sublane_pad
+
     trunk = params["shared"]
     n_layers = len(trunk)
     h_dim = trunk[-1]["w"].shape[1]
+    channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
+    per_lane = 9600 * max(h_dim, 128) // 256
+    budget = 15 * 1024 * 1024
+    while tile > 128 and 2 * 4 * t_chunk * tile * channels + per_lane * tile > budget:
+        tile //= 2
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile, T // t_chunk)
+    m = T * n
     cdt = jnp.dtype(compute_dtype)
 
     def full(shape):

@@ -106,6 +106,12 @@ class MlpRolloutParams(NamedTuple):
     permanent_impact: float = 0.0
     fixed_half_spread: float = 0.0
     risk_aversion: float = 0.0  # "exp_utility" reward only
+    # Random initial inventory: () = deterministic `initial_inventory`;
+    # (lo, hi) = per-env integer draw in [lo, hi) per episode, matching the
+    # XLA engine's reset (TradingEnvironment.py:270-273 semantics).  The
+    # reference's canonical PPO training env (experiments/helpers.py:21-60
+    # get_cj_env) uses (-5, 6) with lam dynamics.
+    inventory_range: tuple = ()
 
     @property
     def run_steps(self) -> int:
@@ -207,7 +213,17 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             "at-the-touch or trading-speed dynamics only"
         )
     assert cfg.reward_scaling is None
-    assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
+    assert not callable(cfg.initial_inventory), (
+        "callable initial_inventory is host-evaluated per reset; use the "
+        "XLA rollout"
+    )
+    if isinstance(cfg.initial_inventory, tuple):
+        lo, hi = cfg.initial_inventory
+        inventory_range = (int(lo), int(hi))
+        inv0 = 0.0  # unused: per-env draws come in via the inv0 input plane
+    else:
+        inventory_range = ()
+        inv0 = float(cfg.initial_inventory)
     assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time)
     assert cfg.dtype == "float32", (
         "fused rollout computes in float32/bf16; float64 reference-parity "
@@ -227,7 +243,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         max_inventory=float(cfg.max_inventory),
         max_cash=float(cfg.resolved_max_cash()),
         initial_cash=float(cfg.initial_cash),
-        initial_inventory=float(cfg.initial_inventory),
+        initial_inventory=inv0,
         start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
         obs_low=tuple(float(x) for x in obs_low),
         obs_grad=tuple(float(h - l) / 2.0 for l, h in zip(obs_low, obs_high)),
@@ -244,6 +260,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         permanent_impact=perm_imp,
         fixed_half_spread=half_spread,
         risk_aversion=gamma_u,
+        inventory_range=inventory_range,
     )
 
 
@@ -276,7 +293,7 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
 
 
 def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
-                  is_last=None):
+                  is_last=None, inv0=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
     ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
     n_mid)``; ``is_last`` (traced bool) marks the terminal step for the
@@ -420,8 +437,9 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     if p.reward_kind == "pnl":
         reward = pnl
     elif p.reward_kind == "cjmm":
+        # inv0 is a (1, L) plane: per-env under random initial inventory
         episode_length = p.terminal_time - p.start_time
-        const = p.alpha * p.dt * (p.initial_inventory**2) / episode_length
+        const = (p.alpha * p.dt / episode_length) * (inv0 * inv0)
         reward = (
             pnl
             - p.dt * p.phi * new_inv * new_inv
@@ -435,7 +453,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             pnl
             - p.dt * p.phi * new_inv * new_inv
             - p.dt * p.alpha * (
-                2.0 * speed * inv + (p.initial_inventory**2) * episode_length
+                2.0 * speed * inv + (inv0 * inv0) * episode_length
             )
         )
     elif p.reward_kind == "exp_utility":
@@ -459,12 +477,15 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 
 
 def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool):
+    use_inv0 = bool(p.inventory_range)
+
     def kernel(*refs):
         it = iter(refs)
         if use_noise:
             noise_ref = next(it)
         else:
             seed_ref = next(it)
+        inv0_ref = next(it) if use_inv0 else None
         trunk = [(next(it), next(it)) for _ in range(n_layers)]
         w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
         obs_ref, act_ref, logp_ref, val_ref, rew_ref = (next(it) for _ in range(5))
@@ -495,6 +516,10 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             )
 
         weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
+        inv0 = (
+            inv0_ref[:] if use_inv0
+            else jnp.full((1, L), p.initial_inventory, jnp.float32)
+        )
 
         def body(i, carry):
             t_val = p.start_time + i.astype(jnp.float32) * p.dt
@@ -509,7 +534,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 draws = hw_draws()
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws,
-                is_last=(i == p.run_steps - 1),
+                is_last=(i == p.run_steps - 1), inv0=inv0,
             )
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel
@@ -523,7 +548,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
 
         init = (
             jnp.full((1, L), p.initial_cash, jnp.float32),
-            jnp.full((1, L), p.initial_inventory, jnp.float32),
+            inv0,
             jnp.full((1, L), p.initial_price, jnp.float32),
         )
         if p.dynamics_kind == "speed":
@@ -577,6 +602,7 @@ def mlp_rollout_pallas(
     tile: int | None = None,
     interpret: bool = False,
     noise=None,
+    inv0=None,
 ):
     """Run one full episode for all envs with the MLP policy fused in.
 
@@ -588,6 +614,10 @@ def mlp_rollout_pallas(
     ``noise`` (optional): (T, n_noise_channels(a_dim), N) injected channels
     (4 env uniforms, max(a_dim, 2) policy-sample normals, 1 midprice
     normal) replacing the hardware PRNG — the CPU-testable parity mode.
+
+    ``inv0``: (N,) per-env initial inventories — REQUIRED when
+    ``p.inventory_range`` is set (random initial inventory; the caller
+    draws, see :func:`collect_rollout_fused_T`), forbidden otherwise.
     """
     n = num_trajectories
     T = p.run_steps
@@ -616,6 +646,13 @@ def mlp_rollout_pallas(
         assert noise.shape == (T, n_ch, n), (noise.shape, n_ch)
         inputs.append(noise)
         in_specs.append(pl.BlockSpec((T, n_ch, tile), lambda i: (0, 0, i)))
+    if p.inventory_range:
+        assert inv0 is not None, "inventory_range set: pass inv0 (N,) draws"
+        inv0 = jnp.asarray(inv0, jnp.float32).reshape(1, n)
+        inputs.append(inv0)
+        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+    else:
+        assert inv0 is None, "inv0 only valid with inventory_range"
     for w, b in trunk:
         inputs += [w, b]
         in_specs += [full(w.shape), full(b.shape)]
@@ -681,16 +718,29 @@ def collect_rollout_fused_T(
     tile: int | None = None,
     interpret: bool = False,
     noise=None,
+    inv0=None,
 ) -> TRolloutBatch:
     """Fused rollout in its native feature-major layout + shared GAE —
-    the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`."""
+    the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`.
+
+    Random initial inventory (``initial_inventory=(lo, hi)``): per-env
+    integer draws in [lo, hi) are taken from ``key`` each episode (same
+    distribution as ``env.reset``); pass ``inv0`` to inject specific draws
+    (parity tests)."""
     from mbt_gym_tpu.agents.ppo import compute_gae
 
     p = rollout_params_from_config(env_cfg)
+    if p.inventory_range:
+        key, inv_key = jax.random.split(key)
+        if inv0 is None:
+            lo, hi = p.inventory_range
+            inv0 = jax.random.randint(
+                inv_key, (env_cfg.num_trajectories,), lo, hi
+            ).astype(jnp.float32)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     obs_t, actions_t, log_probs, values, rewards = mlp_rollout_pallas(
         p, params, seed, env_cfg.num_trajectories, tile=tile,
-        interpret=interpret, noise=noise,
+        interpret=interpret, noise=noise, inv0=inv0,
     )
     last_value = jnp.zeros_like(values[0])
     advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
@@ -709,6 +759,7 @@ def collect_rollout_fused(
     tile: int | None = None,
     interpret: bool = False,
     noise=None,
+    inv0=None,
 ):
     """Drop-in replacement for ``agents.ppo.collect_rollout``: returns the
     row-major :class:`RolloutBatch`.  NOTE: the (T, N, S) transpose this
@@ -720,7 +771,7 @@ def collect_rollout_fused(
 
     tb = collect_rollout_fused_T(
         env_cfg, params, key, gamma=gamma, lam=lam, tile=tile,
-        interpret=interpret, noise=noise,
+        interpret=interpret, noise=noise, inv0=inv0,
     )
     return RolloutBatch(
         obs=jnp.swapaxes(tb.obs_t, 1, 2), actions=jnp.swapaxes(tb.actions_t, 1, 2),

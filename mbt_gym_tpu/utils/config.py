@@ -225,6 +225,56 @@ def lam_env_config(
     )
 
 
+def learning_env_config(
+    num_trajectories: int = 1000,
+    terminal_time: float = 1.0,
+    arrival_rate: float = 10.0,
+    fill_exponent: float = 0.1,
+    phi: float = 0.5,
+    alpha: float = 0.001,
+    sigma: float = 0.1,
+    initial_inventory=(-5, 6),
+    fixed_market_half_spread: float = 0.5,
+    dtype: str = "float32",
+) -> EnvConfig:
+    """The reference's canonical RL-training env (experiments/helpers.py:21-60
+    ``get_cj_env``, used by the Learning-to-make-a-market notebook and the
+    arrival-rate sweep): limit-and-market-order dynamics, Poisson(10,10)
+    arrivals, exponential fills (k=0.1), CjMm criterion, RANDOM initial
+    inventory drawn per reset from [lo, hi) — fully covered by the fused
+    Pallas PPO pipeline."""
+    n_steps = int(10 * terminal_time * arrival_rate)
+    dynamics = LimitAndMarketOrderDynamics(
+        midprice_model=BrownianMotionMidprice(
+            initial_price=100.0, volatility=sigma, terminal_time=terminal_time
+        ),
+        arrival_model=PoissonArrivals(intensity=(arrival_rate, arrival_rate)),
+        fill_probability_model=ExponentialFill(fill_exponent=fill_exponent),
+        fixed_market_half_spread=fixed_market_half_spread,
+    )
+    reward = (
+        CjMmCriterion(
+            per_step_inventory_aversion=phi,
+            terminal_inventory_aversion=alpha,
+            terminal_time=terminal_time,
+        )
+        if phi > 0 or alpha > 0
+        else PnL()
+    )
+    return EnvConfig(
+        dynamics=dynamics,
+        reward_function=reward,
+        terminal_time=terminal_time,
+        n_steps=n_steps,
+        initial_inventory=initial_inventory,
+        max_inventory=n_steps,
+        num_trajectories=num_trajectories,
+        normalise_action_space=False,
+        normalise_observation_space=False,
+        dtype=dtype,
+    )
+
+
 def composite_env_config(
     num_trajectories: int = 65536,
     initial_price: float = 100.0,

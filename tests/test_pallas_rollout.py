@@ -569,6 +569,132 @@ def test_train_iteration_with_fused_lam_rollout_runs():
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
 
 
+# ------------------------------------------ random initial inventory (fused)
+def _xla_reference_lam_q0(env_cfg, params, channels, q0):
+    """Like _xla_reference_lam but injecting the per-env initial-inventory
+    draws via the env.reset override (the same q0 the fused kernel gets)."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0), initial_inventory=q0)
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4:8].T
+        action = mean + std * eps
+        logp = networks.gaussian_log_prob(params, mean, action)
+        clipped = jnp.clip(action, low, high)
+        noise = (
+            SlotNoise(normal=channels[t, 8][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, action, logp, v, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+def test_fused_rollout_random_initial_inventory_matches_xla_engine():
+    """The reference's canonical training env (experiments/helpers.py:21-60
+    get_cj_env: lam dynamics + CjMm + initial_inventory=(-5, 6)) on the
+    fused kernel must reproduce the XLA engine on the same noise AND the
+    same per-env initial-inventory draws — including the CjMm reward's
+    per-env q0^2 constant."""
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    env_cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=N),
+        n_steps=T, normalise_observation_space=True,
+    )
+    assert env_cfg.initial_inventory == (-5, 6)
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.dynamics_kind == "lam" and p.reward_kind == "cjmm"
+    assert p.inventory_range == (-5, 6)
+
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(17), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    params = dict(params, log_std=params["log_std"] + 0.5)
+    rng = np.random.default_rng(55)
+    channels = rng.uniform(size=(T, 9, N)).astype(np.float32)
+    channels[:, 4:9] = rng.normal(size=(T, 5, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    q0 = jnp.asarray(rng.integers(-5, 6, size=N).astype(np.float32))
+    assert len(np.unique(np.asarray(q0))) > 3  # genuinely heterogeneous
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels, inv0=q0,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference_lam_q0(
+        env_cfg, params, channels, q0
+    )
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+def test_fused_rollout_draws_inventory_from_key():
+    """Without an injected inv0, the fused collector draws per-env integer
+    inventories in [lo, hi) from the rollout key (env.reset distribution);
+    draws differ across keys and appear in the first-step observation."""
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    env_cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=N), n_steps=T,
+    )
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(2), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    n_ch = pallas_rollout.n_noise_channels(env_cfg.action_dim)
+    rng = np.random.default_rng(3)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:9] = rng.normal(size=(T, 5, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    def q0_of(key):
+        tb = pallas_rollout.collect_rollout_fused_T(
+            env_cfg, params, key, tile=128, interpret=True, noise=channels,
+        )
+        return np.asarray(tb.obs_t[0, 1])  # inventory column, first step
+
+    a, b = q0_of(jax.random.PRNGKey(0)), q0_of(jax.random.PRNGKey(1))
+    for q in (a, b):
+        assert set(np.unique(q)) <= set(range(-5, 6))
+        assert len(np.unique(q)) > 3
+    assert not np.array_equal(a, b)
+
+
+def test_train_iteration_fused_on_canonical_learning_env():
+    """End-to-end fused PPO on the reference's canonical training config
+    (lam + CjMm + random initial inventory) in CPU interpret mode."""
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    env_cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=128),
+        n_steps=8, normalise_observation_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_interpret_ok=True,
+        fused_update=True, fused_tile=128, fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    new_ts, metrics = ppo.jit_train_iteration(
+        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1)
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, new_ts.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
 def test_auto_tile_speed_family():
     """S=5 obs blocks sublane-pad to 8, so the OE family fits only 512
     lanes at T=200 (observed 18.79M scoped-vmem OOM at 1024 on v5e)."""
