@@ -13,6 +13,8 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
  6. The fused PPO pipeline on the optimal-execution family (speed + CjOe)
  7. The fused PPO pipeline on the at-the-touch family (running penalty)
  8. The fused PPO pipeline on the limit-and-market-order family (a_dim=4)
+ 9. The reference's canonical training env (get_cj_env: lam dynamics +
+    CjMm + random initial inventory) on the fused pipeline
 """
 from __future__ import annotations
 
@@ -100,6 +102,7 @@ def main():
         cj_env_config,
         composite_env_config,
         lam_env_config,
+        learning_env_config,
         oe_env_config,
         touch_env_config,
     )
@@ -188,6 +191,23 @@ def main():
         measure_ppo(
             "8. PPO on limit-and-market MM, 262k envs/chip",
             cfg8,
+            n_minibatches=4 if args.small else 16,
+        )
+    )
+
+    # Config 9: the reference's ACTUAL training workload
+    # (experiments/helpers.py get_cj_env — lam dynamics, CjMm, random
+    # initial inventory in [-5, 6)) on the fused pipeline.  T=100 forces
+    # the update kernel's T-chunk to the full horizon, so the scoped-vmem
+    # fit runs this at a 512-lane tile.
+    cfg9 = dataclasses.replace(
+        learning_env_config(num_trajectories=(1 << 18) // scale),
+        normalise_observation_space=True,
+    )
+    rows.append(
+        measure_ppo(
+            "9. PPO on canonical learning env (get_cj_env)",
+            cfg9,
             n_minibatches=4 if args.small else 16,
         )
     )
