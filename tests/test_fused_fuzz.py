@@ -1,0 +1,173 @@
+"""Randomized cross-engine parity fuzz: the fused Pallas rollout must
+reproduce the XLA engine on injected noise across RANDOM parameterisations
+of every supported (dynamics family x reward kind) combination — not just
+the hand-picked configs of tests/test_pallas_rollout.py.  Catches
+parameter-wiring bugs (a coefficient routed to the wrong field, a
+normalisation branch skipped) that fixed-value tests can miss.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbt_gym_tpu import env as env_lib
+from mbt_gym_tpu.agents import networks
+from mbt_gym_tpu.dynamics import (
+    AtTheTouchDynamics,
+    LimitAndMarketOrderDynamics,
+    LimitOrderDynamics,
+    TradingWithSpeedDynamics,
+)
+from mbt_gym_tpu.ops import pallas_rollout
+from mbt_gym_tpu.processes.arrivals import PoissonArrivals
+from mbt_gym_tpu.processes.fills import ExponentialFill
+from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
+from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+from mbt_gym_tpu.rewards import (
+    CjMmCriterion,
+    CjOeCriterion,
+    ExponentialUtility,
+    PnL,
+    RunningInventoryPenalty,
+)
+from mbt_gym_tpu.types import SlotNoise
+
+N, T = 128, 5
+
+
+def _random_env(rng, family):
+    """A random valid EnvConfig for the given fused family."""
+    sigma = float(rng.uniform(0.05, 3.0))
+    mid = BrownianMotionMidprice(
+        initial_price=float(rng.uniform(50.0, 200.0)),
+        drift=float(rng.uniform(-1.0, 1.0)),
+        volatility=sigma,
+        terminal_time=1.0,
+    )
+    phi = float(rng.uniform(0.0, 1.0))
+    alpha = float(rng.uniform(0.0, 0.01))
+    mm_rewards = [
+        PnL(),
+        CjMmCriterion(per_step_inventory_aversion=phi,
+                      terminal_inventory_aversion=alpha, terminal_time=1.0),
+        RunningInventoryPenalty(per_step_inventory_aversion=phi,
+                                terminal_inventory_aversion=alpha),
+        ExponentialUtility(risk_aversion=float(rng.uniform(0.001, 0.02))),
+    ]
+    arrivals = PoissonArrivals(
+        intensity=(float(rng.uniform(20.0, 200.0)), float(rng.uniform(20.0, 200.0)))
+    )
+    fills = ExponentialFill(fill_exponent=float(rng.uniform(0.1, 3.0)))
+    q0 = int(rng.integers(-3, 4))
+    if family == "limit":
+        dyn = LimitOrderDynamics(
+            midprice_model=mid, arrival_model=arrivals, fill_probability_model=fills
+        )
+        reward = mm_rewards[rng.integers(0, len(mm_rewards))]
+    elif family == "lam":
+        dyn = LimitAndMarketOrderDynamics(
+            midprice_model=mid, arrival_model=arrivals, fill_probability_model=fills,
+            fixed_market_half_spread=float(rng.uniform(0.1, 2.0)),
+        )
+        reward = mm_rewards[rng.integers(0, len(mm_rewards))]
+    elif family == "touch":
+        dyn = AtTheTouchDynamics(
+            midprice_model=mid, arrival_model=arrivals,
+            fixed_market_half_spread=float(rng.uniform(0.1, 2.0)),
+        )
+        reward = mm_rewards[rng.integers(0, len(mm_rewards))]
+    else:  # speed
+        dyn = TradingWithSpeedDynamics(
+            midprice_model=mid,
+            price_impact_model=TemporaryAndPermanentImpact(
+                temporary_impact_coefficient=float(rng.uniform(0.001, 0.05)),
+                permanent_impact_coefficient=float(rng.uniform(0.001, 0.05)),
+                terminal_time=1.0,
+            ),
+        )
+        oe_rewards = [
+            PnL(),
+            CjOeCriterion(per_step_inventory_aversion=phi,
+                          terminal_inventory_aversion=alpha, terminal_time=1.0),
+            ExponentialUtility(risk_aversion=float(rng.uniform(0.001, 0.02))),
+        ]
+        reward = oe_rewards[rng.integers(0, len(oe_rewards))]
+        q0 = int(rng.integers(1, 10))
+    # normalise_action_space only meaningful for box actions away from {0,1}
+    norm_act = bool(rng.integers(0, 2)) and family in ("limit", "lam")
+    return env_lib.EnvConfig(
+        dynamics=dyn,
+        reward_function=reward,
+        terminal_time=1.0,
+        n_steps=T,
+        num_trajectories=N,
+        initial_inventory=q0,
+        initial_cash=float(rng.uniform(-50.0, 50.0)),
+        max_inventory=float(rng.integers(5, 50)),
+        normalise_observation_space=bool(rng.integers(0, 2)),
+        normalise_action_space=norm_act,
+    )
+
+
+def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    if env_cfg.normalise_action_space:
+        low, high = -jnp.ones(a_dim), jnp.ones(a_dim)
+    n_eps = max(a_dim, 2)
+    outs = []
+    fam_speed = isinstance(env_cfg.dynamics, TradingWithSpeedDynamics)
+    fam_touch = isinstance(env_cfg.dynamics, AtTheTouchDynamics)
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4 : 4 + a_dim].T
+        action = mean + std * eps
+        clipped = jnp.clip(action, jnp.asarray(low), jnp.asarray(high))
+        mid_noise = SlotNoise(normal=channels[t, 4 + n_eps][:, None], uniform=None)
+        if fam_speed:
+            noise = (mid_noise, SlotNoise(normal=None, uniform=None))
+        elif fam_touch:
+            noise = (mid_noise, SlotNoise(normal=None, uniform=channels[t, 0:2].T))
+        else:
+            noise = (
+                mid_noise,
+                SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+                SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+            )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, action, v, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+@pytest.mark.parametrize("family", ["limit", "lam", "touch", "speed"])
+@pytest.mark.parametrize("trial", range(3))
+def test_fused_rollout_fuzz_parity(family, trial):
+    rng = np.random.default_rng(1000 * trial + hash(family) % 997)
+    env_cfg = _random_env(rng, family)
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    a_dim, s_dim = env_cfg.action_dim, env_cfg.state_dim
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(int(rng.integers(0, 1 << 30))), s_dim, a_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    n_ch = pallas_rollout.n_noise_channels(a_dim)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    n_eps = max(a_dim, 2)
+    channels[:, 4 : 5 + n_eps] = rng.normal(size=(T, n_eps + 1, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_v, ref_r = _xla_reference(env_cfg, params, channels, a_dim, s_dim)
+    # raw-scale configs (price ~ 50-200, cash paths to ~1e2) tolerate a
+    # larger absolute band than the normalised fixed-config tests
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=2e-3, atol=2e-2)
