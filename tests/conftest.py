@@ -9,14 +9,21 @@ handshake for CPU-only test runs.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("MBT_TPU_TESTS"):
+    # Opt-in real-hardware mode: leave the backend alone so the TPU-gated
+    # tests (test_convergence.py::test_fused_pipeline_learns_*) actually
+    # run instead of skipping.  Expect the axon claim handshake (minutes)
+    # at the first op.
+    import jax
+else:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 
 import os as _os

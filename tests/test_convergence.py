@@ -88,6 +88,40 @@ def test_ppo_approaches_closed_form():
     "rollout parity vs the XLA path is covered on CPU by "
     "tests/test_fused_ppo.py and tests/test_pallas_rollout.py",
 )
+def test_fused_pipeline_learns_canonical_env_on_tpu():
+    """Fused PPO on the reference's CANONICAL training env (get_cj_env:
+    lam dynamics + CjMm + random initial inventory [-5, 6)) must reach a
+    large fraction of the closed-form no-MO CJ baseline (~67.9; the full
+    run in BENCH_NOTES.md reaches 99.9% with a 3-phase LR schedule in
+    ~19 s device time — this gate runs the first phase only)."""
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    env_cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=4096),
+        max_inventory=20.0, normalise_observation_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(256, 256), n_epochs=1, n_minibatches=4, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_update=True,
+        learning_rate=1e-3,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    best = -np.inf
+    for i in range(200):
+        ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i))
+        best = max(best, float(m["mean_episode_reward"]))
+    # random init starts around -43; >=40 (~60% of the 67.9 baseline)
+    # demonstrates genuine learning within the single-phase budget.
+    assert best > 40.0, best
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fully-fused pipeline uses the TPU hardware PRNG; its gradient/"
+    "rollout parity vs the XLA path is covered on CPU by "
+    "tests/test_fused_ppo.py and tests/test_pallas_rollout.py",
+)
 def test_fused_pipeline_learns_on_tpu():
     """PPO through the fully-fused path (Pallas rollout + transposed Pallas
     update) on the AS env must approach the risk-neutral optimum (constant
