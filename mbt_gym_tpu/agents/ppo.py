@@ -254,6 +254,7 @@ def _fused_iteration_body(
     key: jax.Array,
     axis_name: str | None = None,
     noise=None,
+    inv0=None,
 ):
     """Fully-fused pipeline (fused_rollout AND fused_update) over ONE
     device's env shard: the rollout kernel's feature-major (T, C, N)
@@ -269,7 +270,8 @@ def _fused_iteration_body(
     over that axis, so every device applies the identical optimizer update
     and params stay replicated — the fused-kernel analogue of GSPMD's
     gradient all-reduce in the XLA path.  ``noise`` is this shard's
-    injected (T, 7, n_local) channel block (CPU-mesh tests)."""
+    injected (T, C, n_local) channel block and ``inv0`` its injected
+    (n_local,) initial-inventory draws (CPU-mesh tests)."""
     from mbt_gym_tpu.ops import fused_ppo, pallas_rollout
 
     assert not ppo_cfg.shuffle, "fused path uses contiguous env-slice minibatches"
@@ -282,6 +284,7 @@ def _fused_iteration_body(
         env_cfg, params, rollout_key,
         gamma=ppo_cfg.gamma, lam=ppo_cfg.gae_lambda,
         tile=ppo_cfg.fused_rollout_tile, interpret=interpret, noise=noise,
+        inv0=inv0,
     )
     n = env_cfg.num_trajectories
     nb = n // ppo_cfg.n_minibatches
@@ -361,6 +364,7 @@ def _fused_train_iteration_mesh(
     key: jax.Array,
     mesh,
     noise=None,
+    inv0=None,
 ) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
     """Data-parallel fully-fused path: envs shard over the mesh's 'data'
     axis, every device runs the fused rollout+update Pallas kernels on its
@@ -387,17 +391,24 @@ def _fused_train_iteration_mesh(
     assert n % n_dev == 0, (n, n_dev)
     local_cfg = dataclasses.replace(env_cfg, num_trajectories=n // n_dev)
 
-    def body(params, opt_state, key, *maybe_noise):
+    extras = []  # (kwarg name, shard spec, value) for injected test inputs
+    if noise is not None:
+        extras.append(("noise", P(None, None, "data"), noise))
+    if inv0 is not None:
+        extras.append(("inv0", P("data"), inv0))
+    extra_names = [name for name, _, _ in extras]
+
+    def body(params, opt_state, key, *extra_vals):
+        kw = dict(zip(extra_names, extra_vals))
         return _fused_iteration_body(
-            local_cfg, ppo_cfg, params, opt_state, key, axis_name="data",
-            noise=maybe_noise[0] if maybe_noise else None,
+            local_cfg, ppo_cfg, params, opt_state, key, axis_name="data", **kw
         )
 
     in_specs = [P(), P(), P()]
     args = [train_state.params, train_state.opt_state, key]
-    if noise is not None:
-        in_specs.append(P(None, None, "data"))
-        args.append(noise)
+    for _, spec, val in extras:
+        in_specs.append(spec)
+        args.append(val)
     params, opt_state, out_metrics = jax.shard_map(
         body, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P(), P()),
         check_vma=False,

@@ -191,6 +191,53 @@ def test_fused_mesh_iteration_matches_single_chip():
     assert moved > 0.0
 
 
+def test_fused_mesh_iteration_canonical_env_matches_single_chip():
+    """The fused-DP mesh path on the reference's CANONICAL training env
+    (lam dynamics, a_dim=4, CjMm, random initial inventory): injected
+    noise + injected per-env inventory draws must give the SAME params as
+    one chip holding the whole batch."""
+    import dataclasses
+
+    from mbt_gym_tpu.ops import pallas_rollout
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    N, T = 1024, 8
+    env_cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=N),
+        n_steps=T, normalise_observation_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=1, shuffle=False,
+        shared_trunk=True, fused_rollout=True, fused_rollout_tile=128,
+        fused_interpret_ok=True,
+        fused_update=True, fused_tile=128, fused_compute_dtype="float32",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    n_ch = pallas_rollout.n_noise_channels(env_cfg.action_dim)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:9] = rng.normal(size=(T, 5, N)).astype(np.float32)
+    noise = jnp.asarray(channels)
+    inv0 = jnp.asarray(rng.integers(-5, 6, size=N).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    p1, o1, m1 = ppo._fused_iteration_body(
+        env_cfg, ppo_cfg, ts.params, ts.opt_state, key, noise=noise, inv0=inv0
+    )
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    ts_mesh, m8 = ppo._fused_train_iteration_mesh(
+        env_cfg, ppo_cfg, ts, key, mesh, noise=noise, inv0=inv0
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(ts_mesh.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
 def test_fused_mesh_via_train_iteration_dispatch():
     """train_iteration(mesh=...) routes the fully-fused config through the
     shard_map path and returns finite metrics (zero-stub PRNG smoke)."""
