@@ -1,53 +1,70 @@
 """Grid sweep over arrival rate x fill exponent — the reference's
 ``experiments/learning-pnl-with-different-arrival-rates.py`` (lambda in
-{1,10,100} x k in {0.1,1,10}, 1000 trajectories) rebuilt on the on-device
-PPO learner.  Each cell trains and reports final reward vs the closed-form
-optimum.
+{1,10,100} x k in {0.1,1,10}, 1000 trajectories, PPO per cell) rebuilt on
+the on-device PPO learner.
+
+The reference sweep builds each cell with ``get_cj_env``
+(experiments/helpers.py:21-60): limit-and-market-order dynamics, CjMm
+criterion, random initial inventory in [-5, 6), and an episode horizon of
+``int(10 * terminal_time * arrival_rate)`` steps — reproduced here via
+``utils.config.learning_env_config``.  Each cell trains fused PPO (on TPU)
+and reports final reward vs the closed-form no-MO CJ baseline.
 """
 import argparse
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mbt_gym_tpu.agents import ppo
-from mbt_gym_tpu.utils.config import cj_env_config
+from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+from mbt_gym_tpu.rollout import jit_rollout
+from mbt_gym_tpu.utils.config import learning_env_config
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--trajectories", type=int, default=1000)
-    parser.add_argument("--iterations", type=int, default=50)
+    parser.add_argument("--trajectories", type=int, default=1024)
+    parser.add_argument("--iterations", type=int, default=100)
+    parser.add_argument("--max-inventory", type=float, default=20.0)
     args = parser.parse_args()
+    on_tpu = jax.default_backend() == "tpu"
 
     for arrival_rate in (1.0, 10.0, 100.0):
         for fill_exponent in (0.1, 1.0, 10.0):
-            env_cfg = cj_env_config(
-                num_trajectories=args.trajectories,
-                n_steps=200,
-                arrival_rate=arrival_rate,
-                fill_exponent=fill_exponent,
-                per_step_inventory_aversion=2e-4,
-                terminal_inventory_aversion=1e-4,
-                max_inventory=100.0,
-            )
-            env_cfg = dataclasses.replace(
-                env_cfg, normalise_observation_space=True, normalise_action_space=True
-            )
-            from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
-            from mbt_gym_tpu.rollout import jit_rollout
-
             raw_cfg = dataclasses.replace(
-                env_cfg, normalise_observation_space=False, normalise_action_space=False
+                learning_env_config(
+                    num_trajectories=args.trajectories,
+                    arrival_rate=arrival_rate,
+                    fill_exponent=fill_exponent,
+                ),
+                max_inventory=args.max_inventory,
             )
-            cj = CarteaJaimungalMmAgent.from_config(raw_cfg, max_inventory=100)
+            env_cfg = dataclasses.replace(raw_cfg, normalise_observation_space=True)
+
+            # Closed-form no-MO baseline: CJ quotes + zero MO columns.
+            cj = CarteaJaimungalMmAgent.from_config(
+                raw_cfg, max_inventory=int(args.max_inventory)
+            )
+            quotes = cj.policy()
+
+            def cj_policy(params, obs, state, _q=quotes):
+                q = _q(params, obs, state)
+                return jnp.concatenate([q, jnp.zeros_like(q)], axis=1)
+
             cf = float(
                 np.asarray(
-                    jit_rollout(raw_cfg, cj.policy(), None, jax.random.PRNGKey(7))
+                    jit_rollout(raw_cfg, cj_policy, None, jax.random.PRNGKey(7))
                     .trajectory.rewards.sum(axis=0)
                 ).mean()
             )
-            ppo_cfg = ppo.PPOConfig(hidden=(256, 256))
+
+            ppo_cfg = ppo.PPOConfig(
+                hidden=(256, 256), n_epochs=1, n_minibatches=4, shuffle=False,
+                compute_dtype="bfloat16", shared_trunk=True,
+                fused_update=on_tpu, fused_rollout=on_tpu,
+            )
             ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
             reward = float("nan")
             for i in range(args.iterations):
@@ -57,7 +74,9 @@ def main():
                 reward = float(metrics["mean_episode_reward"])
             print(
                 f"lambda={arrival_rate:6.1f} k={fill_exponent:5.1f}  "
-                f"final reward {reward:9.4f}  closed-form {cf:9.4f}"
+                f"T={env_cfg.n_steps:4d}  final reward {reward:9.4f}  "
+                f"closed-form no-MO {cf:9.4f}",
+                flush=True,
             )
 
 
