@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbt_gym_tpu.agents import ppo
-from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent, no_market_order_policy
 from mbt_gym_tpu.rollout import jit_rollout
 from mbt_gym_tpu.utils.config import learning_env_config
 
@@ -47,11 +47,7 @@ def main():
             cj = CarteaJaimungalMmAgent.from_config(
                 raw_cfg, max_inventory=int(args.max_inventory)
             )
-            quotes = cj.policy()
-
-            def cj_policy(params, obs, state, _q=quotes):
-                q = _q(params, obs, state)
-                return jnp.concatenate([q, jnp.zeros_like(q)], axis=1)
+            cj_policy = no_market_order_policy(cj.policy())
 
             cf = float(
                 np.asarray(

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mbt_gym_tpu.agents import networks, ppo
-from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent, no_market_order_policy
 from mbt_gym_tpu.rollout import jit_rollout
 from mbt_gym_tpu.utils.config import learning_env_config
 
@@ -37,7 +37,7 @@ def main():
         "--phases", type=int, default=1,
         help="LR-decay phases: phase i runs iterations/phases steps at "
         "lr * 0.2^i with a fresh Adam state (the schedule behind the "
-        "98.1%% CJ result in BENCH_NOTES.md)",
+        "99.9%%-of-baseline canonical-env result in BENCH_NOTES.md)",
     )
     args = parser.parse_args()
 
@@ -50,11 +50,7 @@ def main():
     # ---- closed-form no-MO baseline (mean over eval episodes; the random
     # initial inventory makes single-episode values noisy) ----
     cj = CarteaJaimungalMmAgent.from_config(raw_cfg, max_inventory=int(args.max_inventory))
-    quotes = cj.policy()
-
-    def cj_policy(params, obs, state):
-        q = quotes(params, obs, state)
-        return jnp.concatenate([q, jnp.zeros_like(q)], axis=1)
+    cj_policy = no_market_order_policy(cj.policy())
 
     def mean_reward(cfg, policy, params, key, episodes):
         total = 0.0

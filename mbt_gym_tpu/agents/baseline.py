@@ -77,6 +77,21 @@ def human_policy(cfg: EnvConfig):
     return policy
 
 
+def no_market_order_policy(quote_policy):
+    """Adapt a 2-column quoting policy to a limit-and-market-order env
+    (action_dim=4) by forcing the market-order columns to zero — the
+    natural closed-form baseline on ``get_cj_env``-style envs
+    (experiments/helpers.py:21-60), since no closed form exists for the
+    full limit+market problem.  Used by examples/train_canonical.py and
+    examples/arrival_rate_sweep.py."""
+
+    def policy(params, obs, state):
+        q = quote_policy(params, obs, state)
+        return jnp.concatenate([q, jnp.zeros_like(q)], axis=1)
+
+    return policy
+
+
 def expected_action(policy, params, obs, state, key, n_samples: int = 1000):
     """Monte-Carlo mean action of a stochastic policy (Agent.py:11-12).
 

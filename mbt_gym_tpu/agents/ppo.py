@@ -373,7 +373,8 @@ def _fused_train_iteration_mesh(
     (SURVEY.md §5.8).  Params/opt-state/key are replicated in and out;
     only the collectives (grad/metric/adv-stat pmeans) cross the ICI.
 
-    ``noise``: optional (T, 7, N) injected channels (global env axis last),
+    ``noise``: optional (T, n_noise_channels(a_dim), N) injected channels
+    (global env axis last),
     sharded per device — the CPU-mesh validation mode.  NOTE: off-TPU with
     ``noise=None`` the rollout kernel falls back to the Mosaic TPU
     interpreter, whose host callbacks do not compose with a MULTI-PROCESS

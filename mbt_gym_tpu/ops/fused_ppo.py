@@ -345,31 +345,41 @@ def ppo_fused_grads_T(
     # under a cap chosen so double-buffered input blocks + bf16 activations
     # fit the 16M scoped vmem at this lane width.  Falls back to T itself
     # (always legal) for small test shapes.
-    cap = 8 if tile >= 2048 else 40
-    t_chunk = next(
-        (d for d in range(min(cap, T), 0, -1) if T % d == 0 and d % 8 == 0),
-        T,
-    )
-    # Scoped-vmem fit: shrink the lane tile when the footprint would exceed
-    # Mosaic's 16M stack.  Footprint = double-buffered input blocks
-    # (2 x 4 B x t_chunk x tile x (pad(S) + pad(A) + 3 flat channels)) plus
-    # the per-step live tensors, which scale with the lane width
-    # (~9600 B/lane at h=256: saved bf16 activations + f32 dz/dh/loss
-    # intermediates).  Calibrated on three measured points: T=200/Tc=40/
-    # tile=1024 fits (12.8M), tile=2048 OOMs at 19.95M, and the fallback
-    # t_chunk=T (T=100 has no multiple-of-8 divisor: Mosaic requires 2D
-    # block sublane dims divisible by 8 unless equal to the array dim)
-    # OOMs at 17.94M with tile=1024.
+    # (tile, T-chunk) selection under Mosaic's 16M scoped-vmem stack.
+    # t_chunk must be a divisor of T that is a multiple of 8 (Mosaic
+    # requires 2D block sublane dims divisible by 8 unless equal to the
+    # array dim), with T itself as the always-legal fallback; the cap
+    # keeps input blocks small at wide tiles.  Footprint model =
+    # double-buffered input blocks (2 x 4 B x t_chunk x tile x (pad(S) +
+    # pad(A) + 3 flat channels)) + per-lane live tensors (saved bf16
+    # activations + f32 dz/dh/staging, scaling with trunk width/depth).
+    # Calibrated so every empirically measured point is reproduced:
+    # (tile=2048, Tc=8, S=4, A=2, h=256) runs on v5e (production config
+    # 5, modelled 15.1M), (1024, Tc=40) runs (modelled 9.9M), and the
+    # t_chunk=T fallback at T=100/A=4 OOMed at a measured 17.94M with
+    # tile=1024 (modelled 16.0M > budget -> drops to 512, which runs).
     from mbt_gym_tpu.ops.pallas_rollout import _sublane_pad
 
     trunk = params["shared"]
     n_layers = len(trunk)
     h_dim = trunk[-1]["w"].shape[1]
     channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
-    per_lane = 9600 * max(h_dim, 128) // 256
-    budget = 15 * 1024 * 1024
-    while tile > 128 and 2 * 4 * t_chunk * tile * channels + per_lane * tile > budget:
+    per_lane = 6800 * max(h_dim, 128) // 256 * max(n_layers, 2) // 2
+    budget = int(15.75 * 1024 * 1024)
+
+    def chunk_for(t_tile):
+        cap = 8 if t_tile >= 2048 else 40
+        return next(
+            (d for d in range(min(cap, T), 0, -1) if T % d == 0 and d % 8 == 0),
+            T,
+        )
+
+    t_chunk = chunk_for(tile)
+    while tile > 128 and (
+        2 * 4 * chunk_for(tile) * tile * channels + per_lane * tile > budget
+    ):
         tile //= 2
+        t_chunk = chunk_for(tile)
     assert n % tile == 0, (n, tile)
     grid = (n // tile, T // t_chunk)
     m = T * n

@@ -75,6 +75,10 @@ def measure_ppo(name, env_cfg, iters=3, n_minibatches=4, fused=True):
     new_ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1))
     float(m["pg_loss"])  # force through the relay (scalar fetch)
     compile_s = time.time() - t0
+    # Untimed warmup dispatch (see measure(): the first post-compile call
+    # pays ~130 ms of relay/executable-cache warmup).
+    ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(99))
+    float(m["pg_loss"])
     t0 = time.time()
     for i in range(iters):
         ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(2 + i))

@@ -13,7 +13,10 @@ if os.environ.get("MBT_TPU_TESTS"):
     # Opt-in real-hardware mode: leave the backend alone so the TPU-gated
     # tests (test_convergence.py::test_fused_pipeline_learns_*) actually
     # run instead of skipping.  Expect the axon claim handshake (minutes)
-    # at the first op.
+    # at the first op.  NOTE: run SELECTED tests under this flag (e.g.
+    # `pytest tests/test_convergence.py -k tpu`) — the full suite needs
+    # the 8-virtual-device CPU mesh below, which a single-chip TPU
+    # backend cannot provide.
     import jax
 else:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -143,10 +143,15 @@ def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
     return [jnp.stack(x) for x in zip(*outs)]
 
 
+_FAMILY_SEED = {"limit": 11, "lam": 22, "touch": 33, "speed": 44}
+
+
 @pytest.mark.parametrize("family", ["limit", "lam", "touch", "speed"])
 @pytest.mark.parametrize("trial", range(3))
 def test_fused_rollout_fuzz_parity(family, trial):
-    rng = np.random.default_rng(1000 * trial + hash(family) % 997)
+    # fixed per-family seeds: hash() is per-process randomized and would
+    # make failures unreproducible
+    rng = np.random.default_rng(1000 * trial + _FAMILY_SEED[family])
     env_cfg = _random_env(rng, family)
     p = pallas_rollout.rollout_params_from_config(env_cfg)
     a_dim, s_dim = env_cfg.action_dim, env_cfg.state_dim
