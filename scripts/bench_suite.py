@@ -35,11 +35,16 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
     t0 = time.time()
     float(thunk(jax.random.PRNGKey(0)))
     compile_s = time.time() - t0
-    # One untimed warmup dispatch: the first post-compile call pays relay/
-    # executable-cache warmup (~130 ms extra observed), which at ~30 ms/call
-    # configs would dominate the 3-call timed window (config 1 measured 179M
-    # cold vs ~800M warm in the same session).
-    float(thunk(jax.random.PRNGKey(99)))
+    # Untimed warmup dispatches: post-compile calls pay relay/executable-
+    # cache warmup that decays over SEVERAL calls (config 1 measured
+    # 160 ms/call on the first burst vs ~32 ms settled in the same
+    # session), which at ~30 ms/call configs dominates the 3-call timed
+    # window.  Chain a burst of 4 and fetch once.
+    acc = None
+    for w in range(4):
+        s = thunk(jax.random.PRNGKey(90 + w))
+        acc = s if acc is None else acc + s
+    float(acc)
     # Chain iterations by data dependency and fetch ONE scalar at the end:
     # a per-iteration fetch adds the full relay RTT (~30-50 ms, varies by
     # session) to every call, polluting the device-rate measurement.

@@ -229,3 +229,18 @@ def test_with_normalised_rewards_factory():
     res = jit_rollout(scaled, fixed_action_policy([1 / k, 1 / k]), None, jax.random.PRNGKey(5))
     mean_episode = float(np.asarray(res.trajectory.rewards.sum(axis=0)).mean())
     assert 0.7 < mean_episode < 1.3  # scaled to ~unit episodic reward
+
+
+def test_no_market_order_policy_wrapper():
+    """no_market_order_policy adapts 2-column quote policies to the
+    4-action limit-and-market env: quotes pass through, MO columns are
+    zero (never fire the >0.5 trigger)."""
+    from mbt_gym_tpu.agents.baseline import fixed_action_policy, no_market_order_policy
+
+    policy = no_market_order_policy(fixed_action_policy([1.5, 2.5]))
+    obs = jnp.zeros((4, 4))
+    a = policy(None, obs, None)
+    assert a.shape == (4, 4)
+    np.testing.assert_array_equal(np.asarray(a[:, 0]), 1.5)
+    np.testing.assert_array_equal(np.asarray(a[:, 1]), 2.5)
+    np.testing.assert_array_equal(np.asarray(a[:, 2:]), 0.0)
