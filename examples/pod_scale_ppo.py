@@ -26,6 +26,13 @@ def main():
     parser.add_argument("--iterations", type=int, default=10)
     parser.add_argument("--n-steps", type=int, default=200)
     parser.add_argument("--model-parallel", type=int, default=1)
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="use the fully-fused Pallas pipeline (shared-trunk, rollout + "
+        "update kernels, shard_map DP with pmean'd grads) — the production "
+        "single- and multi-chip data-parallel configuration; requires "
+        "--model-parallel 1 and TPU devices",
+    )
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multi-host coordinator address (host:port)")
     args = parser.parse_args()
@@ -44,12 +51,20 @@ def main():
     env_cfg = dataclasses.replace(
         env_cfg, normalise_observation_space=True, normalise_action_space=True
     )
-    ppo_cfg = ppo.PPOConfig(hidden=(256, 256), n_epochs=1, n_minibatches=64)
-
-    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
-    params = mesh_lib.shard_params(mesh, ts.params)
-    opt_state = ppo.make_optimizer(ppo_cfg).init(params)
-    ts = ppo.PPOTrainState(params=params, opt_state=opt_state, update_count=ts.update_count)
+    if args.fused:
+        assert args.model_parallel == 1, "fused pipeline is replicated-params DP"
+        ppo_cfg = ppo.PPOConfig(
+            hidden=(256, 256), n_epochs=1, n_minibatches=16, shuffle=False,
+            compute_dtype="bfloat16", shared_trunk=True,
+            fused_update=True, fused_rollout=True,
+        )
+        ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    else:
+        ppo_cfg = ppo.PPOConfig(hidden=(256, 256), n_epochs=1, n_minibatches=64)
+        ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+        params = mesh_lib.shard_params(mesh, ts.params)
+        opt_state = ppo.make_optimizer(ppo_cfg).init(params)
+        ts = ppo.PPOTrainState(params=params, opt_state=opt_state, update_count=ts.update_count)
 
     import time
 

@@ -704,3 +704,54 @@ def test_auto_tile_speed_family():
     assert pallas_rollout._sublane_pad(5) == 8
     assert pallas_rollout._sublane_pad(3) == 4
     assert pallas_rollout._sublane_pad(12) == 16
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware PRNG required; CPU parity of the lam family is "
+    "covered by the injected-noise tests above — this validates the "
+    "NEW a_dim=4 hardware draw stream (3 Box-Muller pairs/step) "
+    "statistically.",
+)
+def test_lam_hardware_prng_stats():
+    """lam family on the hardware PRNG: with an all-zero policy the action
+    output IS the raw eps draws — 4 channels must be independent standard
+    normals, independent of the midprice normal, and the price increments
+    must follow sigma*sqrt(dt)*N(0,1)."""
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    N_hw, T_hw = 16384, 200
+    env_cfg = lam_env_config(num_trajectories=N_hw, n_steps=T_hw)
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(0), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)  # mean=0, log_std=0
+    obs_t, actions_t, log_probs, values, rewards = pallas_rollout.mlp_rollout_pallas(
+        p, params, 1234, N_hw,
+    )
+    eps = np.asarray(actions_t)  # (T, 4, N) == raw policy normals
+    flat = eps.reshape(T_hw, 4, -1)
+    m = flat.mean(axis=(0, 2))
+    s = flat.std(axis=(0, 2))
+    assert np.all(np.abs(m) < 0.01), m
+    assert np.all(np.abs(s - 1.0) < 0.01), s
+    # cross-channel independence (includes cos/sin pairs of shared radii)
+    x = eps.transpose(1, 0, 2).reshape(4, -1)
+    c = np.corrcoef(x)
+    off = c[~np.eye(4, dtype=bool)]
+    assert np.all(np.abs(off) < 0.01), c
+    # price increments: sigma*sqrt(dt)*n_mid, independent of eps
+    price = np.asarray(obs_t[:, 3, :])  # raw obs (no normalisation)
+    dp = np.diff(price, axis=0)
+    sd_expect = env_cfg.dynamics.midprice_model.volatility * np.sqrt(env_cfg.step_size)
+    assert abs(dp.mean()) < 3 * sd_expect / np.sqrt(dp.size) * 5
+    assert abs(dp.std() / sd_expect - 1.0) < 0.01, dp.std()
+    for ch in range(4):
+        r = np.corrcoef(eps[:-1, ch, :].ravel(), dp.ravel())[0, 1]
+        assert abs(r) < 0.01, (ch, r)
+    # MO trigger rate: P(eps > 0.5) for a standard normal
+    assert abs((eps[:, 2:] > 0.5).mean() - 0.30854) < 0.005
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert np.isfinite(np.asarray(log_probs)).all()
