@@ -224,9 +224,19 @@ def _kernel_T(
 
     log_std = lstd_ref[:]  # (A, 1)
     inv_std = jnp.exp(-log_std)
+    t_chunk = obs_ref.shape[0]
+    # program_id must be read at kernel top level (the interpret-mode
+    # lowering cannot evaluate it inside the fori_loop body's closed call)
+    t_base = pl.program_id(1) * t_chunk
 
     def step(t, carry):
         (accs, pg_sum, vf_sum, kl_sum) = carry
+        # Zero-padded timesteps (T padded to a multiple of 8 by the caller
+        # so a small multiple-of-8 T-chunk always exists): the policy-
+        # gradient terms vanish on their own (adv = 0 -> dlogp = 0), but
+        # the value head sees v(0) != ret = 0, so dv and the vf/kl metric
+        # sums must be masked by step validity.
+        valid = (t_base + t < n_steps).astype(jnp.float32)
         x = obs_ref[t]  # (S, L)
 
         hs = [x]
@@ -258,7 +268,7 @@ def _kernel_T(
         dratio = -(adv * inv_m) * branch
         dlogp = dratio * ratio  # (1, L)
         dmean = dlogp * (z * inv_std)  # (A, L)
-        dv = (vf_coef * inv_m) * vf_err  # (1, L)
+        dv = (valid * vf_coef * inv_m) * vf_err  # (1, L); masked on padding
         dmv = jnp.concatenate([dmean, dv], axis=0)  # (A+1, L)
 
         # dh: contract the merged heads' output dim in one op.
@@ -282,9 +292,9 @@ def _kernel_T(
                 dh = _mm(w_ref[:], dz, ((0,), (0,)), compute_dtype)
         new_trunk = tuple(reversed(new_trunk))
 
-        pg_sum = pg_sum + jnp.sum(-jnp.minimum(pg1, pg2))
-        vf_sum = vf_sum + jnp.sum(0.5 * vf_err * vf_err)
-        kl_sum = kl_sum + jnp.sum(old_logp - logp)
+        pg_sum = pg_sum + valid * jnp.sum(-jnp.minimum(pg1, pg2))
+        vf_sum = vf_sum + valid * jnp.sum(0.5 * vf_err * vf_err)
+        kl_sum = kl_sum + valid * jnp.sum(old_logp - logp)
         return ((new_trunk, a_wh, a_bh, a_lstd), pg_sum, vf_sum, kl_sum)
 
     zero_accs = (
@@ -340,24 +350,32 @@ def ppo_fused_grads_T(
     T, s_dim, n = obs_t.shape
     a_dim = actions_t.shape[1]
     assert n % tile == 0, (n, tile)
-    # T-chunk: a divisor of T that is a multiple of 8 (Mosaic requires 2D
-    # block sublane dims divisible by 8 unless equal to the array dim),
-    # under a cap chosen so double-buffered input blocks + bf16 activations
-    # fit the 16M scoped vmem at this lane width.  Falls back to T itself
-    # (always legal) for small test shapes.
-    # (tile, T-chunk) selection under Mosaic's 16M scoped-vmem stack.
-    # t_chunk must be a divisor of T that is a multiple of 8 (Mosaic
-    # requires 2D block sublane dims divisible by 8 unless equal to the
-    # array dim), with T itself as the always-legal fallback; the cap
-    # keeps input blocks small at wide tiles.  Footprint model =
-    # double-buffered input blocks (2 x 4 B x t_chunk x tile x (pad(S) +
-    # pad(A) + 3 flat channels)) + per-lane live tensors (saved bf16
-    # activations + f32 dz/dh/staging, scaling with trunk width/depth).
-    # Calibrated so every empirically measured point is reproduced:
-    # (tile=2048, Tc=8, S=4, A=2, h=256) runs on v5e (production config
-    # 5, modelled 15.1M), (1024, Tc=40) runs (modelled 9.9M), and the
-    # t_chunk=T fallback at T=100/A=4 OOMed at a measured 17.94M with
-    # tile=1024 (modelled 16.0M > budget -> drops to 512, which runs).
+    # Pad the horizon to a multiple of 8 so a small multiple-of-8 T-chunk
+    # ALWAYS exists (Mosaic requires 2D block sublane dims divisible by 8
+    # unless equal to the array dim; without padding, T=100 forced
+    # t_chunk=T, whose input blocks capped the lane tile at 512 — a
+    # measured 17.94M scoped-vmem OOM at 1024).  Padded steps are zeros;
+    # the kernel masks the value-head gradient and the metric sums by
+    # step validity (the pg terms vanish on their own via adv = 0), so
+    # grads equal the unpadded math exactly (asserted vs jax.grad in
+    # tests/test_fused_ppo.py at T % 8 != 0).
+    T_pad = -(-T // 8) * 8
+    if T_pad != T:
+        dt_pad = T_pad - T
+        obs_t = jnp.pad(obs_t, ((0, dt_pad), (0, 0), (0, 0)))
+        actions_t = jnp.pad(actions_t, ((0, dt_pad), (0, 0), (0, 0)))
+        old_logp = jnp.pad(old_logp, ((0, dt_pad), (0, 0)))
+        adv = jnp.pad(adv, ((0, dt_pad), (0, 0)))
+        returns = jnp.pad(returns, ((0, dt_pad), (0, 0)))
+    # (tile, T-chunk) selection under Mosaic's 16M scoped-vmem stack:
+    # t_chunk is a multiple-of-8 divisor of T_pad under a cap that keeps
+    # input blocks small at wide tiles.  Footprint model = double-buffered
+    # input blocks (2 x 4 B x t_chunk x tile x (pad(S) + pad(A) + 3 flat
+    # channels)) + per-lane live tensors (saved bf16 activations + f32
+    # dz/dh/staging, scaling with trunk width/depth).  Calibrated so every
+    # empirically measured point is reproduced: (tile=2048, Tc=8, S=4,
+    # A=2, h=256) runs on v5e (production config 5, modelled 15.1M) and
+    # (1024, Tc=40) runs (modelled 9.9M).
     from mbt_gym_tpu.ops.pallas_rollout import _sublane_pad
 
     trunk = params["shared"]
@@ -370,8 +388,8 @@ def ppo_fused_grads_T(
     def chunk_for(t_tile):
         cap = 8 if t_tile >= 2048 else 40
         return next(
-            (d for d in range(min(cap, T), 0, -1) if T % d == 0 and d % 8 == 0),
-            T,
+            d for d in range(min(cap, T_pad), 0, -1)
+            if T_pad % d == 0 and d % 8 == 0
         )
 
     t_chunk = chunk_for(tile)
@@ -381,8 +399,8 @@ def ppo_fused_grads_T(
         tile //= 2
         t_chunk = chunk_for(tile)
     assert n % tile == 0, (n, tile)
-    grid = (n // tile, T // t_chunk)
-    m = T * n
+    grid = (n // tile, T_pad // t_chunk)
+    m = T * n  # normalisation uses the TRUE sample count, not the padding
     cdt = jnp.dtype(compute_dtype)
 
     def full(shape):

@@ -107,10 +107,14 @@ def test_fused_train_iteration_matches_xla():
         )
 
 
-def test_transposed_fused_grads_match_autodiff():
+@pytest.mark.parametrize("T", [8, 10])
+def test_transposed_fused_grads_match_autodiff(T):
     """Feature-major kernel (ppo_fused_grads_T) must produce the same grads
-    and metrics as jax.grad of the XLA loss on the same samples."""
-    s_dim, a_dim, T, L = 4, 2, 8, 64
+    and metrics as jax.grad of the XLA loss on the same samples — including
+    horizons that are NOT multiples of 8 (T=10), where the kernel
+    zero-pads the time axis and masks the value-head gradient and metric
+    sums by step validity."""
+    s_dim, a_dim, L = 4, 2, 64
     m = T * L
     params = networks.init_actor_critic(
         jax.random.PRNGKey(2), s_dim, a_dim, hidden=(32, 32), shared_trunk=True
