@@ -29,6 +29,14 @@ Scope: four model families, all with the shared-trunk actor-critic of
   column exceeds 0.5, trading at mid +/- the fixed half-spread), same
   reward kinds as "limit".
 
+Orthogonal to the dynamics kind, the market-making families compose with
+two arrival kinds (Poisson, or self-exciting Hawkes with the 2-dim
+intensity state observed) and two fill kinds (exponential decay, or the
+exogenous competing-market-maker model with two OU best-depth processes
+in state) — so the composite stress configuration
+(utils.config.composite_env_config: Hawkes + exogenous-MM + lam) runs on
+the fused pipeline too.
+
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
 engine + networks on the SAME noise.
@@ -58,9 +66,11 @@ GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 N_CHANNELS = 7
 
 
-def n_noise_channels(a_dim: int) -> int:
-    """Injected-noise channel count for a family with ``a_dim`` actions."""
-    return 4 + max(a_dim, 2) + 1
+def n_noise_channels(a_dim: int, exomm: bool = False) -> int:
+    """Injected-noise channel count: 4 env uniforms + max(a_dim, 2)
+    policy-sample normals + 1 midprice normal (+ 2 exogenous best-depth
+    OU normals for the exogenous-MM fill kind)."""
+    return 4 + max(a_dim, 2) + 1 + (2 if exomm else 0)
 
 
 class MlpRolloutParams(NamedTuple):
@@ -106,6 +116,25 @@ class MlpRolloutParams(NamedTuple):
     permanent_impact: float = 0.0
     fixed_half_spread: float = 0.0
     risk_aversion: float = 0.0  # "exp_utility" reward only
+    # Arrival process: "poisson" (stateless thinning at intensity_bid/ask)
+    # or "hawkes" (arrival_models.py:86-129 — 2-dim intensity state
+    # thinned at the CURRENT intensity, then mean-reverted to the
+    # intensity_* baseline with self-excitation jump_size per arrival).
+    arrival_kind: str = "poisson"
+    hawkes_jump: float = 0.0
+    hawkes_mean_reversion: float = 0.0
+    # Fill model (limit/lam dynamics): "exp" (exponential decay in depth)
+    # or "exomm" (fill_probability_models.py:126-170 — two exogenous
+    # best-depth OU processes carried in state; quoting at/inside the
+    # exogenous best fills with probability 1, outside decays as
+    # base_fill * exp(-fill_exponent * (depth - best))).
+    fill_kind: str = "exp"
+    exo_level: tuple = ()  # (bid, ask) OU mean-reversion levels
+    exo_speed: tuple = ()
+    exo_vol: tuple = ()
+    exo_initial: tuple = ()
+    exo_dt_scaled: bool = True
+    exo_base_fill: float = 1.0
     # Random initial inventory: () = deterministic `initial_inventory`;
     # (lo, hi) = per-env integer draw in [lo, hi) per episode, matching the
     # XLA engine's reset (TradingEnvironment.py:270-273 semantics).  The
@@ -123,10 +152,10 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         AtTheTouchDynamics, LimitAndMarketOrderDynamics, LimitOrderDynamics,
         TradingWithSpeedDynamics,
     )
-    from mbt_gym_tpu.processes.arrivals import PoissonArrivals
-    from mbt_gym_tpu.processes.fills import ExponentialFill
+    from mbt_gym_tpu.processes.arrivals import HawkesArrivals, PoissonArrivals
+    from mbt_gym_tpu.processes.fills import ExogenousMmFill, ExponentialFill
     from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
-    from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+    from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice, OuMidprice
     from mbt_gym_tpu.rewards import (
         CjMmCriterion, CjOeCriterion, ExponentialUtility, PnL,
         RunningInventoryPenalty,
@@ -155,34 +184,66 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             f"RunningInventoryPenalty (exponent 2) / ExponentialUtility; got {r}"
         )
 
+    def _arrivals(m):
+        """(kind, (rate_bid, rate_ask), jump, mean_reversion)."""
+        if isinstance(m, HawkesArrivals):
+            return (
+                "hawkes", m.baseline_arrival_rate, m.jump_size,
+                m.mean_reversion_speed,
+            )
+        assert isinstance(m, PoissonArrivals), (
+            f"fused rollout arrivals: Poisson or Hawkes only; got {m}"
+        )
+        return "poisson", m.intensity, 0.0, 0.0
+
+    def _fills(m):
+        """(kind, fill_exponent, exo params...) for limit/lam fills."""
+        if isinstance(m, ExogenousMmFill):
+            bp, ap = m.bid_process, m.ask_process
+            for q in (bp, ap):
+                assert isinstance(q, OuMidprice) and q.state_dim == 1, (
+                    "fused rollout (exomm fills): OuMidprice best-depth "
+                    f"processes only; got {q}"
+                )
+            assert bp.dt_scaled_drift == ap.dt_scaled_drift
+            return (
+                "exomm", m.fill_exponent,
+                (bp.mean_reversion_level, ap.mean_reversion_level),
+                (bp.mean_reversion_speed, ap.mean_reversion_speed),
+                (bp.volatility, ap.volatility),
+                (bp.initial_price, ap.initial_price),
+                bool(bp.dt_scaled_drift), m.base_fill_probability,
+            )
+        assert isinstance(m, ExponentialFill), (
+            f"fused rollout fills: ExponentialFill or ExogenousMmFill only; got {m}"
+        )
+        return "exp", m.fill_exponent, (), (), (), (), True, 1.0
+
+    no_exo = ((), (), (), (), True, 1.0)
     d = cfg.dynamics
     assert isinstance(d.midprice_model, BrownianMotionMidprice)
     r = cfg.reward_function
     half_spread = 0.0
     if isinstance(d, AtTheTouchDynamics):
-        assert isinstance(d.arrival_model, PoissonArrivals)
+        arrival_kind, intensity, hjump, hmr = _arrivals(d.arrival_model)
         dynamics_kind = "touch"
         temp_imp = perm_imp = 0.0
-        intensity = d.arrival_model.intensity
         fill_exponent = 0.0
+        fill_kind, exo = "exp", no_exo
         half_spread = float(d.fixed_market_half_spread)
         reward_kind, phi, alpha, gamma_u = _mm_reward(r, "touch")
     elif isinstance(d, LimitAndMarketOrderDynamics):
-        assert isinstance(d.arrival_model, PoissonArrivals)
-        assert isinstance(d.fill_probability_model, ExponentialFill)
+        arrival_kind, intensity, hjump, hmr = _arrivals(d.arrival_model)
+        fill_kind, fill_exponent, *exo = _fills(d.fill_probability_model)
         dynamics_kind = "lam"
         temp_imp = perm_imp = 0.0
-        intensity = d.arrival_model.intensity
-        fill_exponent = d.fill_probability_model.fill_exponent
         half_spread = float(d.fixed_market_half_spread)
         reward_kind, phi, alpha, gamma_u = _mm_reward(r, "lam")
     elif isinstance(d, LimitOrderDynamics) and d.action_dim == 2:
-        assert isinstance(d.arrival_model, PoissonArrivals)
-        assert isinstance(d.fill_probability_model, ExponentialFill)
+        arrival_kind, intensity, hjump, hmr = _arrivals(d.arrival_model)
+        fill_kind, fill_exponent, *exo = _fills(d.fill_probability_model)
         dynamics_kind = "limit"
         temp_imp = perm_imp = 0.0
-        intensity = d.arrival_model.intensity
-        fill_exponent = d.fill_probability_model.fill_exponent
         reward_kind, phi, alpha, gamma_u = _mm_reward(r, "limit")
     elif isinstance(d, TradingWithSpeedDynamics):
         assert isinstance(d.price_impact_model, TemporaryAndPermanentImpact), (
@@ -193,6 +254,8 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         perm_imp = d.price_impact_model.permanent_impact_coefficient
         intensity = (0.0, 0.0)
         fill_exponent = 0.0
+        arrival_kind, hjump, hmr = "poisson", 0.0, 0.0
+        fill_kind, exo = "exp", no_exo
         gamma_u = 0.0
         if isinstance(r, PnL):
             reward_kind, phi, alpha = "pnl", 0.0, 0.0
@@ -260,6 +323,16 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         permanent_impact=perm_imp,
         fixed_half_spread=half_spread,
         risk_aversion=gamma_u,
+        arrival_kind=arrival_kind,
+        hawkes_jump=float(hjump),
+        hawkes_mean_reversion=float(hmr),
+        fill_kind=fill_kind,
+        exo_level=tuple(float(x) for x in exo[0]),
+        exo_speed=tuple(float(x) for x in exo[1]),
+        exo_vol=tuple(float(x) for x in exo[2]),
+        exo_initial=tuple(float(x) for x in exo[3]),
+        exo_dt_scaled=bool(exo[4]),
+        exo_base_fill=float(exo[5]),
         inventory_range=inventory_range,
     )
 
@@ -301,19 +374,28 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     plus a trailing permanent-impact plane for "speed".  Returns
     (new_carry, outputs)."""
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
+    it = iter(carry)
+    cash, inv, price = next(it), next(it), next(it)
+    lam_b = lam_a = exo_b = exo_a = imp = None
+    if p.arrival_kind == "hawkes":
+        lam_b, lam_a = next(it), next(it)
+    if p.fill_kind == "exomm":
+        exo_b, exo_a = next(it), next(it)
     if p.dynamics_kind == "speed":
-        cash, inv, price, imp = carry
-    else:
-        cash, inv, price = carry
+        imp = next(it)
     L = cash.shape[-1]
-    u_ab, u_aa, u_fb, u_fa, eps_all, n_mid = draws
+    u_ab, u_aa, u_fb, u_fa, eps_all, n_mid, exo_n = draws
 
     # --- observation the policy sees (normalised per env flags) ---
     # Column order = raw_observation: cash, inventory, time, then process
-    # states in slot order (midprice; + the permanent-impact state for
-    # speed dynamics, whose state column is observed).
+    # states in slot order: midprice price, arrival state (Hawkes 2-dim
+    # intensity), fill state (exogenous best depths), impact state.
     time_plane = jnp.full((1, L), t_val, jnp.float32)
     planes = [cash, inv, time_plane, price]
+    if p.arrival_kind == "hawkes":
+        planes += [lam_b, lam_a]
+    if p.fill_kind == "exomm":
+        planes += [exo_b, exo_a]
     if p.dynamics_kind == "speed":
         planes.append(imp)
     if p.normalise_obs:
@@ -356,14 +438,69 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             for c in range(a_dim)
         )
 
+    # --- arrival thinning (current intensity) + intensity update
+    # (HawkesArrivals: thin at the CURRENT state, then mean-revert to the
+    # baseline + jump_size * arrivals self-excitation) ---
+    new_lam_b = new_lam_a = None
+    if p.arrival_kind == "hawkes":
+        arrival_rate_b, arrival_rate_a = lam_b, lam_a
+    else:
+        arrival_rate_b, arrival_rate_a = p.intensity_bid, p.intensity_ask
+
+    def _sample_arrivals():
+        ab = (u_ab < arrival_rate_b * p.dt).astype(jnp.float32)
+        aa = (u_aa < arrival_rate_a * p.dt).astype(jnp.float32)
+        return ab, aa
+
+    def _update_hawkes(ab, aa):
+        if p.arrival_kind != "hawkes":
+            return None, None
+        mr, j = p.hawkes_mean_reversion, p.hawkes_jump
+        return (
+            lam_b + mr * (p.intensity_bid - lam_b) * p.dt + j * ab,
+            lam_a + mr * (p.intensity_ask - lam_a) * p.dt + j * aa,
+        )
+
+    # --- fill probabilities at the CURRENT fill state; exo depths then
+    # advance by their OU updates (fill_probability_models.py:159-170) ---
+    new_exo_b = new_exo_a = None
+
+    def _fill_probs(bid_depth, ask_depth):
+        if p.fill_kind == "exomm":
+            k, base = p.fill_exponent, p.exo_base_fill
+            pb = jnp.where(
+                bid_depth > exo_b, base * jnp.exp(-k * (bid_depth - exo_b)), 1.0
+            )
+            pa = jnp.where(
+                ask_depth > exo_a, base * jnp.exp(-k * (ask_depth - exo_a)), 1.0
+            )
+            return pb, pa
+        k = p.fill_exponent
+        return jnp.exp(-k * bid_depth), jnp.exp(-k * ask_depth)
+
+    def _update_exo():
+        if p.fill_kind != "exomm":
+            return None, None
+        scale = p.dt if p.exo_dt_scaled else 1.0
+        sq = math.sqrt(p.dt)
+        return (
+            exo_b
+            + (-p.exo_speed[0] * scale) * (exo_b - p.exo_level[0])
+            + (p.exo_vol[0] * sq) * exo_n[0:1],
+            exo_a
+            + (-p.exo_speed[1] * scale) * (exo_a - p.exo_level[1])
+            + (p.exo_vol[1] * sq) * exo_n[1:2],
+        )
+
     if p.dynamics_kind == "limit":
         bid_depth, ask_depth = exec_action
         # --- env step (TradingEnvironment.py:198-216 order) ---
-        k = p.fill_exponent
-        arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
-        arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
-        fill_bid = (u_fb < jnp.exp(-k * bid_depth)).astype(jnp.float32)
-        fill_ask = (u_fa < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+        arr_bid, arr_ask = _sample_arrivals()
+        new_lam_b, new_lam_a = _update_hawkes(arr_bid, arr_ask)
+        pb, pa = _fill_probs(bid_depth, ask_depth)
+        new_exo_b, new_exo_a = _update_exo()
+        fill_bid = (u_fb < pb).astype(jnp.float32)
+        fill_ask = (u_fa < pa).astype(jnp.float32)
         fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
         fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
         hit_bid = arr_bid * fill_bid
@@ -381,11 +518,12 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         hs = p.fixed_half_spread
         mo_buy = (mo_buy_raw > 0.5).astype(jnp.float32)
         mo_sell = (mo_sell_raw > 0.5).astype(jnp.float32)
-        k = p.fill_exponent
-        arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
-        arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
-        fill_bid = (u_fb < jnp.exp(-k * bid_depth)).astype(jnp.float32)
-        fill_ask = (u_fa < jnp.exp(-k * ask_depth)).astype(jnp.float32)
+        arr_bid, arr_ask = _sample_arrivals()
+        new_lam_b, new_lam_a = _update_hawkes(arr_bid, arr_ask)
+        pb, pa = _fill_probs(bid_depth, ask_depth)
+        new_exo_b, new_exo_a = _update_exo()
+        fill_bid = (u_fb < pb).astype(jnp.float32)
+        fill_ask = (u_fa < pa).astype(jnp.float32)
         fill_bid = fill_bid * (inv < p.max_inventory).astype(jnp.float32)
         fill_ask = fill_ask * (inv > -p.max_inventory).astype(jnp.float32)
         hit_bid = arr_bid * fill_bid
@@ -405,8 +543,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         # inventory boundary exactly like env.step step 2.
         post_bid, post_ask = exec_action
         hs = p.fixed_half_spread
-        arr_bid = (u_ab < p.intensity_bid * p.dt).astype(jnp.float32)
-        arr_ask = (u_aa < p.intensity_ask * p.dt).astype(jnp.float32)
+        arr_bid, arr_ask = _sample_arrivals()
+        new_lam_b, new_lam_a = _update_hawkes(arr_bid, arr_ask)
         fill_bid = post_bid * (inv < p.max_inventory).astype(jnp.float32)
         fill_ask = post_ask * (inv > -p.max_inventory).astype(jnp.float32)
         hit_bid = arr_bid * fill_bid
@@ -471,6 +609,10 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             - p.alpha * terminal * new_inv * new_inv
         )
     new_carry = (new_cash, new_inv, new_price)
+    if p.arrival_kind == "hawkes":
+        new_carry = new_carry + (new_lam_b, new_lam_a)
+    if p.fill_kind == "exomm":
+        new_carry = new_carry + (new_exo_b, new_exo_a)
     if p.dynamics_kind == "speed":
         new_carry = new_carry + (new_imp,)
     return new_carry, (X, action, logp, value, reward)
@@ -497,10 +639,13 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         L = obs_ref.shape[-1]
         n_eps = max(a_dim, 2)  # policy-sample normal rows (channel layout)
+        use_exo = p.fill_kind == "exomm"
         # Box-Muller pairs covering n_eps action normals + 1 midprice
-        # normal; for n_eps=2 this reproduces the original draw stream
-        # exactly (4 uniforms -> [cos0, cos1, sin0, sin1]).
-        pairs = (n_eps + 2) // 2
+        # normal (+ 2 exogenous best-depth normals); for n_eps=2 without
+        # exo this reproduces the original draw stream exactly (4 uniforms
+        # -> [cos0, cos1, sin0, sin1]).
+        n_norm = n_eps + 1 + (2 if use_exo else 0)
+        pairs = (n_norm + 1) // 2
 
         def hw_draws():
             u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
@@ -509,10 +654,12 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             theta = (2.0 * math.pi) * bm_u[pairs:]
             normals = jnp.concatenate(
                 [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0
-            )  # (2*pairs, L): rows [0, n_eps) = action eps, row n_eps = midprice
+            )  # (2*pairs, L): rows [0, n_eps) = action eps, row n_eps =
+            # midprice, rows [n_eps+1, n_eps+3) = exo best-depth normals
             return (
                 u[0:1], u[1:2], u[2:3], u[3:4],
                 normals[0:n_eps], normals[n_eps : n_eps + 1],
+                normals[n_eps + 1 : n_eps + 3] if use_exo else None,
             )
 
         weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
@@ -529,6 +676,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                     noise_ref[i, 2:3], noise_ref[i, 3:4],
                     noise_ref[i, 4 : 4 + n_eps],
                     noise_ref[i, 4 + n_eps : 5 + n_eps],
+                    noise_ref[i, 5 + n_eps : 7 + n_eps] if use_exo else None,
                 )
             else:
                 draws = hw_draws()
@@ -551,6 +699,18 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             inv0,
             jnp.full((1, L), p.initial_price, jnp.float32),
         )
+        if p.arrival_kind == "hawkes":
+            # Hawkes intensities start at the baseline (HawkesArrivals.
+            # initial_state)
+            init = init + (
+                jnp.full((1, L), p.intensity_bid, jnp.float32),
+                jnp.full((1, L), p.intensity_ask, jnp.float32),
+            )
+        if p.fill_kind == "exomm":
+            init = init + (
+                jnp.full((1, L), p.exo_initial[0], jnp.float32),
+                jnp.full((1, L), p.exo_initial[1], jnp.float32),
+            )
         if p.dynamics_kind == "speed":
             # permanent-impact state starts at zero (ProcessBase.initial_state)
             init = init + (jnp.zeros((1, L), jnp.float32),)
@@ -571,7 +731,8 @@ def _sublane_pad(d: int) -> int:
 
 
 def auto_tile(
-    n: int, run_steps: int, has_noise: bool, s_dim: int = 4, a_dim: int = 2
+    n: int, run_steps: int, has_noise: bool, s_dim: int = 4, a_dim: int = 2,
+    exomm: bool = False,
 ) -> int:
     """Widest lane tile whose double-buffered per-program output blocks
     (T x (S+A+3) x tile f32, sublane-padded, plus the noise input block
@@ -582,7 +743,7 @@ def auto_tile(
     budget = 15 * 1024 * 1024
     channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
     if has_noise:
-        channels += _sublane_pad(n_noise_channels(a_dim))
+        channels += _sublane_pad(n_noise_channels(a_dim, exomm=exomm))
     per_lane = 2 * run_steps * 4 * channels
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= n and n % cand == 0 and cand * per_lane <= budget:
@@ -625,6 +786,7 @@ def mlp_rollout_pallas(
         tile = auto_tile(
             n, T, noise is not None,
             s_dim=len(p.obs_low), a_dim=len(p.act_low),
+            exomm=p.fill_kind == "exomm",
         )
     assert n % tile == 0 and tile % LANES == 0, (n, tile)
     grid = n // tile
@@ -642,7 +804,7 @@ def mlp_rollout_pallas(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
         noise = jnp.asarray(noise, jnp.float32)
-        n_ch = n_noise_channels(len(p.act_low))
+        n_ch = n_noise_channels(len(p.act_low), exomm=p.fill_kind == "exomm")
         assert noise.shape == (T, n_ch, n), (noise.shape, n_ch)
         inputs.append(noise)
         in_specs.append(pl.BlockSpec((T, n_ch, tile), lambda i: (0, 0, i)))

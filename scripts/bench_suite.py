@@ -15,6 +15,8 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
  8. The fused PPO pipeline on the limit-and-market-order family (a_dim=4)
  9. The reference's canonical training env (get_cj_env: lam dynamics +
     CjMm + random initial inventory) on the fused pipeline
+ 10. The composite stress family (Hawkes + exogenous-MM fills + lam) on
+     the fused pipeline — config 4's model stack with the learner in loop
 """
 from __future__ import annotations
 
@@ -217,6 +219,21 @@ def main():
         measure_ppo(
             "9. PPO on canonical learning env (get_cj_env)",
             cfg9,
+            n_minibatches=4 if args.small else 16,
+        )
+    )
+
+    # Config 10: fused PPO on the composite stress family — the fused
+    # rollout kernel's Hawkes-arrival and exogenous-MM-fill axes composed
+    # with lam dynamics (config 4's model stack, S=8 observation).
+    cfg10 = dataclasses.replace(
+        composite_env_config(num_trajectories=(1 << 18) // scale),
+        normalise_observation_space=True,
+    )
+    rows.append(
+        measure_ppo(
+            "10. PPO on composite Hawkes+ExoMM+L&M, 262k envs/chip",
+            cfg10,
             n_minibatches=4 if args.small else 16,
         )
     )
