@@ -116,6 +116,16 @@ class MlpRolloutParams(NamedTuple):
     permanent_impact: float = 0.0
     fixed_half_spread: float = 0.0
     risk_aversion: float = 0.0  # "exp_utility" reward only
+    # Midprice SDE: "bm" (arithmetic BM, the default), "gbm"
+    # (midprice_models.py:71-111), "ou" (:114-146, with the reference's
+    # missing-dt drift quirk when mid_dt_scaled=False), "bmjump"
+    # (:193-230, ABM + mid_jump * (ask_fill - bid_fill) permanent jumps on
+    # the agent's own limit fills) or "oujump" (:233-273).
+    midprice_kind: str = "bm"
+    mid_level: float = 0.0  # OU mean-reversion level
+    mid_speed: float = 0.0  # OU mean-reversion speed
+    mid_dt_scaled: bool = False
+    mid_jump: float = 0.0
     # Arrival process: "poisson" (stateless thinning at intensity_bid/ask)
     # or "hawkes" (arrival_models.py:86-129 — 2-dim intensity state
     # thinned at the CURRENT intensity, then mean-reverted to the
@@ -219,9 +229,46 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         )
         return "exp", m.fill_exponent, (), (), (), (), True, 1.0
 
+    def _midprice(m):
+        """(kind, drift, vol, s0, level, speed, dt_scaled, jump)."""
+        from mbt_gym_tpu.processes.midprice import (
+            BrownianMotionJumpMidprice, GeometricBrownianMotionMidprice,
+            OuJumpMidprice,
+        )
+
+        if isinstance(m, BrownianMotionJumpMidprice):
+            return (
+                "bmjump", m.drift, m.volatility, m.initial_price,
+                0.0, 0.0, False, m.jump_size,
+            )
+        if isinstance(m, OuJumpMidprice):
+            return (
+                "oujump", 0.0, m.volatility, m.initial_price,
+                m.mean_reversion_level, m.mean_reversion_speed,
+                bool(m.dt_scaled_drift), m.jump_size,
+            )
+        if isinstance(m, OuMidprice):
+            return (
+                "ou", 0.0, m.volatility, m.initial_price,
+                m.mean_reversion_level, m.mean_reversion_speed,
+                bool(m.dt_scaled_drift), 0.0,
+            )
+        if isinstance(m, GeometricBrownianMotionMidprice):
+            return (
+                "gbm", m.drift, m.volatility, m.initial_price,
+                0.0, 0.0, False, 0.0,
+            )
+        assert isinstance(m, BrownianMotionMidprice), (
+            f"fused rollout midprice: BM / GBM / OU / BM-jump / OU-jump "
+            f"only; got {m}"
+        )
+        return "bm", m.drift, m.volatility, m.initial_price, 0.0, 0.0, False, 0.0
+
     no_exo = ((), (), (), (), True, 1.0)
     d = cfg.dynamics
-    assert isinstance(d.midprice_model, BrownianMotionMidprice)
+    mid_kind, mid_drift, mid_vol, mid_s0, mid_level, mid_speed, mid_scaled, mid_jump = (
+        _midprice(d.midprice_model)
+    )
     r = cfg.reward_function
     half_spread = 0.0
     if isinstance(d, AtTheTouchDynamics):
@@ -250,6 +297,11 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             "fused rollout (speed dynamics): TemporaryAndPermanentImpact only"
         )
         dynamics_kind = "speed"
+        assert mid_kind in ("bm", "gbm", "ou"), (
+            "fused rollout (speed dynamics): fill-driven midprice jumps "
+            "have no fills to react to (the reference crashes there too, "
+            "midprice_models.py:220)"
+        )
         temp_imp = d.price_impact_model.temporary_impact_coefficient
         perm_imp = d.price_impact_model.permanent_impact_coefficient
         intensity = (0.0, 0.0)
@@ -297,9 +349,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     return MlpRolloutParams(
         n_steps=cfg.n_steps,
         dt=cfg.step_size,
-        drift=d.midprice_model.drift,
-        volatility=d.midprice_model.volatility,
-        initial_price=d.midprice_model.initial_price,
+        drift=mid_drift,
+        volatility=mid_vol,
+        initial_price=mid_s0,
         intensity_bid=intensity[0],
         intensity_ask=intensity[1],
         fill_exponent=fill_exponent,
@@ -323,6 +375,11 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         permanent_impact=perm_imp,
         fixed_half_spread=half_spread,
         risk_aversion=gamma_u,
+        midprice_kind=mid_kind,
+        mid_level=float(mid_level),
+        mid_speed=float(mid_speed),
+        mid_dt_scaled=bool(mid_scaled),
+        mid_jump=float(mid_jump),
         arrival_kind=arrival_kind,
         hawkes_jump=float(hjump),
         hawkes_mean_reversion=float(hmr),
@@ -564,7 +621,27 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # XLA-engine feature — use it when the clip is expected to bind).
     new_inv = jnp.clip(new_inv, -p.max_inventory, p.max_inventory)
     new_cash = jnp.clip(new_cash, -p.max_cash, p.max_cash)
-    new_price = price + p.drift * p.dt + (p.volatility * math.sqrt(p.dt)) * n_mid
+    # Midprice SDE by kind; jump kinds react to the agent's own LIMIT
+    # fills (ask fill pushes price up, bid fill down —
+    # midprice_models.py:219-227; market orders do not jump, matching the
+    # engine's arrivals/fills arguments).
+    diffusion = (p.volatility * math.sqrt(p.dt)) * n_mid
+    if p.midprice_kind == "bm":
+        new_price = price + p.drift * p.dt + diffusion
+    elif p.midprice_kind == "gbm":
+        new_price = price + p.drift * price * p.dt + price * diffusion
+    else:  # "ou" / "oujump" / "bmjump"
+        if p.midprice_kind == "bmjump":
+            new_price = price + p.drift * p.dt + diffusion
+        else:
+            drift_scale = p.dt if p.mid_dt_scaled else 1.0
+            new_price = (
+                price
+                + (-p.mid_speed * drift_scale) * (price - p.mid_level)
+                + diffusion
+            )
+        if p.midprice_kind in ("bmjump", "oujump"):
+            new_price = new_price + p.mid_jump * (hit_ask - hit_bid)
 
     # Reward at the post-bookkeeping, post-price-move state (both sides
     # mark at their own price).  "cjmm": pathwise CJ criterion

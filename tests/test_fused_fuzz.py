@@ -24,7 +24,13 @@ from mbt_gym_tpu.ops import pallas_rollout
 from mbt_gym_tpu.processes.arrivals import PoissonArrivals
 from mbt_gym_tpu.processes.fills import ExponentialFill
 from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
-from mbt_gym_tpu.processes.midprice import BrownianMotionMidprice
+from mbt_gym_tpu.processes.midprice import (
+    BrownianMotionJumpMidprice,
+    BrownianMotionMidprice,
+    GeometricBrownianMotionMidprice,
+    OuJumpMidprice,
+    OuMidprice,
+)
 from mbt_gym_tpu.rewards import (
     CjMmCriterion,
     CjOeCriterion,
@@ -40,12 +46,35 @@ N, T = 128, 5
 def _random_env(rng, family):
     """A random valid EnvConfig for the given fused family."""
     sigma = float(rng.uniform(0.05, 3.0))
-    mid = BrownianMotionMidprice(
-        initial_price=float(rng.uniform(50.0, 200.0)),
-        drift=float(rng.uniform(-1.0, 1.0)),
-        volatility=sigma,
-        terminal_time=1.0,
-    )
+    s0 = float(rng.uniform(50.0, 200.0))
+    mid_kinds = [
+        BrownianMotionMidprice(
+            initial_price=s0, drift=float(rng.uniform(-1.0, 1.0)),
+            volatility=sigma, terminal_time=1.0,
+        ),
+        GeometricBrownianMotionMidprice(
+            initial_price=s0, drift=float(rng.uniform(-0.2, 0.2)),
+            volatility=sigma / 100.0, terminal_time=1.0,
+        ),
+        OuMidprice(
+            initial_price=s0, mean_reversion_level=s0,
+            mean_reversion_speed=float(rng.uniform(0.5, 5.0)),
+            volatility=sigma, terminal_time=1.0,
+            dt_scaled_drift=bool(rng.integers(0, 2)),
+        ),
+        BrownianMotionJumpMidprice(
+            initial_price=s0, volatility=sigma,
+            jump_size=float(rng.uniform(0.1, 1.0)), terminal_time=1.0,
+        ),
+        OuJumpMidprice(
+            initial_price=s0, mean_reversion_level=s0,
+            mean_reversion_speed=float(rng.uniform(0.5, 5.0)),
+            volatility=sigma, jump_size=float(rng.uniform(0.1, 1.0)),
+            terminal_time=1.0, dt_scaled_drift=bool(rng.integers(0, 2)),
+        ),
+    ]
+    n_kinds = len(mid_kinds) if family in ("limit", "lam", "touch") else 3
+    mid = mid_kinds[rng.integers(0, n_kinds)]  # speed: no fill-jump kinds
     phi = float(rng.uniform(0.0, 1.0))
     alpha = float(rng.uniform(0.0, 0.01))
     mm_rewards = [

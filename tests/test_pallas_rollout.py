@@ -855,3 +855,75 @@ def test_train_iteration_with_fused_composite_rollout_runs():
         lambda a, b: float(jnp.abs(a - b).max()), ts.params, new_ts.params
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
+# ---------------------------------------------------------- midprice kinds
+@pytest.mark.parametrize("mid_name", ["gbm", "ou", "bmjump", "oujump"])
+def test_fused_rollout_midprice_kinds_match_xla_engine(mid_name):
+    """Non-default midprice SDEs on the fused kernel (GBM, OU with the
+    missing-dt drift quirk, and the fill-driven jump variants) must
+    reproduce the XLA engine on the same noise.  Jump kinds use a large
+    jump so actual fills visibly move the price."""
+    from mbt_gym_tpu.processes.midprice import (
+        BrownianMotionJumpMidprice,
+        GeometricBrownianMotionMidprice,
+        OuJumpMidprice,
+        OuMidprice,
+    )
+
+    mid = {
+        "gbm": GeometricBrownianMotionMidprice(
+            drift=0.5, volatility=0.02, initial_price=100.0
+        ),
+        "ou": OuMidprice(
+            mean_reversion_level=100.0, mean_reversion_speed=2.0,
+            volatility=2.0, initial_price=100.0,  # quirk: drift not dt-scaled
+        ),
+        "bmjump": BrownianMotionJumpMidprice(
+            volatility=2.0, jump_size=0.5, initial_price=100.0
+        ),
+        "oujump": OuJumpMidprice(
+            mean_reversion_level=100.0, mean_reversion_speed=2.0,
+            volatility=2.0, jump_size=0.5, initial_price=100.0,
+            dt_scaled_drift=True,
+        ),
+    }[mid_name]
+    base = as_env_config(num_trajectories=N, n_steps=T)
+    env_cfg = dataclasses.replace(
+        base,
+        dynamics=dataclasses.replace(base.dynamics, midprice_model=mid),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.midprice_kind == mid_name
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    rng = np.random.default_rng(101)
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference(env_cfg, params, channels)
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+def test_speed_dynamics_rejects_jump_midprice():
+    from mbt_gym_tpu.processes.midprice import BrownianMotionJumpMidprice
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    cfg = oe_env_config(num_trajectories=N)
+    bad = dataclasses.replace(
+        cfg,
+        dynamics=dataclasses.replace(
+            cfg.dynamics, midprice_model=BrownianMotionJumpMidprice()
+        ),
+    )
+    with pytest.raises(AssertionError, match="jumps have no fills"):
+        pallas_rollout.rollout_params_from_config(bad)
