@@ -112,6 +112,16 @@ class MlpRolloutParams(NamedTuple):
     # (:179-240, limit orders + unit market orders at mid +/-
     # fixed_half_spread).
     dynamics_kind: str = "limit"
+    # Price impact (speed dynamics): "temp_perm"
+    # (price_impact_models.py:64-96), "power" (stateless c*speed^exponent,
+    # :34-61), "transient" (:142-179, impact = kappa*state with the
+    # exponential-resilience recursion) or "temp_transient" (:99-138).
+    impact_kind: str = "temp_perm"
+    impact_exponent: float = 1.0  # "power"
+    impact_kappa: float = 0.0  # transient kinds
+    impact_rho: float = 0.0
+    impact_gamma: float = 0.0
+    impact_initial: float = 0.0
     temporary_impact: float = 0.0
     permanent_impact: float = 0.0
     fixed_half_spread: float = 0.0
@@ -126,8 +136,9 @@ class MlpRolloutParams(NamedTuple):
     mid_speed: float = 0.0  # OU mean-reversion speed
     mid_dt_scaled: bool = False
     mid_jump: float = 0.0
-    # Arrival process: "poisson" (stateless thinning at intensity_bid/ask)
-    # or "hawkes" (arrival_models.py:86-129 — 2-dim intensity state
+    # Arrival process: "poisson" (stateless thinning at intensity_bid/ask),
+    # "poisson_nl" (exact probability 1 - exp(-intensity*dt),
+    # arrival_models.py:59-83) or "hawkes" (arrival_models.py:86-129 — 2-dim intensity state
     # thinned at the CURRENT intensity, then mean-reverted to the
     # intensity_* baseline with self-excitation jump_size per arrival).
     arrival_kind: str = "poisson"
@@ -138,7 +149,12 @@ class MlpRolloutParams(NamedTuple):
     # best-depth OU processes carried in state; quoting at/inside the
     # exogenous best fills with probability 1, outside decays as
     # base_fill * exp(-fill_exponent * (depth - best))).
+    # "triangular" (max(1 - max(d,0)/fill_param, 0),
+    # fill_probability_models.py:68-91 elementwise intent) and "power"
+    # (1/(1 + (fill_param*max(d,0))^fill_exponent), :94-123) are also
+    # supported; the strict_reference_bug variants stay on the XLA path.
     fill_kind: str = "exp"
+    fill_param: float = 0.0  # triangular max depth / power multiplier
     exo_level: tuple = ()  # (bid, ask) OU mean-reversion levels
     exo_speed: tuple = ()
     exo_vol: tuple = ()
@@ -196,18 +212,36 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
 
     def _arrivals(m):
         """(kind, (rate_bid, rate_ask), jump, mean_reversion)."""
+        from mbt_gym_tpu.processes.arrivals import PoissonArrivalsNonLinear
+
         if isinstance(m, HawkesArrivals):
             return (
                 "hawkes", m.baseline_arrival_rate, m.jump_size,
                 m.mean_reversion_speed,
             )
+        if isinstance(m, PoissonArrivalsNonLinear):
+            return "poisson_nl", m.intensity, 0.0, 0.0
         assert isinstance(m, PoissonArrivals), (
-            f"fused rollout arrivals: Poisson or Hawkes only; got {m}"
+            f"fused rollout arrivals: Poisson (linear or exact-probability) "
+            f"or Hawkes only; got {m}"
         )
         return "poisson", m.intensity, 0.0, 0.0
 
     def _fills(m):
-        """(kind, fill_exponent, exo params...) for limit/lam fills."""
+        """(kind, fill_exponent, fill_param, exo params...) for limit/lam
+        fills."""
+        from mbt_gym_tpu.processes.fills import PowerFill, TriangularFill
+
+        if isinstance(m, TriangularFill):
+            assert not m.strict_reference_bug, (
+                "strict_reference_bug fills are an XLA-path compat feature"
+            )
+            return ("triangular", 0.0, m.max_fill_depth) + no_exo
+        if isinstance(m, PowerFill):
+            assert not m.strict_reference_bug, (
+                "strict_reference_bug fills are an XLA-path compat feature"
+            )
+            return ("power", m.fill_exponent, m.fill_multiplier) + no_exo
         if isinstance(m, ExogenousMmFill):
             bp, ap = m.bid_process, m.ask_process
             for q in (bp, ap):
@@ -217,7 +251,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
                 )
             assert bp.dt_scaled_drift == ap.dt_scaled_drift
             return (
-                "exomm", m.fill_exponent,
+                "exomm", m.fill_exponent, 0.0,
                 (bp.mean_reversion_level, ap.mean_reversion_level),
                 (bp.mean_reversion_speed, ap.mean_reversion_speed),
                 (bp.volatility, ap.volatility),
@@ -225,9 +259,10 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
                 bool(bp.dt_scaled_drift), m.base_fill_probability,
             )
         assert isinstance(m, ExponentialFill), (
-            f"fused rollout fills: ExponentialFill or ExogenousMmFill only; got {m}"
+            f"fused rollout fills: Exponential / Triangular / Power / "
+            f"ExogenousMm only; got {m}"
         )
-        return "exp", m.fill_exponent, (), (), (), (), True, 1.0
+        return ("exp", m.fill_exponent, 0.0) + no_exo
 
     def _midprice(m):
         """(kind, drift, vol, s0, level, speed, dt_scaled, jump)."""
@@ -271,43 +306,74 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     )
     r = cfg.reward_function
     half_spread = 0.0
+    impact_kind, i_exp, i_kappa, i_rho, i_gamma, i_init = (
+        "temp_perm", 1.0, 0.0, 0.0, 0.0, 0.0
+    )
     if isinstance(d, AtTheTouchDynamics):
         arrival_kind, intensity, hjump, hmr = _arrivals(d.arrival_model)
         dynamics_kind = "touch"
         temp_imp = perm_imp = 0.0
         fill_exponent = 0.0
-        fill_kind, exo = "exp", no_exo
+        fill_kind, fill_param, exo = "exp", 0.0, no_exo
         half_spread = float(d.fixed_market_half_spread)
         reward_kind, phi, alpha, gamma_u = _mm_reward(r, "touch")
     elif isinstance(d, LimitAndMarketOrderDynamics):
         arrival_kind, intensity, hjump, hmr = _arrivals(d.arrival_model)
-        fill_kind, fill_exponent, *exo = _fills(d.fill_probability_model)
+        fill_kind, fill_exponent, fill_param, *exo = _fills(d.fill_probability_model)
         dynamics_kind = "lam"
         temp_imp = perm_imp = 0.0
         half_spread = float(d.fixed_market_half_spread)
         reward_kind, phi, alpha, gamma_u = _mm_reward(r, "lam")
     elif isinstance(d, LimitOrderDynamics) and d.action_dim == 2:
         arrival_kind, intensity, hjump, hmr = _arrivals(d.arrival_model)
-        fill_kind, fill_exponent, *exo = _fills(d.fill_probability_model)
+        fill_kind, fill_exponent, fill_param, *exo = _fills(d.fill_probability_model)
         dynamics_kind = "limit"
         temp_imp = perm_imp = 0.0
         reward_kind, phi, alpha, gamma_u = _mm_reward(r, "limit")
     elif isinstance(d, TradingWithSpeedDynamics):
-        assert isinstance(d.price_impact_model, TemporaryAndPermanentImpact), (
-            "fused rollout (speed dynamics): TemporaryAndPermanentImpact only"
+        from mbt_gym_tpu.processes.impact import (
+            TemporaryAndTransientImpact, TemporaryPowerImpact, TransientImpact,
         )
+
         dynamics_kind = "speed"
         assert mid_kind in ("bm", "gbm", "ou"), (
             "fused rollout (speed dynamics): fill-driven midprice jumps "
             "have no fills to react to (the reference crashes there too, "
             "midprice_models.py:220)"
         )
-        temp_imp = d.price_impact_model.temporary_impact_coefficient
-        perm_imp = d.price_impact_model.permanent_impact_coefficient
+        im = d.price_impact_model
+        temp_imp = perm_imp = 0.0
+        impact_kind, i_exp, i_kappa, i_rho, i_gamma, i_init = (
+            "temp_perm", 1.0, 0.0, 0.0, 0.0, 0.0
+        )
+        if isinstance(im, TemporaryAndPermanentImpact):
+            temp_imp = im.temporary_impact_coefficient
+            perm_imp = im.permanent_impact_coefficient
+        elif isinstance(im, TemporaryPowerImpact):
+            impact_kind = "power"
+            temp_imp = im.temporary_impact_coefficient
+            i_exp = im.temporary_impact_exponent
+        elif isinstance(im, TemporaryAndTransientImpact):
+            impact_kind = "temp_transient"
+            temp_imp = im.temporary_impact_coefficient
+            i_kappa = im.transient_impact_coefficient
+            i_rho = im.resilience_coefficient
+            i_gamma = im.linear_kernel_coefficient
+            i_init = im.initial_transient_impact
+        elif isinstance(im, TransientImpact):
+            impact_kind = "transient"
+            i_kappa = im.transient_impact_coefficient
+            i_rho = im.resilience_coefficient
+            i_gamma = im.linear_kernel_coefficient
+            i_init = im.initial_transient_impact
+        else:
+            raise AssertionError(
+                f"fused rollout (speed dynamics): unsupported impact model {im}"
+            )
         intensity = (0.0, 0.0)
         fill_exponent = 0.0
         arrival_kind, hjump, hmr = "poisson", 0.0, 0.0
-        fill_kind, exo = "exp", no_exo
+        fill_kind, fill_param, exo = "exp", 0.0, no_exo
         gamma_u = 0.0
         if isinstance(r, PnL):
             reward_kind, phi, alpha = "pnl", 0.0, 0.0
@@ -371,6 +437,12 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         alpha=alpha,
         terminal_time=cfg.terminal_time,
         dynamics_kind=dynamics_kind,
+        impact_kind=impact_kind,
+        impact_exponent=float(i_exp),
+        impact_kappa=float(i_kappa),
+        impact_rho=float(i_rho),
+        impact_gamma=float(i_gamma),
+        impact_initial=float(i_init),
         temporary_impact=temp_imp,
         permanent_impact=perm_imp,
         fixed_half_spread=half_spread,
@@ -384,6 +456,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         hawkes_jump=float(hjump),
         hawkes_mean_reversion=float(hmr),
         fill_kind=fill_kind,
+        fill_param=float(fill_param),
         exo_level=tuple(float(x) for x in exo[0]),
         exo_speed=tuple(float(x) for x in exo[1]),
         exo_vol=tuple(float(x) for x in exo[2]),
@@ -438,7 +511,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         lam_b, lam_a = next(it), next(it)
     if p.fill_kind == "exomm":
         exo_b, exo_a = next(it), next(it)
-    if p.dynamics_kind == "speed":
+    if p.dynamics_kind == "speed" and p.impact_kind != "power":
         imp = next(it)
     L = cash.shape[-1]
     u_ab, u_aa, u_fb, u_fa, eps_all, n_mid, exo_n = draws
@@ -453,8 +526,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         planes += [lam_b, lam_a]
     if p.fill_kind == "exomm":
         planes += [exo_b, exo_a]
-    if p.dynamics_kind == "speed":
-        planes.append(imp)
+    if p.dynamics_kind == "speed" and p.impact_kind != "power":
+        planes.append(imp)  # stateless "power" impact has no state column
     if p.normalise_obs:
         planes = [
             (x - p.obs_low[c]) / p.obs_grad[c] - 1.0 for c, x in enumerate(planes)
@@ -500,13 +573,17 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # baseline + jump_size * arrivals self-excitation) ---
     new_lam_b = new_lam_a = None
     if p.arrival_kind == "hawkes":
-        arrival_rate_b, arrival_rate_a = lam_b, lam_a
+        prob_b, prob_a = lam_b * p.dt, lam_a * p.dt
+    elif p.arrival_kind == "poisson_nl":
+        # exact per-step probability (arrival_models.py:81-83)
+        prob_b = 1.0 - math.exp(-p.intensity_bid * p.dt)
+        prob_a = 1.0 - math.exp(-p.intensity_ask * p.dt)
     else:
-        arrival_rate_b, arrival_rate_a = p.intensity_bid, p.intensity_ask
+        prob_b, prob_a = p.intensity_bid * p.dt, p.intensity_ask * p.dt
 
     def _sample_arrivals():
-        ab = (u_ab < arrival_rate_b * p.dt).astype(jnp.float32)
-        aa = (u_aa < arrival_rate_a * p.dt).astype(jnp.float32)
+        ab = (u_ab < prob_b).astype(jnp.float32)
+        aa = (u_aa < prob_a).astype(jnp.float32)
         return ab, aa
 
     def _update_hawkes(ab, aa):
@@ -532,6 +609,20 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
                 ask_depth > exo_a, base * jnp.exp(-k * (ask_depth - exo_a)), 1.0
             )
             return pb, pa
+        if p.fill_kind == "triangular":
+            # fill_probability_models.py:68-91 (elementwise intent)
+            c = p.fill_param
+            return (
+                jnp.maximum(1.0 - jnp.maximum(bid_depth, 0.0) / c, 0.0),
+                jnp.maximum(1.0 - jnp.maximum(ask_depth, 0.0) / c, 0.0),
+            )
+        if p.fill_kind == "power":
+            # fill_probability_models.py:94-123 (elementwise intent)
+            k, mult = p.fill_exponent, p.fill_param
+            return (
+                1.0 / (1.0 + (mult * jnp.maximum(bid_depth, 0.0)) ** k),
+                1.0 / (1.0 + (mult * jnp.maximum(ask_depth, 0.0)) ** k),
+            )
         k = p.fill_exponent
         return jnp.exp(-k * bid_depth), jnp.exp(-k * ask_depth)
 
@@ -608,14 +699,25 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         hit_ask = arr_ask * fill_ask
         new_inv = inv + hit_bid - hit_ask
         new_cash = cash - hit_bid * (price - hs) + hit_ask * (price + hs)
-    else:  # "speed" (ModelDynamics.py:243-275; impact per
-        # price_impact_models.py:64-96, pre-update impact state)
+    else:  # "speed" (ModelDynamics.py:243-275; impact at the PRE-update
+        # state, then the state recursion — price_impact_models.py)
         (speed,) = exec_action
-        execution_price = price + (p.temporary_impact * speed + imp)
+        if p.impact_kind == "power":  # stateless, :34-61
+            impact = p.temporary_impact * speed**p.impact_exponent
+            new_imp = None
+        elif p.impact_kind == "transient":  # :142-179
+            impact = p.impact_kappa * imp
+            new_imp = imp - p.impact_rho * imp * p.dt + p.impact_gamma * speed * p.dt
+        elif p.impact_kind == "temp_transient":  # :99-138
+            impact = p.temporary_impact * speed + p.impact_kappa * imp
+            new_imp = imp - p.impact_rho * imp * p.dt + p.impact_gamma * speed * p.dt
+        else:  # "temp_perm", :64-96
+            impact = p.temporary_impact * speed + imp
+            new_imp = imp + p.permanent_impact * speed * p.dt
+        execution_price = price + impact
         volume = speed * p.dt
         new_inv = inv + volume
         new_cash = cash - volume * execution_price
-        new_imp = imp + p.permanent_impact * speed * p.dt
     # Inventory/cash clipping BEFORE the reward, like env.step
     # (TradingEnvironment.py:283-297; clip_events diagnostics are an
     # XLA-engine feature — use it when the clip is expected to bind).
@@ -690,7 +792,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         new_carry = new_carry + (new_lam_b, new_lam_a)
     if p.fill_kind == "exomm":
         new_carry = new_carry + (new_exo_b, new_exo_a)
-    if p.dynamics_kind == "speed":
+    if p.dynamics_kind == "speed" and p.impact_kind != "power":
         new_carry = new_carry + (new_imp,)
     return new_carry, (X, action, logp, value, reward)
 
@@ -788,9 +890,9 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 jnp.full((1, L), p.exo_initial[0], jnp.float32),
                 jnp.full((1, L), p.exo_initial[1], jnp.float32),
             )
-        if p.dynamics_kind == "speed":
-            # permanent-impact state starts at zero (ProcessBase.initial_state)
-            init = init + (jnp.zeros((1, L), jnp.float32),)
+        if p.dynamics_kind == "speed" and p.impact_kind != "power":
+            # impact state starts at 0 (temp_perm) / initial_transient_impact
+            init = init + (jnp.full((1, L), p.impact_initial, jnp.float32),)
         jax.lax.fori_loop(0, p.run_steps, body, init)
 
     return kernel

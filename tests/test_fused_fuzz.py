@@ -21,9 +21,18 @@ from mbt_gym_tpu.dynamics import (
     TradingWithSpeedDynamics,
 )
 from mbt_gym_tpu.ops import pallas_rollout
-from mbt_gym_tpu.processes.arrivals import PoissonArrivals
-from mbt_gym_tpu.processes.fills import ExponentialFill
-from mbt_gym_tpu.processes.impact import TemporaryAndPermanentImpact
+from mbt_gym_tpu.processes.arrivals import (
+    HawkesArrivals,
+    PoissonArrivals,
+    PoissonArrivalsNonLinear,
+)
+from mbt_gym_tpu.processes.fills import ExponentialFill, PowerFill, TriangularFill
+from mbt_gym_tpu.processes.impact import (
+    TemporaryAndPermanentImpact,
+    TemporaryAndTransientImpact,
+    TemporaryPowerImpact,
+    TransientImpact,
+)
 from mbt_gym_tpu.processes.midprice import (
     BrownianMotionJumpMidprice,
     BrownianMotionMidprice,
@@ -85,10 +94,24 @@ def _random_env(rng, family):
                                 terminal_inventory_aversion=alpha),
         ExponentialUtility(risk_aversion=float(rng.uniform(0.001, 0.02))),
     ]
-    arrivals = PoissonArrivals(
-        intensity=(float(rng.uniform(20.0, 200.0)), float(rng.uniform(20.0, 200.0)))
-    )
-    fills = ExponentialFill(fill_exponent=float(rng.uniform(0.1, 3.0)))
+    rates = (float(rng.uniform(20.0, 200.0)), float(rng.uniform(20.0, 200.0)))
+    arrivals = [
+        PoissonArrivals(intensity=rates),
+        PoissonArrivalsNonLinear(intensity=rates),
+        HawkesArrivals(
+            baseline_arrival_rate=(rates[0] / 4, rates[1] / 4),
+            jump_size=float(rng.uniform(5.0, 60.0)),
+            mean_reversion_speed=float(rng.uniform(10.0, 100.0)),
+        ),
+    ][rng.integers(0, 3)]
+    fills = [
+        ExponentialFill(fill_exponent=float(rng.uniform(0.1, 3.0))),
+        TriangularFill(max_fill_depth=float(rng.uniform(0.5, 3.0))),
+        PowerFill(
+            fill_exponent=float(rng.uniform(0.5, 3.0)),
+            fill_multiplier=float(rng.uniform(0.5, 3.0)),
+        ),
+    ][rng.integers(0, 3)]
     q0 = int(rng.integers(-3, 4))
     if family == "limit":
         dyn = LimitOrderDynamics(
@@ -108,14 +131,29 @@ def _random_env(rng, family):
         )
         reward = mm_rewards[rng.integers(0, len(mm_rewards))]
     else:  # speed
-        dyn = TradingWithSpeedDynamics(
-            midprice_model=mid,
-            price_impact_model=TemporaryAndPermanentImpact(
+        impact = [
+            TemporaryAndPermanentImpact(
                 temporary_impact_coefficient=float(rng.uniform(0.001, 0.05)),
                 permanent_impact_coefficient=float(rng.uniform(0.001, 0.05)),
                 terminal_time=1.0,
             ),
-        )
+            TemporaryPowerImpact(
+                temporary_impact_coefficient=float(rng.uniform(0.001, 0.05)),
+                temporary_impact_exponent=float(rng.integers(1, 4)),
+            ),
+            TransientImpact(
+                transient_impact_coefficient=float(rng.uniform(0.001, 0.05)),
+                resilience_coefficient=float(rng.uniform(0.001, 0.1)),
+                linear_kernel_coefficient=float(rng.uniform(0.001, 0.05)),
+            ),
+            TemporaryAndTransientImpact(
+                temporary_impact_coefficient=float(rng.uniform(0.001, 0.05)),
+                transient_impact_coefficient=float(rng.uniform(0.001, 0.05)),
+                resilience_coefficient=float(rng.uniform(0.001, 0.1)),
+                linear_kernel_coefficient=float(rng.uniform(0.001, 0.05)),
+            ),
+        ][rng.integers(0, 4)]
+        dyn = TradingWithSpeedDynamics(midprice_model=mid, price_impact_model=impact)
         oe_rewards = [
             PnL(),
             CjOeCriterion(per_step_inventory_aversion=phi,

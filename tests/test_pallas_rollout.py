@@ -280,14 +280,22 @@ def test_speed_dynamics_config_guard():
         dataclasses.replace(cfg, reward_function=ExponentialUtility(risk_aversion=0.3))
     )
     assert p.reward_kind == "exp_utility" and p.risk_aversion == 0.3
-    bad_impact = dataclasses.replace(
-        cfg,
-        dynamics=dataclasses.replace(
-            cfg.dynamics, price_impact_model=TemporaryPowerImpact()
-        ),
+    # all four reference impact models now parse to fused impact kinds
+    from mbt_gym_tpu.processes.impact import (
+        TemporaryAndTransientImpact, TransientImpact,
     )
-    with pytest.raises(AssertionError, match="TemporaryAndPermanentImpact"):
-        pallas_rollout.rollout_params_from_config(bad_impact)
+
+    for model, kind in [
+        (TemporaryPowerImpact(temporary_impact_exponent=2.0), "power"),
+        (TransientImpact(), "transient"),
+        (TemporaryAndTransientImpact(), "temp_transient"),
+    ]:
+        p = pallas_rollout.rollout_params_from_config(
+            dataclasses.replace(
+                cfg, dynamics=dataclasses.replace(cfg.dynamics, price_impact_model=model)
+            )
+        )
+        assert p.impact_kind == kind, (model, p.impact_kind)
 
 
 def test_train_iteration_with_fused_speed_rollout_runs():
