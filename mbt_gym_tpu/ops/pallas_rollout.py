@@ -29,13 +29,25 @@ Scope: four model families, all with the shared-trunk actor-critic of
   column exceeds 0.5, trading at mid +/- the fixed half-spread), same
   reward kinds as "limit".
 
-Orthogonal to the dynamics kind, the market-making families compose with
-two arrival kinds (Poisson, or self-exciting Hawkes with the 2-dim
-intensity state observed) and two fill kinds (exponential decay, or the
-exogenous competing-market-maker model with two OU best-depth processes
-in state) — so the composite stress configuration
-(utils.config.composite_env_config: Hawkes + exogenous-MM + lam) runs on
-the fused pipeline too.
+Orthogonal to the dynamics kind, the families compose with:
+
+- six midprice SDEs (constant, BM, GBM, OU incl. the reference's
+  missing-dt quirk, and the BM/OU fill-driven jump variants);
+- three arrival kinds (linear Poisson, exact-probability Poisson, and
+  self-exciting Hawkes with the 2-dim intensity state observed);
+- four fill kinds (exponential, triangular, power, and the exogenous
+  competing-market-maker model with two OU best-depth processes in
+  state);
+- four price-impact models for the speed dynamics (temporary+permanent,
+  stateless power, transient, temporary+transient);
+- all five reward kinds and random initial inventory.
+
+The composite stress configuration (utils.config.composite_env_config:
+Hawkes + exogenous-MM + lam) therefore runs on the fused pipeline too.
+The remaining XLA-only configurations: 2-dim-state midprices
+(ShortTerm*Alpha, Heston), CEV, the strict_reference_bug fill variants,
+callable reset specs and random start times, non-quadratic inventory
+exponents, and float64 reference-parity runs.
 
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
@@ -271,6 +283,12 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             OuJumpMidprice,
         )
 
+        from mbt_gym_tpu.processes.midprice import ConstantMidprice
+
+        if isinstance(m, ConstantMidprice):
+            return (
+                "constant", 0.0, 0.0, m.initial_price, 0.0, 0.0, False, 0.0,
+            )
         if isinstance(m, BrownianMotionJumpMidprice):
             return (
                 "bmjump", m.drift, m.volatility, m.initial_price,
@@ -728,7 +746,9 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # midprice_models.py:219-227; market orders do not jump, matching the
     # engine's arrivals/fills arguments).
     diffusion = (p.volatility * math.sqrt(p.dt)) * n_mid
-    if p.midprice_kind == "bm":
+    if p.midprice_kind == "constant":
+        new_price = price
+    elif p.midprice_kind == "bm":
         new_price = price + p.drift * p.dt + diffusion
     elif p.midprice_kind == "gbm":
         new_price = price + p.drift * price * p.dt + price * diffusion

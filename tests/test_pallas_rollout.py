@@ -935,3 +935,51 @@ def test_speed_dynamics_rejects_jump_midprice():
     )
     with pytest.raises(AssertionError, match="jumps have no fills"):
         pallas_rollout.rollout_params_from_config(bad)
+
+
+def test_fused_rollout_constant_midprice_matches_xla_engine():
+    """'constant' midprice kind (ConstantMidpriceModel,
+    midprice_models.py:12-33): the price never moves; raw (unnormalised)
+    spaces since the degenerate bounds forbid normalisation."""
+    from mbt_gym_tpu.processes.midprice import ConstantMidprice
+
+    base = as_env_config(num_trajectories=N, n_steps=T)
+    env_cfg = dataclasses.replace(
+        base,
+        dynamics=dataclasses.replace(base.dynamics, midprice_model=ConstantMidprice()),
+    )
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.midprice_kind == "constant"
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    rng = np.random.default_rng(9)
+    channels = rng.uniform(size=(T, pallas_rollout.N_CHANNELS, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        action = mean + std * channels[t, 4:6].T
+        clipped = jnp.clip(action, jnp.asarray(low), jnp.asarray(high))
+        noise = (
+            SlotNoise(normal=channels[t, 6][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, res.reward))
+        state, obs = res.state, res.obs
+    ref_obs = jnp.stack([o for o, _ in outs])
+    ref_r = jnp.stack([r for _, r in outs])
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+    assert float(jnp.ptp(batch.obs[..., 3])) == 0.0  # price never moves
