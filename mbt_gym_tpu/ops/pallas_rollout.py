@@ -279,11 +279,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     def _midprice(m):
         """(kind, drift, vol, s0, level, speed, dt_scaled, jump)."""
         from mbt_gym_tpu.processes.midprice import (
-            BrownianMotionJumpMidprice, GeometricBrownianMotionMidprice,
-            OuJumpMidprice,
+            BrownianMotionJumpMidprice, ConstantMidprice,
+            GeometricBrownianMotionMidprice, OuJumpMidprice,
         )
-
-        from mbt_gym_tpu.processes.midprice import ConstantMidprice
 
         if isinstance(m, ConstantMidprice):
             return (
@@ -354,16 +352,13 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         )
 
         dynamics_kind = "speed"
-        assert mid_kind in ("bm", "gbm", "ou"), (
+        assert mid_kind in ("constant", "bm", "gbm", "ou"), (
             "fused rollout (speed dynamics): fill-driven midprice jumps "
             "have no fills to react to (the reference crashes there too, "
             "midprice_models.py:220)"
         )
         im = d.price_impact_model
         temp_imp = perm_imp = 0.0
-        impact_kind, i_exp, i_kappa, i_rho, i_gamma, i_init = (
-            "temp_perm", 1.0, 0.0, 0.0, 0.0, 0.0
-        )
         if isinstance(im, TemporaryAndPermanentImpact):
             temp_imp = im.temporary_impact_coefficient
             perm_imp = im.permanent_impact_coefficient
@@ -517,10 +512,12 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
                   is_last=None, inv0=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
     ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
-    n_mid)``; ``is_last`` (traced bool) marks the terminal step for the
-    "running" reward.  The carry is (cash, inv, price) for "limit" dynamics
-    plus a trailing permanent-impact plane for "speed".  Returns
-    (new_carry, outputs)."""
+    n_mid, exo_n (2, L) or None)``; ``is_last`` (traced bool) marks the
+    terminal step for the "running" reward.  The carry is (cash, inv,
+    price) plus, in order: two Hawkes-intensity planes (arrival_kind
+    "hawkes"), two exogenous best-depth planes (fill_kind "exomm"), and
+    the impact-state plane (speed dynamics with a stateful impact kind).
+    Returns (new_carry, outputs)."""
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
     it = iter(carry)
     cash, inv, price = next(it), next(it), next(it)
@@ -971,14 +968,20 @@ def mlp_rollout_pallas(
     dimension throughout, so nothing is lane-padded; the 2D single-channel
     streams avoid sublane padding too.
 
-    ``noise`` (optional): (T, n_noise_channels(a_dim), N) injected channels
-    (4 env uniforms, max(a_dim, 2) policy-sample normals, 1 midprice
-    normal) replacing the hardware PRNG — the CPU-testable parity mode.
+    ``noise`` (optional): (T, n_noise_channels(a_dim, exomm), N) injected
+    channels — 4 env uniforms, max(a_dim, 2) policy-sample normals, the
+    midprice normal, then 2 exogenous best-depth normals when the fill
+    kind is "exomm" — replacing the hardware PRNG (the CPU-testable
+    parity mode).
 
     ``inv0``: (N,) per-env initial inventories — REQUIRED when
     ``p.inventory_range`` is set (random initial inventory; the caller
     draws, see :func:`collect_rollout_fused_T`), forbidden otherwise.
     """
+    assert p.fill_kind != "exomm" or p.dynamics_kind in ("limit", "lam"), (
+        "exomm fills require limit/lam dynamics (the only branches that "
+        "advance the exogenous best-depth processes)"
+    )
     n = num_trajectories
     T = p.run_steps
     if tile is None:

@@ -208,9 +208,9 @@ def main():
 
     # Config 9: the reference's ACTUAL training workload
     # (experiments/helpers.py get_cj_env — lam dynamics, CjMm, random
-    # initial inventory in [-5, 6)) on the fused pipeline.  T=100 forces
-    # the update kernel's T-chunk to the full horizon, so the scoped-vmem
-    # fit runs this at a 512-lane tile.
+    # initial inventory in [-5, 6)) on the fused pipeline.  The update
+    # kernel zero-pads T=100 to 104 so its usual (wide-tile, Tc=8)
+    # blocking applies.
     cfg9 = dataclasses.replace(
         learning_env_config(num_trajectories=(1 << 18) // scale),
         normalise_observation_space=True,
