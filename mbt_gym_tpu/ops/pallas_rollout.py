@@ -31,8 +31,11 @@ Scope: four model families, all with the shared-trunk actor-critic of
 
 Orthogonal to the dynamics kind, the families compose with:
 
-- six midprice SDEs (constant, BM, GBM, OU incl. the reference's
-  missing-dt quirk, and the BM/OU fill-driven jump variants);
+- ALL TEN reference midprice models (constant, BM, GBM, OU incl. the
+  reference's missing-dt quirk, CEV, the BM/OU fill-driven jump
+  variants, the short-term OU / OU-with-jumps alpha models, and Heston
+  stochastic volatility — the 2-dim kinds carry their second state
+  column and consume one extra noise channel);
 - three arrival kinds (linear Poisson, exact-probability Poisson, and
   self-exciting Hawkes with the 2-dim intensity state observed);
 - four fill kinds (exponential, triangular, power, and the exogenous
@@ -44,10 +47,9 @@ Orthogonal to the dynamics kind, the families compose with:
 
 The composite stress configuration (utils.config.composite_env_config:
 Hawkes + exogenous-MM + lam) therefore runs on the fused pipeline too.
-The remaining XLA-only configurations: 2-dim-state midprices
-(ShortTerm*Alpha, Heston), CEV, the strict_reference_bug fill variants,
-callable reset specs and random start times, non-quadratic inventory
-exponents, and float64 reference-parity runs.
+The remaining XLA-only configurations: the strict_reference_bug fill
+variants, callable reset specs and random start times, non-quadratic
+inventory exponents, and float64 reference-parity runs.
 
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
@@ -78,11 +80,13 @@ GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 N_CHANNELS = 7
 
 
-def n_noise_channels(a_dim: int, exomm: bool = False) -> int:
+def n_noise_channels(a_dim: int, exomm: bool = False, mid2: bool = False) -> int:
     """Injected-noise channel count: 4 env uniforms + max(a_dim, 2)
     policy-sample normals + 1 midprice normal (+ 2 exogenous best-depth
-    OU normals for the exogenous-MM fill kind)."""
-    return 4 + max(a_dim, 2) + 1 + (2 if exomm else 0)
+    OU normals for the exogenous-MM fill kind, + 1 second-midprice-state
+    normal for the 2-dim midprice kinds: Heston variance / short-term
+    alpha)."""
+    return 4 + max(a_dim, 2) + 1 + (2 if exomm else 0) + (1 if mid2 else 0)
 
 
 class MlpRolloutParams(NamedTuple):
@@ -138,16 +142,28 @@ class MlpRolloutParams(NamedTuple):
     permanent_impact: float = 0.0
     fixed_half_spread: float = 0.0
     risk_aversion: float = 0.0  # "exp_utility" reward only
-    # Midprice SDE: "bm" (arithmetic BM, the default), "gbm"
+    # Midprice SDE: "constant", "bm" (arithmetic BM, the default), "gbm"
     # (midprice_models.py:71-111), "ou" (:114-146, with the reference's
-    # missing-dt drift quirk when mid_dt_scaled=False), "bmjump"
-    # (:193-230, ABM + mid_jump * (ask_fill - bid_fill) permanent jumps on
-    # the agent's own limit fills) or "oujump" (:233-273).
+    # missing-dt drift quirk when mid_dt_scaled=False), "cev" (:375-412,
+    # elasticity in mid_level), "bmjump" (:193-230, ABM + mid_jump *
+    # (ask_fill - bid_fill) permanent jumps on the agent's own limit
+    # fills) or "oujump" (:233-273).
     midprice_kind: str = "bm"
-    mid_level: float = 0.0  # OU mean-reversion level
+    mid_level: float = 0.0  # OU mean-reversion level / CEV elasticity gamma
     mid_speed: float = 0.0  # OU mean-reversion speed
     mid_dt_scaled: bool = False
     mid_jump: float = 0.0
+    # Second midprice-state column for the 2-dim kinds: "heston" (variance
+    # with mean-reversion rate/level in mid2_speed/mid2_level, vol-of-vol
+    # in mid2_vol, Wiener correlation in mid2_corr) and
+    # "st_ou_alpha"/"st_jump_alpha" (short-term alpha following an inner
+    # OU[-with-jumps] process; alpha jumps reuse mid_jump).
+    mid2_initial: float = 0.0
+    mid2_level: float = 0.0
+    mid2_speed: float = 0.0
+    mid2_vol: float = 0.0
+    mid2_dt_scaled: bool = False
+    mid2_corr: float = 0.0
     # Arrival process: "poisson" (stateless thinning at intensity_bid/ask),
     # "poisson_nl" (exact probability 1 - exp(-intensity*dt),
     # arrival_models.py:59-83) or "hawkes" (arrival_models.py:86-129 — 2-dim intensity state
@@ -183,6 +199,10 @@ class MlpRolloutParams(NamedTuple):
     @property
     def run_steps(self) -> int:
         return self.n_steps - round(self.start_time / self.dt)
+
+    @property
+    def has_mid2(self) -> bool:
+        return self.midprice_kind in ("heston", "st_ou_alpha", "st_jump_alpha")
 
 
 def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
@@ -276,50 +296,104 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         )
         return ("exp", m.fill_exponent, 0.0) + no_exo
 
+    no_mid2 = (0.0, 0.0, 0.0, 0.0, False, 0.0)
+
     def _midprice(m):
-        """(kind, drift, vol, s0, level, speed, dt_scaled, jump)."""
+        """(kind, drift, vol, s0, level, speed, dt_scaled, jump,
+        (mid2_initial, mid2_level, mid2_speed, mid2_vol, mid2_dt_scaled,
+        mid2_corr))."""
         from mbt_gym_tpu.processes.midprice import (
             BrownianMotionJumpMidprice, ConstantMidprice,
-            GeometricBrownianMotionMidprice, OuJumpMidprice,
+            GeometricBrownianMotionMidprice, HestonMidprice, OuJumpMidprice,
+            ShortTermJumpAlphaMidprice, ShortTermOuAlphaMidprice,
         )
 
+        if isinstance(m, HestonMidprice):
+            return (
+                "heston", m.drift, 0.0, m.initial_price, 0.0, 0.0, False, 0.0,
+                (
+                    m.initial_variance, m.volatility_mean_reversion_level,
+                    m.volatility_mean_reversion_rate,
+                    m.volatility_of_volatility, False, m.weiner_correlation,
+                ),
+            )
+        if isinstance(m, ShortTermOuAlphaMidprice):
+            ou = m.ou
+            return (
+                "st_ou_alpha", 0.0, m.volatility, m.initial_price,
+                0.0, 0.0, False, 0.0,
+                (
+                    ou.initial_price, ou.mean_reversion_level,
+                    ou.mean_reversion_speed, ou.volatility,
+                    bool(ou.dt_scaled_drift), 0.0,
+                ),
+            )
+        if isinstance(m, ShortTermJumpAlphaMidprice):
+            ou = m.ou_jump
+            return (
+                "st_jump_alpha", 0.0, m.volatility, m.initial_price,
+                0.0, 0.0, False, ou.jump_size,
+                (
+                    ou.initial_price, ou.mean_reversion_level,
+                    ou.mean_reversion_speed, ou.volatility,
+                    bool(ou.dt_scaled_drift), 0.0,
+                ),
+            )
         if isinstance(m, ConstantMidprice):
             return (
                 "constant", 0.0, 0.0, m.initial_price, 0.0, 0.0, False, 0.0,
+                no_mid2,
             )
         if isinstance(m, BrownianMotionJumpMidprice):
             return (
                 "bmjump", m.drift, m.volatility, m.initial_price,
                 0.0, 0.0, False, m.jump_size,
+                no_mid2,
             )
         if isinstance(m, OuJumpMidprice):
             return (
                 "oujump", 0.0, m.volatility, m.initial_price,
                 m.mean_reversion_level, m.mean_reversion_speed,
                 bool(m.dt_scaled_drift), m.jump_size,
+                no_mid2,
             )
         if isinstance(m, OuMidprice):
             return (
                 "ou", 0.0, m.volatility, m.initial_price,
                 m.mean_reversion_level, m.mean_reversion_speed,
                 bool(m.dt_scaled_drift), 0.0,
+                no_mid2,
+            )
+        from mbt_gym_tpu.processes.midprice import CevMidprice
+
+        if isinstance(m, CevMidprice):
+            # elasticity gamma travels in mid_level
+            return (
+                "cev", m.drift, m.volatility, m.initial_price,
+                m.gamma, 0.0, False, 0.0,
+                no_mid2,
             )
         if isinstance(m, GeometricBrownianMotionMidprice):
             return (
                 "gbm", m.drift, m.volatility, m.initial_price,
                 0.0, 0.0, False, 0.0,
+                no_mid2,
             )
         assert isinstance(m, BrownianMotionMidprice), (
             f"fused rollout midprice: BM / GBM / OU / BM-jump / OU-jump "
             f"only; got {m}"
         )
-        return "bm", m.drift, m.volatility, m.initial_price, 0.0, 0.0, False, 0.0
+        return (
+            "bm", m.drift, m.volatility, m.initial_price, 0.0, 0.0, False,
+            0.0, no_mid2,
+        )
 
     no_exo = ((), (), (), (), True, 1.0)
     d = cfg.dynamics
-    mid_kind, mid_drift, mid_vol, mid_s0, mid_level, mid_speed, mid_scaled, mid_jump = (
-        _midprice(d.midprice_model)
-    )
+    (
+        mid_kind, mid_drift, mid_vol, mid_s0, mid_level, mid_speed,
+        mid_scaled, mid_jump, mid2,
+    ) = _midprice(d.midprice_model)
     r = cfg.reward_function
     half_spread = 0.0
     impact_kind, i_exp, i_kappa, i_rho, i_gamma, i_init = (
@@ -352,7 +426,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         )
 
         dynamics_kind = "speed"
-        assert mid_kind in ("constant", "bm", "gbm", "ou"), (
+        assert mid_kind in (
+            "constant", "bm", "gbm", "ou", "cev", "heston", "st_ou_alpha",
+        ), (
             "fused rollout (speed dynamics): fill-driven midprice jumps "
             "have no fills to react to (the reference crashes there too, "
             "midprice_models.py:220)"
@@ -465,6 +541,12 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         mid_speed=float(mid_speed),
         mid_dt_scaled=bool(mid_scaled),
         mid_jump=float(mid_jump),
+        mid2_initial=float(mid2[0]),
+        mid2_level=float(mid2[1]),
+        mid2_speed=float(mid2[2]),
+        mid2_vol=float(mid2[3]),
+        mid2_dt_scaled=bool(mid2[4]),
+        mid2_corr=float(mid2[5]),
         arrival_kind=arrival_kind,
         hawkes_jump=float(hjump),
         hawkes_mean_reversion=float(hmr),
@@ -521,7 +603,9 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
     it = iter(carry)
     cash, inv, price = next(it), next(it), next(it)
-    lam_b = lam_a = exo_b = exo_a = imp = None
+    lam_b = lam_a = exo_b = exo_a = imp = mid2 = None
+    if p.has_mid2:
+        mid2 = next(it)  # Heston variance / short-term alpha
     if p.arrival_kind == "hawkes":
         lam_b, lam_a = next(it), next(it)
     if p.fill_kind == "exomm":
@@ -529,7 +613,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     if p.dynamics_kind == "speed" and p.impact_kind != "power":
         imp = next(it)
     L = cash.shape[-1]
-    u_ab, u_aa, u_fb, u_fa, eps_all, n_mid, exo_n = draws
+    u_ab, u_aa, u_fb, u_fa, eps_all, n_mid, exo_n, mid2_n = draws
 
     # --- observation the policy sees (normalised per env flags) ---
     # Column order = raw_observation: cash, inventory, time, then process
@@ -537,6 +621,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # intensity), fill state (exogenous best depths), impact state.
     time_plane = jnp.full((1, L), t_val, jnp.float32)
     planes = [cash, inv, time_plane, price]
+    if p.has_mid2:
+        planes.append(mid2)  # midprice state col 2 precedes arrival state
     if p.arrival_kind == "hawkes":
         planes += [lam_b, lam_a]
     if p.fill_kind == "exomm":
@@ -743,12 +829,41 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # midprice_models.py:219-227; market orders do not jump, matching the
     # engine's arrivals/fills arguments).
     diffusion = (p.volatility * math.sqrt(p.dt)) * n_mid
-    if p.midprice_kind == "constant":
+    new_mid2 = None
+    if p.midprice_kind == "heston":
+        # midprice_models.py:322-372: correlated Wieners, sqrt-variance
+        # diffusion, reflected variance (abs)
+        vol_t = jnp.sqrt(jnp.maximum(mid2, 0.0) * p.dt)
+        w1 = p.mid2_corr * n_mid + math.sqrt(1.0 - p.mid2_corr**2) * mid2_n
+        new_price = price + p.drift * price * p.dt + vol_t * price * n_mid
+        new_mid2 = jnp.abs(
+            mid2
+            + p.mid2_speed * (p.mid2_level - mid2) * p.dt
+            + p.mid2_vol * vol_t * w1
+        )
+    elif p.midprice_kind in ("st_ou_alpha", "st_jump_alpha"):
+        # price drifts at the alpha rate (midprice_models.py:149-190);
+        # alpha follows an inner OU[-with-jumps] (:276-319)
+        new_price = price + mid2 * p.dt + diffusion
+        scale = p.dt if p.mid2_dt_scaled else 1.0
+        new_mid2 = (
+            mid2
+            + (-p.mid2_speed * scale) * (mid2 - p.mid2_level)
+            + (p.mid2_vol * math.sqrt(p.dt)) * mid2_n
+        )
+        if p.midprice_kind == "st_jump_alpha":
+            new_mid2 = new_mid2 + p.mid_jump * (hit_ask - hit_bid)
+    elif p.midprice_kind == "constant":
         new_price = price
     elif p.midprice_kind == "bm":
         new_price = price + p.drift * p.dt + diffusion
     elif p.midprice_kind == "gbm":
         new_price = price + p.drift * price * p.dt + price * diffusion
+    elif p.midprice_kind == "cev":
+        # dS = S*mu*dt + vol*S^gamma*sqrt(dt)*dW (midprice_models.py:401-409)
+        new_price = (
+            price + p.drift * price * p.dt + (price**p.mid_level) * diffusion
+        )
     else:  # "ou" / "oujump" / "bmjump"
         if p.midprice_kind == "bmjump":
             new_price = price + p.drift * p.dt + diffusion
@@ -805,6 +920,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             - p.alpha * terminal * new_inv * new_inv
         )
     new_carry = (new_cash, new_inv, new_price)
+    if p.has_mid2:
+        new_carry = new_carry + (new_mid2,)
     if p.arrival_kind == "hawkes":
         new_carry = new_carry + (new_lam_b, new_lam_a)
     if p.fill_kind == "exomm":
@@ -836,12 +953,16 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         L = obs_ref.shape[-1]
         n_eps = max(a_dim, 2)  # policy-sample normal rows (channel layout)
         use_exo = p.fill_kind == "exomm"
+        use_mid2 = p.has_mid2
         # Box-Muller pairs covering n_eps action normals + 1 midprice
-        # normal (+ 2 exogenous best-depth normals); for n_eps=2 without
-        # exo this reproduces the original draw stream exactly (4 uniforms
-        # -> [cos0, cos1, sin0, sin1]).
-        n_norm = n_eps + 1 + (2 if use_exo else 0)
+        # normal (+ 2 exogenous best-depth normals + 1 second-midprice
+        # normal); for n_eps=2 with neither extra this reproduces the
+        # original draw stream exactly (4 uniforms -> [cos0, cos1, sin0,
+        # sin1]).
+        n_norm = n_eps + 1 + (2 if use_exo else 0) + (1 if use_mid2 else 0)
         pairs = (n_norm + 1) // 2
+        exo_at = n_eps + 1
+        mid2_at = exo_at + (2 if use_exo else 0)
 
         def hw_draws():
             u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
@@ -850,12 +971,13 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             theta = (2.0 * math.pi) * bm_u[pairs:]
             normals = jnp.concatenate(
                 [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0
-            )  # (2*pairs, L): rows [0, n_eps) = action eps, row n_eps =
-            # midprice, rows [n_eps+1, n_eps+3) = exo best-depth normals
+            )  # rows: [0, n_eps) action eps, n_eps midprice, then exo
+            # best-depth normals, then the second-midprice normal
             return (
                 u[0:1], u[1:2], u[2:3], u[3:4],
                 normals[0:n_eps], normals[n_eps : n_eps + 1],
-                normals[n_eps + 1 : n_eps + 3] if use_exo else None,
+                normals[exo_at : exo_at + 2] if use_exo else None,
+                normals[mid2_at : mid2_at + 1] if use_mid2 else None,
             )
 
         weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
@@ -873,6 +995,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                     noise_ref[i, 4 : 4 + n_eps],
                     noise_ref[i, 4 + n_eps : 5 + n_eps],
                     noise_ref[i, 5 + n_eps : 7 + n_eps] if use_exo else None,
+                    noise_ref[i, 4 + mid2_at : 5 + mid2_at] if use_mid2 else None,
                 )
             else:
                 draws = hw_draws()
@@ -895,6 +1018,9 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             inv0,
             jnp.full((1, L), p.initial_price, jnp.float32),
         )
+        if p.has_mid2:
+            # Heston initial variance / short-term alpha0
+            init = init + (jnp.full((1, L), p.mid2_initial, jnp.float32),)
         if p.arrival_kind == "hawkes":
             # Hawkes intensities start at the baseline (HawkesArrivals.
             # initial_state)
@@ -928,7 +1054,7 @@ def _sublane_pad(d: int) -> int:
 
 def auto_tile(
     n: int, run_steps: int, has_noise: bool, s_dim: int = 4, a_dim: int = 2,
-    exomm: bool = False,
+    exomm: bool = False, mid2: bool = False,
 ) -> int:
     """Widest lane tile whose double-buffered per-program output blocks
     (T x (S+A+3) x tile f32, sublane-padded, plus the noise input block
@@ -939,7 +1065,7 @@ def auto_tile(
     budget = 15 * 1024 * 1024
     channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
     if has_noise:
-        channels += _sublane_pad(n_noise_channels(a_dim, exomm=exomm))
+        channels += _sublane_pad(n_noise_channels(a_dim, exomm=exomm, mid2=mid2))
     per_lane = 2 * run_steps * 4 * channels
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= n and n % cand == 0 and cand * per_lane <= budget:
@@ -988,7 +1114,7 @@ def mlp_rollout_pallas(
         tile = auto_tile(
             n, T, noise is not None,
             s_dim=len(p.obs_low), a_dim=len(p.act_low),
-            exomm=p.fill_kind == "exomm",
+            exomm=p.fill_kind == "exomm", mid2=p.has_mid2,
         )
     assert n % tile == 0 and tile % LANES == 0, (n, tile)
     grid = n // tile
@@ -1006,7 +1132,9 @@ def mlp_rollout_pallas(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
         noise = jnp.asarray(noise, jnp.float32)
-        n_ch = n_noise_channels(len(p.act_low), exomm=p.fill_kind == "exomm")
+        n_ch = n_noise_channels(
+            len(p.act_low), exomm=p.fill_kind == "exomm", mid2=p.has_mid2
+        )
         assert noise.shape == (T, n_ch, n), (noise.shape, n_ch)
         inputs.append(noise)
         in_specs.append(pl.BlockSpec((T, n_ch, tile), lambda i: (0, 0, i)))

@@ -866,7 +866,7 @@ def test_train_iteration_with_fused_composite_rollout_runs():
 
 
 # ---------------------------------------------------------- midprice kinds
-@pytest.mark.parametrize("mid_name", ["gbm", "ou", "bmjump", "oujump"])
+@pytest.mark.parametrize("mid_name", ["gbm", "ou", "cev", "bmjump", "oujump"])
 def test_fused_rollout_midprice_kinds_match_xla_engine(mid_name):
     """Non-default midprice SDEs on the fused kernel (GBM, OU with the
     missing-dt drift quirk, and the fill-driven jump variants) must
@@ -874,6 +874,7 @@ def test_fused_rollout_midprice_kinds_match_xla_engine(mid_name):
     jump so actual fills visibly move the price."""
     from mbt_gym_tpu.processes.midprice import (
         BrownianMotionJumpMidprice,
+        CevMidprice,
         GeometricBrownianMotionMidprice,
         OuJumpMidprice,
         OuMidprice,
@@ -882,6 +883,9 @@ def test_fused_rollout_midprice_kinds_match_xla_engine(mid_name):
     mid = {
         "gbm": GeometricBrownianMotionMidprice(
             drift=0.5, volatility=0.02, initial_price=100.0
+        ),
+        "cev": CevMidprice(
+            drift=0.2, volatility=0.05, gamma=0.7, initial_price=100.0
         ),
         "ou": OuMidprice(
             mean_reversion_level=100.0, mean_reversion_speed=2.0,
@@ -983,3 +987,89 @@ def test_fused_rollout_constant_midprice_matches_xla_engine():
     np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
     assert float(jnp.ptp(batch.obs[..., 3])) == 0.0  # price never moves
+
+
+@pytest.mark.parametrize("mid_name", ["heston", "st_ou_alpha", "st_jump_alpha"])
+def test_fused_rollout_2dim_midprice_matches_xla_engine(mid_name):
+    """2-dim-state midprice kinds (Heston stochastic volatility; short-term
+    OU / OU-with-jumps alpha) on the fused kernel: the second state column
+    lives in the carry and the observation, with one extra noise channel
+    (channel layout per n_noise_channels(..., mid2=True))."""
+    from mbt_gym_tpu.processes.midprice import (
+        HestonMidprice,
+        OuJumpMidprice,
+        OuMidprice,
+        ShortTermJumpAlphaMidprice,
+        ShortTermOuAlphaMidprice,
+    )
+
+    mid = {
+        "heston": HestonMidprice(
+            drift=0.05, volatility_mean_reversion_rate=3.0,
+            volatility_mean_reversion_level=0.04, weiner_correlation=-0.8,
+            volatility_of_volatility=0.6, initial_price=100.0,
+            initial_variance=0.04,
+        ),
+        "st_ou_alpha": ShortTermOuAlphaMidprice(
+            volatility=2.0,
+            ou=OuMidprice(initial_price=0.5, mean_reversion_level=0.0,
+                          mean_reversion_speed=2.0, volatility=1.0,
+                          dt_scaled_drift=True),
+            initial_price=100.0,
+        ),
+        "st_jump_alpha": ShortTermJumpAlphaMidprice(
+            volatility=2.0,
+            ou_jump=OuJumpMidprice(initial_price=0.5, mean_reversion_level=0.0,
+                                   mean_reversion_speed=2.0, volatility=1.0,
+                                   jump_size=0.3, dt_scaled_drift=True),
+            initial_price=100.0,
+        ),
+    }[mid_name]
+    base = as_env_config(num_trajectories=N, n_steps=T)
+    env_cfg = dataclasses.replace(
+        base,
+        dynamics=dataclasses.replace(base.dynamics, midprice_model=mid),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    assert env_cfg.state_dim == 5
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.midprice_kind == mid_name and p.has_mid2
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    n_ch = pallas_rollout.n_noise_channels(2, mid2=True)
+    assert n_ch == 8
+    rng = np.random.default_rng(303)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:8] = rng.normal(size=(T, 4, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    # XLA engine reference: the midprice slot consumes a 2-column normal
+    # (own/price normal first, second-state normal second)
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        action = mean + std * channels[t, 4:6].T
+        clipped = jnp.clip(action, -1.0, 1.0)
+        mid_normals = jnp.stack([channels[t, 6], channels[t, 7]], axis=1)
+        noise = (
+            SlotNoise(normal=mid_normals, uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, res.reward))
+        state, obs = res.state, res.obs
+    ref_obs = jnp.stack([o for o, _ in outs])
+    ref_r = jnp.stack([r for _, r in outs])
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=2e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+    # the second state column must actually vary (variance / alpha moved)
+    assert float(jnp.std(batch.obs[..., 4])) > 0
