@@ -303,7 +303,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         (mid2_initial, mid2_level, mid2_speed, mid2_vol, mid2_dt_scaled,
         mid2_corr))."""
         from mbt_gym_tpu.processes.midprice import (
-            BrownianMotionJumpMidprice, ConstantMidprice,
+            BrownianMotionJumpMidprice, CevMidprice, ConstantMidprice,
             GeometricBrownianMotionMidprice, HestonMidprice, OuJumpMidprice,
             ShortTermJumpAlphaMidprice, ShortTermOuAlphaMidprice,
         )
@@ -364,8 +364,6 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
                 bool(m.dt_scaled_drift), 0.0,
                 no_mid2,
             )
-        from mbt_gym_tpu.processes.midprice import CevMidprice
-
         if isinstance(m, CevMidprice):
             # elasticity gamma travels in mid_level
             return (
@@ -380,8 +378,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
                 no_mid2,
             )
         assert isinstance(m, BrownianMotionMidprice), (
-            f"fused rollout midprice: BM / GBM / OU / BM-jump / OU-jump "
-            f"only; got {m}"
+            f"fused rollout midprice: all ten reference models are "
+            f"supported (constant/BM/GBM/OU/CEV/jump variants/short-term "
+            f"alphas/Heston); got unrecognised {m}"
         )
         return (
             "bm", m.drift, m.volatility, m.initial_price, 0.0, 0.0, False,
@@ -594,12 +593,14 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
                   is_last=None, inv0=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
     ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
-    n_mid, exo_n (2, L) or None)``; ``is_last`` (traced bool) marks the
-    terminal step for the "running" reward.  The carry is (cash, inv,
-    price) plus, in order: two Hawkes-intensity planes (arrival_kind
-    "hawkes"), two exogenous best-depth planes (fill_kind "exomm"), and
-    the impact-state plane (speed dynamics with a stateful impact kind).
-    Returns (new_carry, outputs)."""
+    n_mid, exo_n (2, L) or None, mid2_n (1, L) or None)``; ``is_last``
+    (traced bool) marks the terminal step for the "running" reward.  The
+    carry is (cash, inv, price) plus, in order: the second midprice-state
+    plane (Heston variance / short-term alpha, 2-dim midprice kinds), two
+    Hawkes-intensity planes (arrival_kind "hawkes"), two exogenous
+    best-depth planes (fill_kind "exomm"), and the impact-state plane
+    (speed dynamics with a stateful impact kind).  Returns (new_carry,
+    outputs)."""
     (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
     it = iter(carry)
     cash, inv, price = next(it), next(it), next(it)
@@ -1094,11 +1095,12 @@ def mlp_rollout_pallas(
     dimension throughout, so nothing is lane-padded; the 2D single-channel
     streams avoid sublane padding too.
 
-    ``noise`` (optional): (T, n_noise_channels(a_dim, exomm), N) injected
-    channels — 4 env uniforms, max(a_dim, 2) policy-sample normals, the
-    midprice normal, then 2 exogenous best-depth normals when the fill
-    kind is "exomm" — replacing the hardware PRNG (the CPU-testable
-    parity mode).
+    ``noise`` (optional): (T, n_noise_channels(a_dim, exomm, mid2), N)
+    injected channels — 4 env uniforms, max(a_dim, 2) policy-sample
+    normals, the midprice normal, then 2 exogenous best-depth normals
+    when the fill kind is "exomm", then 1 second-midprice-state normal
+    for the 2-dim midprice kinds — replacing the hardware PRNG (the
+    CPU-testable parity mode).
 
     ``inv0``: (N,) per-env initial inventories — REQUIRED when
     ``p.inventory_range`` is set (random initial inventory; the caller

@@ -106,13 +106,20 @@ class GeometricBrownianMotionMidprice(ProcessBase):
         return jnp.full((n, 1), self.initial_price, dtype=dtype)
 
     def bounds(self):
-        # Lognormal-stdev bound (midprice_models.py:105-111).
+        # Lognormal-stdev bound (midprice_models.py:105-111).  Quirk fixed:
+        # for sufficiently negative drift the reference's
+        # ``s0*exp(mu*T) + 4*stdev`` falls BELOW s0, silently inverting its
+        # observation Box (min > max); clamp the half-width at >= 0 so the
+        # space stays well-formed.
         stdev = math.sqrt(
             self.initial_price**2
             * math.exp(2 * self.drift * self.terminal_time)
             * (math.exp(self.volatility**2 * self.terminal_time) - 1)
         )
-        hi = self.initial_price * math.exp(self.drift * self.terminal_time) + 4 * stdev
+        hi = max(
+            self.initial_price * math.exp(self.drift * self.terminal_time) + 4 * stdev,
+            self.initial_price * (1.0 + 1e-6),
+        )
         return ((self.initial_price - (hi - self.initial_price),), (hi,))
 
     def update(self, state, arrivals, fills, action, noise, dt):

@@ -36,9 +36,12 @@ from mbt_gym_tpu.processes.impact import (
 from mbt_gym_tpu.processes.midprice import (
     BrownianMotionJumpMidprice,
     BrownianMotionMidprice,
+    CevMidprice,
     GeometricBrownianMotionMidprice,
+    HestonMidprice,
     OuJumpMidprice,
     OuMidprice,
+    ShortTermOuAlphaMidprice,
 )
 from mbt_gym_tpu.rewards import (
     CjMmCriterion,
@@ -81,9 +84,37 @@ def _random_env(rng, family):
             volatility=sigma, jump_size=float(rng.uniform(0.1, 1.0)),
             terminal_time=1.0, dt_scaled_drift=bool(rng.integers(0, 2)),
         ),
+        CevMidprice(
+            initial_price=s0, drift=float(rng.uniform(-0.1, 0.1)),
+            volatility=sigma / 100.0, gamma=float(rng.uniform(0.5, 1.0)),
+            terminal_time=1.0,
+        ),
+        HestonMidprice(
+            initial_price=s0, drift=float(rng.uniform(-0.1, 0.1)),
+            volatility_mean_reversion_rate=float(rng.uniform(1.0, 5.0)),
+            volatility_mean_reversion_level=float(rng.uniform(0.01, 0.1)),
+            weiner_correlation=float(rng.uniform(-0.9, 0.0)),
+            volatility_of_volatility=float(rng.uniform(0.1, 0.8)),
+            initial_variance=float(rng.uniform(0.01, 0.1)),
+            terminal_time=1.0,
+        ),
+        ShortTermOuAlphaMidprice(
+            volatility=sigma,
+            ou=OuMidprice(
+                initial_price=float(rng.uniform(-1.0, 1.0)),
+                mean_reversion_level=0.0,
+                mean_reversion_speed=float(rng.uniform(0.5, 5.0)),
+                volatility=float(rng.uniform(0.2, 2.0)),
+                dt_scaled_drift=True,
+            ),
+            initial_price=s0, terminal_time=1.0,
+        ),
     ]
-    n_kinds = len(mid_kinds) if family in ("limit", "lam", "touch") else 3
-    mid = mid_kinds[rng.integers(0, n_kinds)]  # speed: no fill-jump kinds
+    # fill-jump kinds (index 3, 4) need fills: exclude for speed dynamics
+    if family in ("limit", "lam", "touch"):
+        mid = mid_kinds[rng.integers(0, len(mid_kinds))]
+    else:
+        mid = mid_kinds[[0, 1, 2, 5, 6, 7][rng.integers(0, 6)]]
     phi = float(rng.uniform(0.0, 1.0))
     alpha = float(rng.uniform(0.0, 0.01))
     mm_rewards = [
@@ -193,7 +224,15 @@ def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
         eps = channels[t, 4 : 4 + a_dim].T
         action = mean + std * eps
         clipped = jnp.clip(action, jnp.asarray(low), jnp.asarray(high))
-        mid_noise = SlotNoise(normal=channels[t, 4 + n_eps][:, None], uniform=None)
+        if channels.shape[1] > 5 + n_eps:  # 2-dim midprice: 2 normal cols
+            mid_noise = SlotNoise(
+                normal=jnp.stack(
+                    [channels[t, 4 + n_eps], channels[t, 5 + n_eps]], axis=1
+                ),
+                uniform=None,
+            )
+        else:
+            mid_noise = SlotNoise(normal=channels[t, 4 + n_eps][:, None], uniform=None)
         if fam_speed:
             noise = (mid_noise, SlotNoise(normal=None, uniform=None))
         elif fam_touch:
@@ -226,10 +265,12 @@ def test_fused_rollout_fuzz_parity(family, trial):
         jax.random.PRNGKey(int(rng.integers(0, 1 << 30))), s_dim, a_dim,
         hidden=(16, 16), shared_trunk=True,
     )
-    n_ch = pallas_rollout.n_noise_channels(a_dim)
+    p_params = pallas_rollout.rollout_params_from_config(env_cfg)
+    has_mid2 = p_params.has_mid2
+    n_ch = pallas_rollout.n_noise_channels(a_dim, mid2=has_mid2)
     channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
     n_eps = max(a_dim, 2)
-    channels[:, 4 : 5 + n_eps] = rng.normal(size=(T, n_eps + 1, N)).astype(np.float32)
+    channels[:, 4:n_ch] = rng.normal(size=(T, n_ch - 4, N)).astype(np.float32)
     channels = jnp.asarray(channels)
 
     batch = pallas_rollout.collect_rollout_fused(

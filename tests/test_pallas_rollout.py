@@ -1073,3 +1073,75 @@ def test_fused_rollout_2dim_midprice_matches_xla_engine(mid_name):
     np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
     # the second state column must actually vary (variance / alpha moved)
     assert float(jnp.std(batch.obs[..., 4])) > 0
+
+
+def test_fused_rollout_all_axes_combined_matches_xla_engine():
+    """Maximal-axes config: Heston midprice (2-dim state, extra noise
+    channel) + Hawkes arrivals + exogenous-MM fills + limit-and-market
+    dynamics + CjMm + random initial inventory — exercises the mid2
+    channel offset AFTER the exo channels and the carry/observation
+    ordering (price, mid2, intensities, exo depths) in one shot.
+    S = 4 + 1 (variance) + 2 (intensity) + 2 (exo) = 9; channels =
+    4 + 4 (eps) + 1 (mid) + 2 (exo) + 1 (mid2) = 12."""
+    from mbt_gym_tpu.processes.midprice import HestonMidprice
+    from mbt_gym_tpu.utils.config import composite_env_config
+
+    base = composite_env_config(num_trajectories=N)
+    env_cfg = dataclasses.replace(
+        base,
+        dynamics=dataclasses.replace(
+            base.dynamics, midprice_model=HestonMidprice()
+        ),
+        initial_inventory=(-3, 4),
+        n_steps=T, normalise_observation_space=True,
+    )
+    assert env_cfg.state_dim == 9 and env_cfg.action_dim == 4
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert (p.midprice_kind, p.arrival_kind, p.fill_kind) == ("heston", "hawkes", "exomm")
+    assert p.inventory_range == (-3, 4)
+    n_ch = pallas_rollout.n_noise_channels(4, exomm=True, mid2=True)
+    assert n_ch == 12
+
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(29), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    params = dict(params, log_std=params["log_std"] + 0.5)
+    rng = np.random.default_rng(404)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:12] = rng.normal(size=(T, 8, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    q0 = jnp.asarray(rng.integers(-3, 4, size=N).astype(np.float32))
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels, inv0=q0,
+    )
+    # XLA engine: channel layout [0:4] env uniforms, [4:8] eps, [8] mid,
+    # [9:11] exo normals, [11] variance normal
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0), initial_inventory=q0)
+    std = jnp.exp(params["log_std"])
+    low, high = env_cfg.action_bounds()
+    outs = []
+    for t in range(T):
+        mean, v = networks.policy_value(params, obs)
+        action = mean + std * channels[t, 4:8].T
+        clipped = jnp.clip(action, jnp.asarray(low), jnp.asarray(high))
+        mid_normals = jnp.stack([channels[t, 8], channels[t, 11]], axis=1)
+        noise = (
+            SlotNoise(normal=mid_normals, uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=channels[t, 9:11].T, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        outs.append((obs, res.reward))
+        state, obs = res.state, res.obs
+    ref_obs = jnp.stack([o for o, _ in outs])
+    ref_r = jnp.stack([r for _, r in outs])
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=2e-4, atol=5e-4)
+    # raw-scale mark-to-market at price ~100 with |q0| <= 3 accumulates
+    # f32 rounding up to ~6e-3 absolute (measured; same band as the fuzz)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=2e-3, atol=2e-2)
+    # every stochastic state column actually moved
+    for col in (4, 5, 6, 7, 8):
+        assert float(jnp.std(batch.obs[..., col])) > 0, col
