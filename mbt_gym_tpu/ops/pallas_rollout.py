@@ -48,8 +48,8 @@ Orthogonal to the dynamics kind, the families compose with:
 The composite stress configuration (utils.config.composite_env_config:
 Hawkes + exogenous-MM + lam) therefore runs on the fused pipeline too.
 The remaining XLA-only configurations: the strict_reference_bug fill
-variants, callable reset specs and random start times, non-quadratic
-inventory exponents, and float64 reference-parity runs.
+variants, callable reset specs and random start times, and float64
+reference-parity runs.
 
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
@@ -114,12 +114,16 @@ class MlpRolloutParams(NamedTuple):
     normalise_act: bool
     # reward: "pnl" (RewardFunctions.py:20-36), "cjmm" (pathwise CJ MM
     # criterion, :77-113), "running" (RunningInventoryPenalty, :116-141),
-    # "cjoe" (CJ optimal-execution criterion, :39-74) — all with inventory
-    # exponent 2 — or "exp_utility" (terminal-only exponential utility,
-    # :149-166, with `risk_aversion` below).
+    # "cjoe" (CJ optimal-execution criterion, :39-74) — any
+    # inventory_exponent — or "exp_utility" (terminal-only exponential
+    # utility, :149-166, with `risk_aversion` below).
     reward_kind: str = "pnl"
     phi: float = 0.0  # per-step inventory aversion
     alpha: float = 0.0  # terminal inventory aversion
+    # inventory penalty exponent (reference formulas use inventory**exp
+    # verbatim, so non-integer exponents NaN on negative inventory exactly
+    # as the reference/XLA engine do)
+    inventory_exponent: float = 2.0
     terminal_time: float = 1.0
     # dynamics: "limit" (ModelDynamics.py:87-131), "speed" (:243-275,
     # trading-speed execution against temporary + permanent impact; the
@@ -225,12 +229,12 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         dynamics.  Returns (kind, phi, alpha, risk_aversion)."""
         if isinstance(r, PnL):
             return "pnl", 0.0, 0.0, 0.0
-        if isinstance(r, CjMmCriterion) and r.inventory_exponent == 2.0:
+        if isinstance(r, CjMmCriterion):
             return (
                 "cjmm", r.per_step_inventory_aversion,
                 r.terminal_inventory_aversion, 0.0,
             )
-        if isinstance(r, RunningInventoryPenalty) and r.inventory_exponent == 2.0:
+        if isinstance(r, RunningInventoryPenalty):
             return (
                 "running", r.per_step_inventory_aversion,
                 r.terminal_inventory_aversion, 0.0,
@@ -239,7 +243,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             return "exp_utility", 0.0, 0.0, r.risk_aversion
         raise AssertionError(
             f"fused rollout ({label} dynamics) supports PnL / CjMmCriterion / "
-            f"RunningInventoryPenalty (exponent 2) / ExponentialUtility; got {r}"
+            f"RunningInventoryPenalty / ExponentialUtility; got {r}"
         )
 
     def _arrivals(m):
@@ -465,7 +469,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         gamma_u = 0.0
         if isinstance(r, PnL):
             reward_kind, phi, alpha = "pnl", 0.0, 0.0
-        elif isinstance(r, CjOeCriterion) and r.inventory_exponent == 2.0:
+        elif isinstance(r, CjOeCriterion):
             reward_kind = "cjoe"
             phi, alpha = r.per_step_inventory_aversion, r.terminal_inventory_aversion
         elif isinstance(r, ExponentialUtility):
@@ -474,7 +478,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         else:
             raise AssertionError(
                 f"fused rollout (speed dynamics) supports PnL / CjOeCriterion "
-                f"(exponent 2) / ExponentialUtility; got {r}"
+                f"/ ExponentialUtility; got {r}"
             )
     else:
         raise AssertionError(
@@ -523,6 +527,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         reward_kind=reward_kind,
         phi=phi,
         alpha=alpha,
+        inventory_exponent=float(getattr(r, "inventory_exponent", 2.0)),
         terminal_time=cfg.terminal_time,
         dynamics_kind=dynamics_kind,
         impact_kind=impact_kind,
@@ -884,16 +889,26 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # penalty at the last step only (:128-138); "cjoe": CJ execution
     # criterion with the terminal aversion spread over steps (:39-74).
     pnl = (new_cash + new_inv * new_price) - (cash + inv * price)
+    e = p.inventory_exponent
+
+    def q_pow(x, power=None):
+        power = e if power is None else power
+        if power == 2.0:
+            return x * x
+        if power == 1.0:
+            return x
+        return x**power  # reference semantics: NaN on negative base + frac exp
+
     if p.reward_kind == "pnl":
         reward = pnl
     elif p.reward_kind == "cjmm":
         # inv0 is a (1, L) plane: per-env under random initial inventory
         episode_length = p.terminal_time - p.start_time
-        const = (p.alpha * p.dt / episode_length) * (inv0 * inv0)
+        const = (p.alpha * p.dt / episode_length) * q_pow(inv0)
         reward = (
             pnl
-            - p.dt * p.phi * new_inv * new_inv
-            - p.alpha * (new_inv * new_inv - inv * inv)
+            - p.dt * p.phi * q_pow(new_inv)
+            - p.alpha * (q_pow(new_inv) - q_pow(inv))
             - const
         )
     elif p.reward_kind == "cjoe":
@@ -901,9 +916,9 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         episode_length = p.terminal_time - p.start_time
         reward = (
             pnl
-            - p.dt * p.phi * new_inv * new_inv
+            - p.dt * p.phi * q_pow(new_inv)
             - p.dt * p.alpha * (
-                2.0 * speed * inv + (inv0 * inv0) * episode_length
+                e * speed * q_pow(inv, e - 1.0) + q_pow(inv0) * episode_length
             )
         )
     elif p.reward_kind == "exp_utility":
@@ -917,8 +932,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         terminal = is_last.astype(jnp.float32)
         reward = (
             pnl
-            - p.dt * p.phi * new_inv * new_inv
-            - p.alpha * terminal * new_inv * new_inv
+            - p.dt * p.phi * q_pow(new_inv)
+            - p.alpha * terminal * q_pow(new_inv)
         )
     new_carry = (new_cash, new_inv, new_price)
     if p.has_mid2:

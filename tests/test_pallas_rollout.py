@@ -79,16 +79,27 @@ def test_fused_rollout_matches_xla_engine(setup):
     np.testing.assert_allclose(np.asarray(batch.returns), np.asarray(ret), rtol=0, atol=0)
 
 
+class _UnknownReward:
+    """An unsupported reward type for guard tests."""
+
+    def calculate(self, *a):  # pragma: no cover
+        raise NotImplementedError
+
+
 def test_fused_rollout_config_guard():
     from mbt_gym_tpu.rewards import CjMmCriterion, ExponentialUtility, RunningInventoryPenalty
 
     cfg = as_env_config(num_trajectories=N)
-    # non-quadratic inventory penalties stay on the XLA path
-    bad = dataclasses.replace(
-        cfg, reward_function=RunningInventoryPenalty(inventory_exponent=3.0)
-    )
+    bad = dataclasses.replace(cfg, reward_function=_UnknownReward())
     with pytest.raises(AssertionError, match="limit dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(bad)
+    # non-quadratic inventory exponents are supported too
+    p = pallas_rollout.rollout_params_from_config(
+        dataclasses.replace(
+            cfg, reward_function=RunningInventoryPenalty(inventory_exponent=3.0)
+        )
+    )
+    assert p.reward_kind == "running" and p.inventory_exponent == 3.0
     # ExponentialUtility is a supported terminal-only reward kind
     p = pallas_rollout.rollout_params_from_config(
         dataclasses.replace(cfg, reward_function=ExponentialUtility(risk_aversion=0.3))
@@ -112,7 +123,9 @@ def test_fused_rollout_config_guard():
     assert p.reward_kind == "running"
 
 
-@pytest.mark.parametrize("reward_name", ["cjmm", "running", "exp_utility"])
+@pytest.mark.parametrize(
+    "reward_name", ["cjmm", "running", "exp_utility", "cjmm_e3", "running_e3"]
+)
 def test_fused_rollout_cj_rewards_match_xla_engine(reward_name):
     """The CJ market-making reward kinds ("learning to make a market") must
     reproduce the XLA engine's per-step rewards on the same noise."""
@@ -120,11 +133,17 @@ def test_fused_rollout_cj_rewards_match_xla_engine(reward_name):
 
     from mbt_gym_tpu.rewards import ExponentialUtility
 
-    if reward_name == "cjmm":
+    if reward_name in ("cjmm", "cjmm_e3"):
         reward = CjMmCriterion(
             per_step_inventory_aversion=0.5,
             terminal_inventory_aversion=0.001,
             terminal_time=1.0,
+            inventory_exponent=3.0 if reward_name == "cjmm_e3" else 2.0,
+        )
+    elif reward_name == "running_e3":
+        reward = RunningInventoryPenalty(
+            per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001,
+            inventory_exponent=3.0,
         )
     elif reward_name == "exp_utility":
         # tiny risk aversion keeps exp(-gamma*wealth) in a testable range
@@ -272,10 +291,14 @@ def test_speed_dynamics_config_guard():
     cfg = oe_env_config(num_trajectories=N)
     with pytest.raises(AssertionError, match="speed dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(
-            dataclasses.replace(
-                cfg, reward_function=CjOeCriterion(inventory_exponent=3.0)
-            )
+            dataclasses.replace(cfg, reward_function=_UnknownReward())
         )
+    p = pallas_rollout.rollout_params_from_config(
+        dataclasses.replace(
+            cfg, reward_function=CjOeCriterion(inventory_exponent=3.0)
+        )
+    )
+    assert p.reward_kind == "cjoe" and p.inventory_exponent == 3.0
     p = pallas_rollout.rollout_params_from_config(
         dataclasses.replace(cfg, reward_function=ExponentialUtility(risk_aversion=0.3))
     )
@@ -418,13 +441,9 @@ def test_fused_rollout_touch_dynamics_matches_xla_engine(reward_name):
 
 
 def test_touch_dynamics_config_guard():
-    from mbt_gym_tpu.rewards import RunningInventoryPenalty
-
     with pytest.raises(AssertionError, match="touch dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(
-            _touch_env_config(
-                reward_function=RunningInventoryPenalty(inventory_exponent=3.0)
-            )
+            _touch_env_config(reward_function=_UnknownReward())
         )
 
 
@@ -538,14 +557,13 @@ def test_fused_rollout_lam_dynamics_matches_xla_engine(reward_name):
 
 
 def test_lam_dynamics_config_guard():
-    from mbt_gym_tpu.rewards import RunningInventoryPenalty
     from mbt_gym_tpu.utils.config import lam_env_config
 
     with pytest.raises(AssertionError, match="lam dynamics.*supports"):
         pallas_rollout.rollout_params_from_config(
             dataclasses.replace(
                 lam_env_config(num_trajectories=N),
-                reward_function=RunningInventoryPenalty(inventory_exponent=3.0),
+                reward_function=_UnknownReward(),
             )
         )
 
