@@ -117,12 +117,15 @@ def _random_env(rng, family):
         mid = mid_kinds[[0, 1, 2, 5, 6, 7][rng.integers(0, 6)]]
     phi = float(rng.uniform(0.0, 1.0))
     alpha = float(rng.uniform(0.0, 0.01))
+    exponent = float(rng.integers(1, 4))  # integer exponents stay finite
     mm_rewards = [
         PnL(),
         CjMmCriterion(per_step_inventory_aversion=phi,
-                      terminal_inventory_aversion=alpha, terminal_time=1.0),
+                      terminal_inventory_aversion=alpha, terminal_time=1.0,
+                      inventory_exponent=exponent),
         RunningInventoryPenalty(per_step_inventory_aversion=phi,
-                                terminal_inventory_aversion=alpha),
+                                terminal_inventory_aversion=alpha,
+                                inventory_exponent=exponent),
         ExponentialUtility(risk_aversion=float(rng.uniform(0.001, 0.02))),
     ]
     rates = (float(rng.uniform(20.0, 200.0)), float(rng.uniform(20.0, 200.0)))
@@ -188,7 +191,8 @@ def _random_env(rng, family):
         oe_rewards = [
             PnL(),
             CjOeCriterion(per_step_inventory_aversion=phi,
-                          terminal_inventory_aversion=alpha, terminal_time=1.0),
+                          terminal_inventory_aversion=alpha, terminal_time=1.0,
+                          inventory_exponent=exponent),
             ExponentialUtility(risk_aversion=float(rng.uniform(0.001, 0.02))),
         ]
         reward = oe_rewards[rng.integers(0, len(oe_rewards))]
@@ -253,7 +257,7 @@ _FAMILY_SEED = {"limit": 11, "lam": 22, "touch": 33, "speed": 44}
 
 
 @pytest.mark.parametrize("family", ["limit", "lam", "touch", "speed"])
-@pytest.mark.parametrize("trial", range(3))
+@pytest.mark.parametrize("trial", range(4))
 def test_fused_rollout_fuzz_parity(family, trial):
     # fixed per-family seeds: hash() is per-process randomized and would
     # make failures unreproducible
