@@ -885,9 +885,10 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 
     # Reward at the post-bookkeeping, post-price-move state (both sides
     # mark at their own price).  "cjmm": pathwise CJ criterion
-    # (RewardFunctions.py:96-109 with exponent 2); "running": terminal
-    # penalty at the last step only (:128-138); "cjoe": CJ execution
-    # criterion with the terminal aversion spread over steps (:39-74).
+    # (RewardFunctions.py:96-109, any inventory exponent); "running":
+    # terminal penalty at the last step only (:128-138); "cjoe": CJ
+    # execution criterion with the terminal aversion spread over steps
+    # (:39-74).
     pnl = (new_cash + new_inv * new_price) - (cash + inv * price)
     e = p.inventory_exponent
 

@@ -108,19 +108,22 @@ class GeometricBrownianMotionMidprice(ProcessBase):
     def bounds(self):
         # Lognormal-stdev bound (midprice_models.py:105-111).  Quirk fixed:
         # for sufficiently negative drift the reference's
-        # ``s0*exp(mu*T) + 4*stdev`` falls BELOW s0, silently inverting its
-        # observation Box (min > max); clamp the half-width at >= 0 so the
-        # space stays well-formed.
+        # ``hi = s0*exp(mu*T) + 4*stdev`` falls BELOW s0, silently
+        # inverting its observation Box (min > max).  Use the symmetric
+        # half-width |s0*exp(mu*T) - s0| + 4*stdev: identical to the
+        # reference for mu >= 0, and for mu < 0 the box still covers the
+        # drifted mean with the same 4-sigma margin.
         stdev = math.sqrt(
             self.initial_price**2
             * math.exp(2 * self.drift * self.terminal_time)
             * (math.exp(self.volatility**2 * self.terminal_time) - 1)
         )
-        hi = max(
-            self.initial_price * math.exp(self.drift * self.terminal_time) + 4 * stdev,
-            self.initial_price * (1.0 + 1e-6),
+        drifted = self.initial_price * math.exp(self.drift * self.terminal_time)
+        half_width = abs(drifted - self.initial_price) + 4 * stdev
+        return (
+            (self.initial_price - half_width,),
+            (self.initial_price + half_width,),
         )
-        return ((self.initial_price - (hi - self.initial_price),), (hi,))
 
     def update(self, state, arrivals, fills, action, noise, dt):
         return state + self.drift * state * dt + (self.volatility * math.sqrt(dt)) * state * noise.normal

@@ -269,9 +269,7 @@ def test_fused_rollout_fuzz_parity(family, trial):
         jax.random.PRNGKey(int(rng.integers(0, 1 << 30))), s_dim, a_dim,
         hidden=(16, 16), shared_trunk=True,
     )
-    p_params = pallas_rollout.rollout_params_from_config(env_cfg)
-    has_mid2 = p_params.has_mid2
-    n_ch = pallas_rollout.n_noise_channels(a_dim, mid2=has_mid2)
+    n_ch = pallas_rollout.n_noise_channels(a_dim, mid2=p.has_mid2)
     channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
     n_eps = max(a_dim, 2)
     channels[:, 4:n_ch] = rng.normal(size=(T, n_ch - 4, N)).astype(np.float32)
