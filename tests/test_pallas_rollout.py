@@ -1163,3 +1163,50 @@ def test_fused_rollout_all_axes_combined_matches_xla_engine():
     # every stochastic state column actually moved
     for col in (4, 5, 6, 7, 8):
         assert float(jnp.std(batch.obs[..., col])) > 0, col
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware PRNG required; CPU parity of the composite axes is "
+    "covered by the injected-noise tests — this validates the Hawkes/"
+    "exo-MM/extra-normal hardware draw routing statistically.",
+)
+def test_composite_hardware_prng_stats():
+    """Composite family on the hardware PRNG: the Hawkes intensity must
+    settle at its discrete-time fixed point b*kappa/(kappa - j*per-step
+    arrival sensitivity) and the exogenous best depths at their OU levels;
+    with a zero policy the 4 action channels are standard normals."""
+    from mbt_gym_tpu.utils.config import composite_env_config
+
+    N_hw, T_hw = 16384, 200
+    env_cfg = dataclasses.replace(
+        composite_env_config(num_trajectories=N_hw), n_steps=T_hw,
+    )
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert (p.arrival_kind, p.fill_kind) == ("hawkes", "exomm")
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(0), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    obs_t, actions_t, _, _, _ = pallas_rollout.mlp_rollout_pallas(
+        p, params, 4321, N_hw,
+    )
+    obs = np.asarray(obs_t)  # raw (composite config never normalises here)
+    # Hawkes fixed point: E[l'] = l + kappa*(b - l)*dt + j*P(arrive) with
+    # P(arrive) = l*dt  =>  l* = b*kappa/(kappa - j) = 10*60/(60-40) = 30.
+    lam_tail = obs[T_hw // 2 :, 4:6, :]
+    lstar = (
+        p.intensity_bid * p.hawkes_mean_reversion
+        / (p.hawkes_mean_reversion - p.hawkes_jump)
+    )
+    assert abs(lam_tail.mean() / lstar - 1.0) < 0.05, (lam_tail.mean(), lstar)
+    assert lam_tail.std() > 0.5  # genuinely self-exciting, not frozen
+    # Exogenous best depths: OU around their levels (0.8)
+    exo_tail = obs[T_hw // 2 :, 6:8, :]
+    assert abs(exo_tail.mean() - p.exo_level[0]) < 0.02, exo_tail.mean()
+    assert exo_tail.std() > 0.005
+    # zero policy -> actions are the raw eps draws
+    eps = np.asarray(actions_t)
+    assert np.all(np.abs(eps.mean(axis=(0, 2))) < 0.01)
+    assert np.all(np.abs(eps.std(axis=(0, 2)) - 1.0) < 0.01)
