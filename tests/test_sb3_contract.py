@@ -187,3 +187,48 @@ def test_gym_adapter_info_calculator():
     _, _, term, _, info = env.step(action)
     assert term.all()
     assert info[0]["action_0"] == pytest.approx(2.0)
+
+
+def test_reduced_observation_adapter():
+    """``observation_indices`` reduces spaces, emitted obs AND
+    terminal_observation — the adapter-level ReduceStateSizeWrapper
+    (wrappers.py:10-43 via experiments/helpers.py:63-65)."""
+    from mbt_gym_tpu.types import INVENTORY_INDEX, TIME_INDEX
+
+    cfg = as_env_config(num_trajectories=8, n_steps=5)
+    full = VecTradingEnv(cfg, seed=3)
+    red = VecTradingEnv(
+        cfg, seed=3, observation_indices=(INVENTORY_INDEX, TIME_INDEX)
+    )
+    assert red.observation_space.shape == (2,)
+    lo_f, hi_f = full.observation_space.low, full.observation_space.high
+    assert np.allclose(red.observation_space.low, lo_f[[1, 2]])
+    assert np.allclose(red.observation_space.high, hi_f[[1, 2]])
+
+    obs_f, obs_r = full.reset(), red.reset()
+    assert obs_r.shape == (8, 2)
+    np.testing.assert_allclose(obs_r, obs_f[:, [1, 2]])  # same seed/state
+
+    action = np.zeros((8, cfg.action_dim), dtype=np.float32)
+    for _ in range(5):
+        obs_f, _, dones_f, _ = full.step(action)
+        obs_r, _, dones_r, infos_r = red.step(action)
+        assert obs_r.shape == (8, 2)
+    assert dones_f.all() and dones_r.all()
+    for info in infos_r:
+        assert info["terminal_observation"].shape == (2,)
+
+
+def test_reduced_observation_gym_adapter():
+    from mbt_gym_tpu.gym_compat import GymTradingEnv
+    from mbt_gym_tpu.types import INVENTORY_INDEX, TIME_INDEX
+
+    cfg = as_env_config(num_trajectories=4, n_steps=3)
+    env = GymTradingEnv(
+        cfg, seed=1, observation_indices=(INVENTORY_INDEX, TIME_INDEX)
+    )
+    assert env.observation_space.shape == (2,)
+    obs, _ = env.reset()
+    assert obs.shape == (4, 2)
+    obs, _, term, _, _ = env.step(np.ones((4, cfg.action_dim), np.float32))
+    assert obs.shape == (4, 2) and not term.any()
