@@ -178,6 +178,7 @@ def _kernel_T(
     clip_eps: float,
     vf_coef: float,
     compute_dtype,
+    swap_dw0: bool,
     *refs,
 ):
     """One grid step = one (env tile x T-chunk) block; grid is 2D
@@ -284,7 +285,19 @@ def _kernel_T(
             h_out = hs[li + 1]
             dz = dh * (1.0 - h_out * h_out)
             a_w, a_b = a_trunk[li]
-            a_w = a_w + _mm(dz, hs[li], ((1,), (1,)), compute_dtype)  # (H, in)
+            if li == 0 and swap_dw0:
+                # Layer-0 dW with SWAPPED operands, accumulated (in, H): the
+                # tiny obs dim lands on the output-sublane position M
+                # (8-granular pad) instead of the lane position N
+                # (128-granular pad).  The MXU charges M_pad x K x N, so the
+                # lane-lane form dot(dz, x) -> (H, S) pays 256 x L x 128
+                # where dot(x, dz) -> (S, H) pays 8 x L x 256 — a measured
+                # 15.5 ms (8%) of the 52.4M-sample config-5 update
+                # (scripts/exp_dw_layout.py round-3 ablation; per-op marginal
+                # costs in BENCH_NOTES.md).
+                a_w = a_w + _mm(hs[0], dz, ((1,), (1,)), compute_dtype)
+            else:
+                a_w = a_w + _mm(dz, hs[li], ((1,), (1,)), compute_dtype)  # (H, in)
             a_b = a_b + jnp.sum(dz, axis=1, keepdims=True)
             new_trunk.append((a_w, a_b))
             if li > 0:
@@ -404,6 +417,14 @@ def ppo_fused_grads_T(
     ):
         tile //= 2
         t_chunk = chunk_for(tile)
+    # Halving preserves 128-lane granularity only for power-of-two multiples
+    # of 128; a caller-passed tile like 384 would halve to an illegal 96-lane
+    # width the Mosaic blocking assumes away (ADVICE r2) — fail loudly.
+    # (Interpret mode has no lane constraint; CPU tests use small tiles.)
+    assert interpret or tile % 128 == 0, (
+        f"VMEM-fit halving produced lane tile {tile}; pass a power-of-two "
+        "multiple of 128"
+    )
     assert n % tile == 0, (n, tile)
     grid = (n // tile, T_pad // t_chunk)
     m = T * n  # normalisation uses the TRUE sample count, not the padding
@@ -434,15 +455,21 @@ def ppo_fused_grads_T(
     inputs += [whead, bhead, params["log_std"].reshape(-1, 1)]
     in_specs += [full((a_dim + 1, h_dim)), full((a_dim + 1, 1)), full((a_dim, 1))]
 
+    # Layer-0 dW is accumulated with swapped operands in natural (in, out)
+    # layout whenever the input dim is narrow (see _kernel_T's swap_dw0
+    # comment) — for production obs dims (4-8) this moves the pad-forced
+    # dimension from 128-granular N to 8-granular M.
+    swap_dw0 = s_dim < 128
     out_shapes = []
     out_specs = []
     for li in range(n_layers):
         wT_shape = (trunk[li]["w"].shape[1], trunk[li]["w"].shape[0])
+        dw_shape = trunk[li]["w"].shape if (li == 0 and swap_dw0) else wT_shape
         out_shapes += [
-            jax.ShapeDtypeStruct(wT_shape, jnp.float32),
+            jax.ShapeDtypeStruct(dw_shape, jnp.float32),
             jax.ShapeDtypeStruct((wT_shape[0], 1), jnp.float32),
         ]
-        out_specs += [full(wT_shape), full((wT_shape[0], 1))]
+        out_specs += [full(dw_shape), full((wT_shape[0], 1))]
     out_shapes += [
         jax.ShapeDtypeStruct((a_dim + 1, h_dim), jnp.float32),
         jax.ShapeDtypeStruct((a_dim + 1, 1), jnp.float32),
@@ -454,7 +481,10 @@ def ppo_fused_grads_T(
         full((a_dim, 1)), full((1, 128)),
     ]
 
-    kernel = partial(_kernel_T, n_layers, T, s_dim, a_dim, 1.0 / m, clip_eps, vf_coef, cdt)
+    kernel = partial(
+        _kernel_T, n_layers, T, s_dim, a_dim, 1.0 / m, clip_eps, vf_coef, cdt,
+        swap_dw0,
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -468,8 +498,9 @@ def ppo_fused_grads_T(
     g_trunk = []
     for li in range(n_layers):
         dwT, db = next(it), next(it)
+        dw = dwT if (li == 0 and swap_dw0) else dwT.T  # layer 0 is natural
         g_trunk.append({
-            "w": dwT.T.astype(trunk[li]["w"].dtype),
+            "w": dw.astype(trunk[li]["w"].dtype),
             "b": db[:, 0].astype(trunk[li]["b"].dtype),
         })
     dwh, dbh, dlstd, metrics = (next(it) for _ in range(4))
