@@ -187,8 +187,16 @@ class MlpRolloutParams(NamedTuple):
     # supported; the strict_reference_bug variants stay on the XLA path.
     fill_kind: str = "exp"
     fill_param: float = 0.0  # triangular max depth / power multiplier
-    exo_level: tuple = ()  # (bid, ask) OU mean-reversion levels
-    exo_speed: tuple = ()
+    # Exogenous best-depth processes (fill_kind "exomm"): the reference
+    # allows ANY two stochastic processes
+    # (fill_probability_models.py:126-170); the fused kernel covers the
+    # single-state single-noise kinds per side — "ou", "bm" (arithmetic BM:
+    # exo_level reused as the drift), "gbm" (Euler GBM: exo_level as the
+    # drift) — each sharing the same one noise channel per side.
+    # Multi-state inner processes stay on the XLA path.
+    exo_kind: tuple = ()  # (bid, ask) in {"ou", "bm", "gbm"}
+    exo_level: tuple = ()  # OU mean-reversion level / BM-GBM drift
+    exo_speed: tuple = ()  # OU mean-reversion speed (0.0 for bm/gbm)
     exo_vol: tuple = ()
     exo_initial: tuple = ()
     exo_dt_scaled: bool = True
@@ -279,20 +287,38 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             )
             return ("power", m.fill_exponent, m.fill_multiplier) + no_exo
         if isinstance(m, ExogenousMmFill):
-            bp, ap = m.bid_process, m.ask_process
-            for q in (bp, ap):
-                assert isinstance(q, OuMidprice) and q.state_dim == 1, (
-                    "fused rollout (exomm fills): OuMidprice best-depth "
-                    f"processes only; got {q}"
+            from mbt_gym_tpu.processes.midprice import (
+                BrownianMotionMidprice, GeometricBrownianMotionMidprice,
+            )
+
+            def _exo_side(q):
+                """(kind, level-or-drift, speed, vol, s0, dt_scaled) for one
+                exogenous best-depth process — any single-state,
+                single-noise-channel kind (VERDICT r2 item 8: the reference
+                allows any two processes, fill_probability_models.py:126-170;
+                bm/gbm share the OU side's one noise channel)."""
+                if isinstance(q, OuMidprice):
+                    return (
+                        "ou", q.mean_reversion_level, q.mean_reversion_speed,
+                        q.volatility, q.initial_price, bool(q.dt_scaled_drift),
+                    )
+                if isinstance(q, BrownianMotionMidprice):
+                    return "bm", q.drift, 0.0, q.volatility, q.initial_price, True
+                if isinstance(q, GeometricBrownianMotionMidprice):
+                    return "gbm", q.drift, 0.0, q.volatility, q.initial_price, True
+                raise AssertionError(
+                    "fused rollout (exomm fills): Ou/BrownianMotion/"
+                    f"GeometricBrownianMotion best-depth processes only; got {q} "
+                    "(multi-state inner processes run on the XLA path)"
                 )
-            assert bp.dt_scaled_drift == ap.dt_scaled_drift
+
+            sides = [_exo_side(q) for q in (m.bid_process, m.ask_process)]
+            (bk, bl, bs, bv, b0, bd), (ak, al, as_, av, a0, ad) = sides
+            assert bd == ad, "mixed dt_scaled_drift OU sides unsupported"
             return (
                 "exomm", m.fill_exponent, 0.0,
-                (bp.mean_reversion_level, ap.mean_reversion_level),
-                (bp.mean_reversion_speed, ap.mean_reversion_speed),
-                (bp.volatility, ap.volatility),
-                (bp.initial_price, ap.initial_price),
-                bool(bp.dt_scaled_drift), m.base_fill_probability,
+                (bk, ak), (bl, al), (bs, as_), (bv, av), (b0, a0),
+                bd, m.base_fill_probability,
             )
         assert isinstance(m, ExponentialFill), (
             f"fused rollout fills: Exponential / Triangular / Power / "
@@ -391,7 +417,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             0.0, no_mid2,
         )
 
-    no_exo = ((), (), (), (), True, 1.0)
+    no_exo = ((), (), (), (), (), True, 1.0)
     d = cfg.dynamics
     (
         mid_kind, mid_drift, mid_vol, mid_s0, mid_level, mid_speed,
@@ -556,12 +582,13 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         hawkes_mean_reversion=float(hmr),
         fill_kind=fill_kind,
         fill_param=float(fill_param),
-        exo_level=tuple(float(x) for x in exo[0]),
-        exo_speed=tuple(float(x) for x in exo[1]),
-        exo_vol=tuple(float(x) for x in exo[2]),
-        exo_initial=tuple(float(x) for x in exo[3]),
-        exo_dt_scaled=bool(exo[4]),
-        exo_base_fill=float(exo[5]),
+        exo_kind=tuple(str(x) for x in exo[0]),
+        exo_level=tuple(float(x) for x in exo[1]),
+        exo_speed=tuple(float(x) for x in exo[2]),
+        exo_vol=tuple(float(x) for x in exo[3]),
+        exo_initial=tuple(float(x) for x in exo[4]),
+        exo_dt_scaled=bool(exo[5]),
+        exo_base_fill=float(exo[6]),
         inventory_range=inventory_range,
     )
 
@@ -738,14 +765,23 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             return None, None
         scale = p.dt if p.exo_dt_scaled else 1.0
         sq = math.sqrt(p.dt)
-        return (
-            exo_b
-            + (-p.exo_speed[0] * scale) * (exo_b - p.exo_level[0])
-            + (p.exo_vol[0] * sq) * exo_n[0:1],
-            exo_a
-            + (-p.exo_speed[1] * scale) * (exo_a - p.exo_level[1])
-            + (p.exo_vol[1] * sq) * exo_n[1:2],
-        )
+
+        def side(i, exo, n):
+            kind = p.exo_kind[i] if p.exo_kind else "ou"
+            if kind == "bm":  # midprice.py BrownianMotionMidprice.update
+                return exo + p.exo_level[i] * p.dt + (p.exo_vol[i] * sq) * n
+            if kind == "gbm":  # GeometricBrownianMotionMidprice.update
+                return (
+                    exo + p.exo_level[i] * exo * p.dt
+                    + (p.exo_vol[i] * sq) * exo * n
+                )
+            return (
+                exo
+                + (-p.exo_speed[i] * scale) * (exo - p.exo_level[i])
+                + (p.exo_vol[i] * sq) * n
+            )
+
+        return side(0, exo_b, exo_n[0:1]), side(1, exo_a, exo_n[1:2])
 
     if p.dynamics_kind == "limit":
         bid_depth, ask_depth = exec_action
