@@ -199,7 +199,7 @@ class MlpRolloutParams(NamedTuple):
     exo_speed: tuple = ()  # OU mean-reversion speed (0.0 for bm/gbm)
     exo_vol: tuple = ()
     exo_initial: tuple = ()
-    exo_dt_scaled: bool = True
+    exo_dt_scaled: tuple = ()  # per-side OU drift-dt quirk flag
     exo_base_fill: float = 1.0
     # Random initial inventory: () = deterministic `initial_inventory`;
     # (lo, hi) = per-env integer draw in [lo, hi) per episode, matching the
@@ -314,11 +314,10 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
 
             sides = [_exo_side(q) for q in (m.bid_process, m.ask_process)]
             (bk, bl, bs, bv, b0, bd), (ak, al, as_, av, a0, ad) = sides
-            assert bd == ad, "mixed dt_scaled_drift OU sides unsupported"
             return (
                 "exomm", m.fill_exponent, 0.0,
                 (bk, ak), (bl, al), (bs, as_), (bv, av), (b0, a0),
-                bd, m.base_fill_probability,
+                (bd, ad), m.base_fill_probability,
             )
         assert isinstance(m, ExponentialFill), (
             f"fused rollout fills: Exponential / Triangular / Power / "
@@ -417,7 +416,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             0.0, no_mid2,
         )
 
-    no_exo = ((), (), (), (), (), True, 1.0)
+    no_exo = ((), (), (), (), (), (), 1.0)
     d = cfg.dynamics
     (
         mid_kind, mid_drift, mid_vol, mid_s0, mid_level, mid_speed,
@@ -587,7 +586,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         exo_speed=tuple(float(x) for x in exo[2]),
         exo_vol=tuple(float(x) for x in exo[3]),
         exo_initial=tuple(float(x) for x in exo[4]),
-        exo_dt_scaled=bool(exo[5]),
+        exo_dt_scaled=tuple(bool(x) for x in exo[5]),
         exo_base_fill=float(exo[6]),
         inventory_range=inventory_range,
     )
@@ -763,7 +762,6 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     def _update_exo():
         if p.fill_kind != "exomm":
             return None, None
-        scale = p.dt if p.exo_dt_scaled else 1.0
         sq = math.sqrt(p.dt)
 
         def side(i, exo, n):
@@ -775,6 +773,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
                     exo + p.exo_level[i] * exo * p.dt
                     + (p.exo_vol[i] * sq) * exo * n
                 )
+            scale = p.dt if p.exo_dt_scaled[i] else 1.0  # per-side OU quirk
             return (
                 exo
                 + (-p.exo_speed[i] * scale) * (exo - p.exo_level[i])

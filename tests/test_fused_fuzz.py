@@ -26,7 +26,12 @@ from mbt_gym_tpu.processes.arrivals import (
     PoissonArrivals,
     PoissonArrivalsNonLinear,
 )
-from mbt_gym_tpu.processes.fills import ExponentialFill, PowerFill, TriangularFill
+from mbt_gym_tpu.processes.fills import (
+    ExogenousMmFill,
+    ExponentialFill,
+    PowerFill,
+    TriangularFill,
+)
 from mbt_gym_tpu.processes.impact import (
     TemporaryAndPermanentImpact,
     TemporaryAndTransientImpact,
@@ -111,7 +116,7 @@ def _random_env(rng, family):
         ),
     ]
     # fill-jump kinds (index 3, 4) need fills: exclude for speed dynamics
-    if family in ("limit", "lam", "touch"):
+    if family in ("limit", "lam", "touch", "limit_exo"):
         mid = mid_kinds[rng.integers(0, len(mid_kinds))]
     else:
         mid = mid_kinds[[0, 1, 2, 5, 6, 7][rng.integers(0, 6)]]
@@ -147,7 +152,39 @@ def _random_env(rng, family):
         ),
     ][rng.integers(0, 3)]
     q0 = int(rng.integers(-3, 4))
-    if family == "limit":
+    if family == "limit_exo":
+        # exogenous competing-MM fills with RANDOM inner best-depth kinds
+        # per side (ou / bm / gbm) — the round-3 generalization
+        def _exo_proc():
+            kind = rng.integers(0, 3)
+            d0 = float(rng.uniform(0.4, 1.5))
+            if kind == 0:
+                return OuMidprice(
+                    initial_price=d0, mean_reversion_level=d0,
+                    mean_reversion_speed=float(rng.uniform(0.5, 5.0)),
+                    volatility=float(rng.uniform(0.02, 0.3)),
+                    terminal_time=1.0, dt_scaled_drift=bool(rng.integers(0, 2)),
+                )
+            if kind == 1:
+                return BrownianMotionMidprice(
+                    initial_price=d0, drift=float(rng.uniform(-0.3, 0.3)),
+                    volatility=float(rng.uniform(0.02, 0.3)), terminal_time=1.0,
+                )
+            return GeometricBrownianMotionMidprice(
+                initial_price=d0, drift=float(rng.uniform(-0.3, 0.3)),
+                volatility=float(rng.uniform(0.02, 0.3)), terminal_time=1.0,
+            )
+
+        fills = ExogenousMmFill(
+            bid_process=_exo_proc(), ask_process=_exo_proc(),
+            fill_exponent=float(rng.uniform(0.1, 3.0)),
+            base_fill_probability=float(rng.uniform(0.5, 1.0)),
+        )
+        dyn = LimitOrderDynamics(
+            midprice_model=mid, arrival_model=arrivals, fill_probability_model=fills
+        )
+        reward = mm_rewards[rng.integers(0, len(mm_rewards))]
+    elif family == "limit":
         dyn = LimitOrderDynamics(
             midprice_model=mid, arrival_model=arrivals, fill_probability_model=fills
         )
@@ -198,7 +235,7 @@ def _random_env(rng, family):
         reward = oe_rewards[rng.integers(0, len(oe_rewards))]
         q0 = int(rng.integers(1, 10))
     # normalise_action_space only meaningful for box actions away from {0,1}
-    norm_act = bool(rng.integers(0, 2)) and family in ("limit", "lam")
+    norm_act = bool(rng.integers(0, 2)) and family in ("limit", "lam", "limit_exo")
     return env_lib.EnvConfig(
         dynamics=dyn,
         reward_function=reward,
@@ -213,7 +250,7 @@ def _random_env(rng, family):
     )
 
 
-def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
+def _xla_reference(env_cfg, params, channels, a_dim, s_dim, has_exo=False):
     state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
     std = jnp.exp(params["log_std"])
     low, high = env_cfg.action_bounds()
@@ -228,10 +265,15 @@ def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
         eps = channels[t, 4 : 4 + a_dim].T
         action = mean + std * eps
         clipped = jnp.clip(action, jnp.asarray(low), jnp.asarray(high))
-        if channels.shape[1] > 5 + n_eps:  # 2-dim midprice: 2 normal cols
+        # channel layout after the 4 uniforms + n_eps policy normals:
+        # midprice normal, then 2 exo best-depth normals (exomm), then the
+        # second-midprice normal (mid2) — pallas_rollout.hw_draws order.
+        exo_at = 5 + n_eps
+        mid2_at = exo_at + (2 if has_exo else 0)
+        if channels.shape[1] > mid2_at:  # 2-dim midprice: 2 normal cols
             mid_noise = SlotNoise(
                 normal=jnp.stack(
-                    [channels[t, 4 + n_eps], channels[t, 5 + n_eps]], axis=1
+                    [channels[t, 4 + n_eps], channels[t, mid2_at]], axis=1
                 ),
                 uniform=None,
             )
@@ -242,10 +284,14 @@ def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
         elif fam_touch:
             noise = (mid_noise, SlotNoise(normal=None, uniform=channels[t, 0:2].T))
         else:
+            fill_noise = SlotNoise(
+                normal=channels[t, exo_at : exo_at + 2].T if has_exo else None,
+                uniform=channels[t, 2:4].T,
+            )
             noise = (
                 mid_noise,
                 SlotNoise(normal=None, uniform=channels[t, 0:2].T),
-                SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+                fill_noise,
             )
         res = env_lib.step(env_cfg, state, clipped, noise=noise)
         outs.append((obs, action, v, res.reward))
@@ -253,10 +299,10 @@ def _xla_reference(env_cfg, params, channels, a_dim, s_dim):
     return [jnp.stack(x) for x in zip(*outs)]
 
 
-_FAMILY_SEED = {"limit": 11, "lam": 22, "touch": 33, "speed": 44}
+_FAMILY_SEED = {"limit": 11, "lam": 22, "touch": 33, "speed": 44, "limit_exo": 55}
 
 
-@pytest.mark.parametrize("family", ["limit", "lam", "touch", "speed"])
+@pytest.mark.parametrize("family", ["limit", "lam", "touch", "speed", "limit_exo"])
 @pytest.mark.parametrize("trial", range(4))
 def test_fused_rollout_fuzz_parity(family, trial):
     # fixed per-family seeds: hash() is per-process randomized and would
@@ -265,11 +311,12 @@ def test_fused_rollout_fuzz_parity(family, trial):
     env_cfg = _random_env(rng, family)
     p = pallas_rollout.rollout_params_from_config(env_cfg)
     a_dim, s_dim = env_cfg.action_dim, env_cfg.state_dim
+    has_exo = p.fill_kind == "exomm"
     params = networks.init_actor_critic(
         jax.random.PRNGKey(int(rng.integers(0, 1 << 30))), s_dim, a_dim,
         hidden=(16, 16), shared_trunk=True,
     )
-    n_ch = pallas_rollout.n_noise_channels(a_dim, mid2=p.has_mid2)
+    n_ch = pallas_rollout.n_noise_channels(a_dim, exomm=has_exo, mid2=p.has_mid2)
     channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
     n_eps = max(a_dim, 2)
     channels[:, 4:n_ch] = rng.normal(size=(T, n_ch - 4, N)).astype(np.float32)
@@ -279,7 +326,9 @@ def test_fused_rollout_fuzz_parity(family, trial):
         env_cfg, params, jax.random.PRNGKey(0), tile=128,
         interpret=True, noise=channels,
     )
-    ref_obs, ref_act, ref_v, ref_r = _xla_reference(env_cfg, params, channels, a_dim, s_dim)
+    ref_obs, ref_act, ref_v, ref_r = _xla_reference(
+        env_cfg, params, channels, a_dim, s_dim, has_exo=has_exo
+    )
     # raw-scale configs (price ~ 50-200, cash paths to ~1e2) tolerate a
     # larger absolute band than the normalised fixed-config tests
     np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=2e-4, atol=5e-3)
