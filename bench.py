@@ -221,23 +221,38 @@ def measure_fused_ppo(
         fused_rollout=True,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
-    state = {"ts": ts, "metrics": None}
+    state = {"ts": ts, "metrics": None, "first_reward": None}
 
     def call(i):
         state["ts"], m = ppo.jit_train_iteration(
             env_cfg, ppo_cfg, state["ts"], jax.random.PRNGKey(i)
         )
         state["metrics"] = m
+        if state["first_reward"] is None:
+            state["first_reward"] = float(m["mean_episode_reward"])
         return m["pg_loss"]
 
     med = _timed_median(call, iters, "fused-ppo")
     m = {k: float(v) for k, v in state["metrics"].items()}
-    print(f"fused-ppo metrics: {m}", file=sys.stderr)
+    first = state["first_reward"]
+    print(
+        f"fused-ppo metrics: {m} (reward iteration 1: {first:.3f})",
+        file=sys.stderr,
+    )
     msg = ""
     if not all(np.isfinite(v) for v in m.values()):
         msg = f"non-finite fused PPO metrics: {m}"
     elif abs(m["mean_episode_reward"]) > 500.0:
         msg = f"fused PPO reward out of band: {m['mean_episode_reward']}"
+    # Learning-signal gate: the timing loop runs 1 + WARMUP + WINDOWS*iters
+    # fused iterations from FRESH params with distinct keys — on this env
+    # PPO must not have degraded the policy over those ~13 updates (a
+    # condensed driver-visible form of the opt-in convergence tests).
+    elif m["mean_episode_reward"] < first - 1.0:
+        msg = (
+            f"fused PPO degraded over the timed iterations: "
+            f"{first:.3f} -> {m['mean_episode_reward']:.3f}"
+        )
     return num_trajectories * env_cfg.n_steps / med, msg
 
 

@@ -34,13 +34,15 @@ def reference_noise_cube(
     then uniforms — matching every reference process, each of which draws a
     single array per step.
 
-    Limitation: a fill model whose exogenous best-depth processes are
-    themselves stochastic (ExogenousMmFill with non-constant inner
-    processes) cannot be replayed — in the reference those inner objects own
-    construction-time Generators that ``env.seed`` never reseeds
-    (fill_probability_models.py:126-170), so the reference itself is not
-    seed-controllable there.  Bitwise replay is supported (and tested) with
-    noise-free Constant inner processes.
+    ExogenousMmFill: the reference's inner best-depth draws are DEAD code —
+    its ``update`` advances the inner processes but never refreshes the
+    parent ``current_state`` that fills and observations read
+    (fill_probability_models.py:159-170), so the depths stay frozen at
+    their initial values.  ``ExogenousMmFill(strict_reference_bug=True)``
+    reproduces that literal behavior and drops the inner noise channels
+    from ``noise_spec``, making noisy-inner configs bitwise-replayable with
+    this standard cube (tests/test_vs_reference_matrix.py::
+    test_exomm_noisy_inner_processes_bitwise).
     """
     n_steps = n_steps or cfg.n_steps
     n = cfg.num_trajectories

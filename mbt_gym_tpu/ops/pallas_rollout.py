@@ -287,6 +287,9 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
             )
             return ("power", m.fill_exponent, m.fill_multiplier) + no_exo
         if isinstance(m, ExogenousMmFill):
+            assert not m.strict_reference_bug, (
+                "strict_reference_bug fills are an XLA-path compat feature"
+            )
             from mbt_gym_tpu.processes.midprice import (
                 BrownianMotionMidprice, GeometricBrownianMotionMidprice,
             )

@@ -109,12 +109,26 @@ class ExogenousMmFill(FillModelBase):
 
     ``bid_process``/``ask_process`` must each contribute >= 1 state column and
     their first column is used as the best depth for that side.
+
+    ⚠ Reference bug (undocumented until round 3's bitwise matrix found it):
+    the reference's ``update`` advances the inner processes' own
+    ``current_state``s but NEVER refreshes the parent's ``current_state``
+    — which is what ``_get_fill_probabilities`` reads and what the env
+    copies into the observation (fill_probability_models.py:159-162,168-170
+    vs StochasticProcessModel.py:27).  The exogenous best depths are
+    therefore FROZEN at their initial values in the reference; the inner
+    stochasticity is dead code.  Default here implements the evident
+    intent (evolving depths); ``strict_reference_bug=True`` reproduces the
+    frozen-depth literal behavior for bitwise replay (the inner noise
+    channels are then dropped from ``noise_spec`` — the reference still
+    consumes its inner Generators, but the draws are unobservable).
     """
 
     bid_process: ProcessBase
     ask_process: ProcessBase
     fill_exponent: float = 1.5
     base_fill_probability: float = 1.0
+    strict_reference_bug: bool = False
 
     def __post_init__(self):
         assert self.bid_process.state_dim >= 1 and self.ask_process.state_dim >= 1, (
@@ -126,6 +140,8 @@ class ExogenousMmFill(FillModelBase):
         return self.bid_process.state_dim + self.ask_process.state_dim
 
     def noise_spec(self):
+        if self.strict_reference_bug:
+            return (0, 2)  # frozen depths: only the fill thinning uniforms
         bn, bu = self.bid_process.noise_spec()
         an, au = self.ask_process.noise_spec()
         return (bn + an, bu + au + 2)  # +2 for the fill thinning uniforms
@@ -160,6 +176,8 @@ class ExogenousMmFill(FillModelBase):
         return (uniform[:, -2:] < self.fill_probability(state, depths)).astype(uniform.dtype)
 
     def update(self, state, arrivals, fills, action, noise, dt):
+        if self.strict_reference_bug:
+            return state  # reference: parent current_state never refreshed
         d_b = self.bid_process.state_dim
         bn, bu = self.bid_process.noise_spec()
         bid_noise = type(noise)(

@@ -9,9 +9,10 @@ OU missing-dt drift), reproduced via the strict flags.
 
 Excluded (and why): Heston & CEV (reference uses the unseeded global NumPy
 RNG — not reproducible *in the reference itself*), ShortTermOuAlpha /
-ShortTermJumpAlpha (reference crashes for N > 1), ExogenousMm with noisy
-inner processes (inner objects own construction-time RNGs that env.seed
-never touches; tested here with noise-free Constant inner processes).
+ShortTermJumpAlpha (reference crashes for N > 1).  ExogenousMm IS covered
+with noisy inner processes via ``strict_reference_bug=True`` — see
+test_exomm_noisy_inner_processes_bitwise for the frozen-depth reference
+bug that makes this replayable at all.
 """
 import numpy as np
 import pytest
@@ -615,6 +616,118 @@ def test_joint_stateful_combination_bitwise(ref):
     # intensities, exogenous depths
     np.testing.assert_array_equal(ours[:, :, 1].T, ref_obs[:, 1, :])
     for col in (0, 3, 4, 5, 6, 7):
+        np.testing.assert_allclose(
+            ours[:, :, col].T, ref_obs[:, col, :], rtol=0, atol=1e-9, err_msg=f"col {col}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
+    )
+
+
+def test_exomm_noisy_inner_processes_bitwise(ref):
+    """ExogenousMm fills with NOISY (BM bid / GBM ask) inner best-depth
+    processes, bitwise vs the actual reference.
+
+    Found by this test (round 3): the reference's ``update`` advances the
+    inner processes but NEVER refreshes the parent's ``current_state`` —
+    which is what ``_get_fill_probabilities`` reads and what the env copies
+    into the observation (fill_probability_models.py:159-170 vs
+    StochasticProcessModel.py:27).  The exogenous best depths are therefore
+    FROZEN at their initial values in the reference, regardless of how
+    noisy the inner processes are; their Generators draw dead values.
+    ``ExogenousMmFill(strict_reference_bug=True)`` reproduces that literal
+    behavior; the default implements the evident intent (evolving depths,
+    parity-tested against the fused kernel on injected noise)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.dynamics import LimitOrderDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.ops.compat import reference_noise_cube
+    from mbt_gym_tpu.processes import (
+        BrownianMotionMidprice,
+        ExogenousMmFill,
+        GeometricBrownianMotionMidprice,
+        PoissonArrivals,
+    )
+    from mbt_gym_tpu.rollout import rollout
+
+    am, fm, mm, md, te = ref["am"], ref["fm"], ref["mm"], ref["md"], ref["te"]
+    ref_dyn = md.LimitOrderModelDynamics(
+        midprice_model=mm.BrownianMotionMidpriceModel(
+            drift=0.2, volatility=2.0, initial_price=100.0,
+            step_size=DT, terminal_time=1.0, num_trajectories=N,
+        ),
+        arrival_model=am.PoissonArrivalModel(
+            intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=N
+        ),
+        fill_probability_model=fm.ExogenousMmFillProbabilityModel(
+            exogenous_best_depth_processes=(
+                mm.BrownianMotionMidpriceModel(
+                    drift=0.05, volatility=0.1, initial_price=0.8,
+                    step_size=DT, terminal_time=1.0, num_trajectories=N, seed=1234,
+                ),
+                mm.GeometricBrownianMotionMidpriceModel(
+                    drift=-0.1, volatility=0.2, initial_price=0.8,
+                    step_size=DT, terminal_time=1.0, num_trajectories=N, seed=5678,
+                ),
+            ),
+            fill_exponent=2.0, base_fill_probability=0.9,
+            step_size=DT, num_trajectories=N,
+        ),
+        num_trajectories=N, max_depth=5.0,
+    )
+    env = te.TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=0,
+        model_dynamics=ref_dyn, max_inventory=T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=N,
+    )
+
+    class FixedAgent:
+        def get_action(self, obs):
+            return np.full((N, 2), 0.45)
+
+    ref_obs, _, ref_rewards = ref["gt"].generate_trajectory(env, FixedAgent())
+    assert ref_obs.shape[1] == 6  # cash, inv, time, price, exo bid, exo ask
+    # the reference bug in action: noisy inner processes, frozen depths
+    assert (ref_obs[:, 4, :] == 0.8).all() and (ref_obs[:, 5, :] == 0.8).all()
+
+    with enable_x64():
+        cfg = EnvConfig(
+            dynamics=LimitOrderDynamics(
+                midprice_model=BrownianMotionMidprice(
+                    drift=0.2, volatility=2.0, initial_price=100.0
+                ),
+                arrival_model=PoissonArrivals(intensity=(120.0, 90.0)),
+                fill_probability_model=ExogenousMmFill(
+                    bid_process=BrownianMotionMidprice(
+                        drift=0.05, volatility=0.1, initial_price=0.8
+                    ),
+                    ask_process=GeometricBrownianMotionMidprice(
+                        drift=-0.1, volatility=0.2, initial_price=0.8
+                    ),
+                    fill_exponent=2.0, base_fill_probability=0.9,
+                    strict_reference_bug=True,
+                ),
+                max_depth=5.0,
+            ),
+            terminal_time=1.0, n_steps=T, max_inventory=float(T),
+            num_trajectories=N, dtype="float64",
+        )
+        # strict mode drops the dead inner channels from noise_spec, so the
+        # standard per-slot cube replays the reference exactly
+        noise = reference_noise_cube(cfg, SEED, dtype="float64")
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((N, 2), 0.45, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+
+    ours = np.asarray(res.trajectory.observations)
+    assert ours.shape[2] == 6
+    np.testing.assert_array_equal(ours[:, :, 1].T, ref_obs[:, 1, :])
+    for col in (0, 3, 4, 5):
         np.testing.assert_allclose(
             ours[:, :, col].T, ref_obs[:, col, :], rtol=0, atol=1e-9, err_msg=f"col {col}"
         )
