@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--eval-every", type=int, default=20)
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument(
+        "--tensorboard", type=str, default=None,
+        help="TensorBoard log dir (counterpart of the reference's "
+        "tensorboard_log, experiments/helpers.py:73-80)",
+    )
+    parser.add_argument(
         "--production", action="store_true",
         help="TPU production architecture: shared-trunk actor-critic, bf16 "
         "MXU matmuls, fused Pallas update kernel (half the FLOPs and a "
@@ -67,10 +72,14 @@ def main():
     cj_reward = float(np.asarray(cj_res.trajectory.rewards.sum(axis=0)).mean())
     print(f"closed-form CJ mean episode reward: {cj_reward:.3f}")
 
+    from mbt_gym_tpu.utils.tblog import maybe_logger
+
+    logger = maybe_logger(args.tensorboard)
     best = -np.inf
     for i in range(args.iterations):
         prev_ts = ts  # the rollout (and its reward metric) used THESE params
         ts, metrics = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(100 + i))
+        logger.log(i, metrics)
         if (i + 1) % args.eval_every == 0 or i == 0:
             r = float(metrics["mean_episode_reward"])
             print(
@@ -81,6 +90,7 @@ def main():
                 best = r
                 # r was measured on the pre-update params — checkpoint those.
                 save_checkpoint(args.checkpoint, prev_ts)
+    logger.close()
 
 
 if __name__ == "__main__":

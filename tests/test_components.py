@@ -244,3 +244,26 @@ def test_no_market_order_policy_wrapper():
     np.testing.assert_array_equal(np.asarray(a[:, 0]), 1.5)
     np.testing.assert_array_equal(np.asarray(a[:, 1]), 2.5)
     np.testing.assert_array_equal(np.asarray(a[:, 2:]), 0.0)
+
+
+def test_tensorboard_logger(tmp_path):
+    """utils.tblog writes real TB event files from learner metric dicts
+    (the reference's tensorboard_log counterpart,
+    experiments/helpers.py:73-80)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    import jax.numpy as jnp
+
+    from mbt_gym_tpu.utils.tblog import TensorboardLogger, maybe_logger
+
+    logger = TensorboardLogger(str(tmp_path / "run"))
+    for i in range(3):
+        logger.log(i, {"pg_loss": jnp.float32(0.1 * i), "reward": i * 1.0,
+                       "bad": float("nan")})  # non-finite values skipped
+    logger.close()
+    files = list((tmp_path / "run").glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
+
+    # None-dir factory is a no-op that still accepts calls
+    noop = maybe_logger(None)
+    noop.log(0, {"x": 1.0})
+    noop.close()
