@@ -285,13 +285,31 @@ def measure_reference_numpy(num_trajectories: int = 16384, n_steps: int = 25) ->
     return num_trajectories / per_step
 
 
+def _with_retry(fn, label, attempts=2, cooldown_s=45):
+    """The axon relay intermittently wedges a session's first dispatches
+    (BENCH_NOTES 'Environment reliability'); one cooled-down retry rescues
+    a transiently wedged driver capture instead of losing the round."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:
+            print(
+                f"{label} attempt {attempt + 1}/{attempts} failed: "
+                f"{type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
+            if attempt + 1 == attempts:
+                raise
+            time.sleep(cooldown_s)
+
+
 def main():
     import jax
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices()) or (
         jax.default_backend() not in ("cpu", "gpu")
     )
-    xla_rate = measure_engine()
+    xla_rate = _with_retry(measure_engine, "engine")
     value = xla_rate
     rates = {"engine": round(xla_rate, 1)}
     verify_msgs = []

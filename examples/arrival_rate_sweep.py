@@ -27,10 +27,20 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--trajectories", type=int, default=1024)
     parser.add_argument("--iterations", type=int, default=100)
+    parser.add_argument(
+        "--budget-steps", type=float, default=0,
+        help="training env-steps per grid cell (overrides --iterations); "
+        "the reference budgets 300e6 SB3 steps per cell "
+        "(learning-pnl-with-different-arrival-rates.py:26-43)",
+    )
     parser.add_argument("--max-inventory", type=float, default=20.0)
     args = parser.parse_args()
     on_tpu = jax.default_backend() == "tpu"
 
+    import time
+
+    t_sweep = time.time()
+    total_steps = 0
     for arrival_rate in (1.0, 10.0, 100.0):
         for fill_exponent in (0.1, 1.0, 10.0):
             raw_cfg = dataclasses.replace(
@@ -62,18 +72,33 @@ def main():
                 fused_update=on_tpu, fused_rollout=on_tpu,
             )
             ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+            steps_per_iter = env_cfg.num_trajectories * env_cfg.n_steps
+            iterations = (
+                max(1, round(args.budget_steps / steps_per_iter))
+                if args.budget_steps else args.iterations
+            )
             reward = float("nan")
-            for i in range(args.iterations):
+            t0 = time.time()
+            for i in range(iterations):
                 ts, metrics = ppo.jit_train_iteration(
                     env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i)
                 )
                 reward = float(metrics["mean_episode_reward"])
+            cell_s = time.time() - t0
+            total_steps += iterations * steps_per_iter
             print(
                 f"lambda={arrival_rate:6.1f} k={fill_exponent:5.1f}  "
-                f"T={env_cfg.n_steps:4d}  final reward {reward:9.4f}  "
-                f"closed-form no-MO {cf:9.4f}",
+                f"T={env_cfg.n_steps:4d}  iters={iterations:5d}  "
+                f"final reward {reward:9.4f}  closed-form no-MO {cf:9.4f}  "
+                f"({cell_s:6.1f}s incl. compile)",
                 flush=True,
             )
+    print(
+        f"sweep total: {total_steps/1e6:.0f}M training env-steps in "
+        f"{time.time()-t_sweep:.1f}s wall (reference budget: 9 x 300M SB3 "
+        f"steps)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
