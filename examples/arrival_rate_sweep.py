@@ -34,6 +34,12 @@ def main():
         "(learning-pnl-with-different-arrival-rates.py:26-43)",
     )
     parser.add_argument("--max-inventory", type=float, default=20.0)
+    parser.add_argument(
+        "--chunk", type=int, default=100,
+        help="iterations batched per device dispatch via ppo.train_chunk "
+        "(1 disables); short-horizon cells are relay-dispatch-bound "
+        "without it",
+    )
     args = parser.parse_args()
     on_tpu = jax.default_backend() == "tpu"
 
@@ -79,11 +85,20 @@ def main():
             )
             reward = float("nan")
             t0 = time.time()
-            for i in range(iterations):
-                ts, metrics = ppo.jit_train_iteration(
-                    env_cfg, ppo_cfg, ts, jax.random.PRNGKey(i)
-                )
-                reward = float(metrics["mean_episode_reward"])
+            done = 0
+            while done < iterations:
+                n = min(max(args.chunk, 1), iterations - done)
+                if n == 1:
+                    ts, metrics = ppo.jit_train_iteration(
+                        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(done)
+                    )
+                    reward = float(metrics["mean_episode_reward"])
+                else:
+                    ts, metrics = ppo.jit_train_chunk(
+                        env_cfg, ppo_cfg, ts, jax.random.PRNGKey(done), n
+                    )
+                    reward = float(metrics["mean_episode_reward"][-1])
+                done += n
             cell_s = time.time() - t0
             total_steps += iterations * steps_per_iter
             print(

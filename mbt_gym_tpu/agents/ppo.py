@@ -516,3 +516,39 @@ def train_iteration(
 @partial(jax.jit, static_argnums=(0, 1), static_argnames=("mesh",))
 def jit_train_iteration(env_cfg, ppo_cfg, train_state, key, mesh=None):
     return train_iteration(env_cfg, ppo_cfg, train_state, key, mesh=mesh)
+
+
+def train_chunk(
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_state: PPOTrainState,
+    key: jax.Array,
+    n_iterations: int,
+) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
+    """``n_iterations`` full train iterations as ONE ``lax.scan`` — one
+    device dispatch instead of ``n_iterations`` host round-trips.
+
+    Why: through the axon relay each dispatch costs ~10-30 ms, which
+    DOMINATES short-horizon training (the reference sweep's lambda=1 cells
+    run T=10 episodes: 1,831 dispatches for a 300M-step budget spent ~80%
+    in the link, examples/arrival_rate_sweep.py round-3 measurement).
+    Iteration-batching is the same amortization the episode benchmarks
+    apply to rollouts (BENCH_NOTES "amortized"), lifted to the learner.
+
+    Per-iteration keys are ``jax.random.split(key, n)``; metrics come back
+    stacked with a leading ``(n_iterations,)`` axis so callers can log
+    every iteration (equivalence with n sequential ``train_iteration``
+    calls on the same keys is asserted in tests/test_ppo.py).  Compiles
+    once per (cfgs, n_iterations): the scan body is traced a single time,
+    so compile cost matches the single-iteration program."""
+
+    def body(ts, k):
+        return train_iteration(env_cfg, ppo_cfg, ts, k)
+
+    keys = jax.random.split(key, n_iterations)
+    return jax.lax.scan(body, train_state, keys)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def jit_train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations):
+    return train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations)

@@ -155,3 +155,35 @@ def test_resume_equivalence_fused_pipeline(tmp_path):
         fused_rollout_tile=128, fused_interpret_ok=True,
     )
     _resume_equivalence(env_cfg, ppo_cfg, tmp_path, n_iters=2)
+
+
+def test_train_chunk_matches_sequential_iterations():
+    """K scanned iterations (ONE dispatch) must equal K sequential
+    jit_train_iteration calls on the same keys, bitwise — both on the XLA
+    path and the fully-fused pipeline (interpret mode)."""
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=128, n_steps=8),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    for ppo_cfg in [
+        ppo.PPOConfig(hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False),
+        ppo.PPOConfig(
+            hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+            shared_trunk=True, fused_update=True, fused_rollout=True,
+            fused_rollout_tile=128, fused_interpret_ok=True,
+        ),
+    ]:
+        ts0 = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(42)
+        chunk_ts, chunk_metrics = ppo.jit_train_chunk(env_cfg, ppo_cfg, ts0, key, 3)
+        assert chunk_metrics["pg_loss"].shape == (3,)
+
+        seq_ts = ts0
+        seq_rewards = []
+        for k in jax.random.split(key, 3):
+            seq_ts, m = ppo.jit_train_iteration(env_cfg, ppo_cfg, seq_ts, k)
+            seq_rewards.append(float(m["mean_episode_reward"]))
+        assert _params_digest(chunk_ts.params) == _params_digest(seq_ts.params)
+        np.testing.assert_allclose(
+            np.asarray(chunk_metrics["mean_episode_reward"]), seq_rewards, rtol=0, atol=0
+        )
