@@ -552,3 +552,41 @@ def train_chunk(
 @partial(jax.jit, static_argnums=(0, 1, 4))
 def jit_train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations):
     return train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations)
+
+
+def deterministic_policy(env_cfg: EnvConfig):
+    """The trained actor's MEAN action, clipped to the action space — the
+    counterpart of SB3 ``model.predict(deterministic=True)`` that the
+    reference's SbAgent/EvalCallback workflow evaluates with
+    (SbAgent.py:19-23, experiments/helpers.py:87-95)."""
+    if env_cfg.normalise_action_space:
+        low, high = -1.0, 1.0
+    else:
+        act_low, act_high = env_cfg.action_bounds()
+        low, high = jnp.asarray(act_low), jnp.asarray(act_high)
+
+    def policy(params, obs, state):
+        mean = networks.policy_mean(params, obs)
+        return jnp.clip(mean, low, high)
+
+    return policy
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def evaluate_policy(
+    env_cfg: EnvConfig, params, key: jax.Array, n_episodes: int = 1
+) -> jax.Array:
+    """Mean episode reward of the deterministic policy over ``n_episodes``
+    fresh episodes, in ONE dispatch (scan over episodes) — the on-device
+    counterpart of SB3's ``evaluate_policy`` driving the reference's
+    EvalCallback model selection."""
+    from mbt_gym_tpu.rollout import rollout
+
+    policy = deterministic_policy(env_cfg)
+
+    def one(acc, k):
+        res = rollout(env_cfg, policy, params, k)
+        return acc + res.trajectory.rewards.sum(axis=0).mean(), None
+
+    total, _ = jax.lax.scan(one, jnp.zeros(()), jax.random.split(key, n_episodes))
+    return total / n_episodes

@@ -187,3 +187,22 @@ def test_train_chunk_matches_sequential_iterations():
         np.testing.assert_allclose(
             np.asarray(chunk_metrics["mean_episode_reward"]), seq_rewards, rtol=0, atol=0
         )
+
+
+def test_evaluate_policy_deterministic():
+    """ppo.evaluate_policy: deterministic mean-action eval in one dispatch,
+    reproducible given the key; training improves it on the AS env."""
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=256, n_steps=20),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(hidden=(32, 32), n_epochs=2, n_minibatches=2, learning_rate=1e-3)
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(5)
+    r0 = float(ppo.evaluate_policy(env_cfg, ts.params, k, 2))
+    assert np.isfinite(r0)
+    # same key -> identical scalar (no stochastic action sampling in eval)
+    assert float(ppo.evaluate_policy(env_cfg, ts.params, k, 2)) == r0
+    ts2, _ = ppo.jit_train_chunk(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1), 10)
+    r1 = float(ppo.evaluate_policy(env_cfg, ts2.params, k, 2))
+    assert r1 > r0 - 0.5, (r0, r1)
