@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mbt_gym_tpu.agents import networks, ppo
+from mbt_gym_tpu.agents import ppo
 from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent, no_market_order_policy
 from mbt_gym_tpu.rollout import jit_rollout
 from mbt_gym_tpu.utils.config import learning_env_config
@@ -72,14 +72,7 @@ def main():
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
 
-    act_low, act_high = env_cfg.action_bounds()
-    act_low, act_high = jnp.asarray(act_low), jnp.asarray(act_high)
-
-    def det_policy(params, obs, state):
-        mean, _ = networks.policy_value(params, obs)
-        if env_cfg.normalise_action_space:
-            return jnp.clip(mean, -1.0, 1.0)
-        return jnp.clip(mean, act_low, act_high)
+    det_policy = ppo.deterministic_policy(env_cfg)
 
     t0 = time.time()
     per_phase = args.iterations // args.phases
