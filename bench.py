@@ -326,14 +326,18 @@ def main():
             if msg:
                 verify_msgs.append(f"pallas-stats: {msg}")
         except Exception as exc:
-            verify_msgs.append(f"pallas-stats crashed: {type(exc).__name__}")
+            verify_msgs.append(
+                f"pallas-stats crashed: {type(exc).__name__}: {str(exc)[:200]}"
+            )
         try:
             fused_rate, msg = measure_fused_ppo()
             rates["fused_ppo"] = round(fused_rate, 1)
             if msg:
                 verify_msgs.append(f"fused-ppo: {msg}")
         except Exception as exc:
-            verify_msgs.append(f"fused-ppo crashed: {type(exc).__name__}")
+            verify_msgs.append(
+                f"fused-ppo crashed: {type(exc).__name__}: {str(exc)[:200]}"
+            )
     print(
         f"general engine {xla_rate/1e6:.1f}M"
         + (f" | pallas fused-episode {pallas_rate/1e6:.1f}M" if pallas_rate else "")

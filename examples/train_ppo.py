@@ -76,21 +76,24 @@ def main():
 
     logger = maybe_logger(args.tensorboard)
     best = -np.inf
-    for i in range(args.iterations):
-        prev_ts = ts  # the rollout (and its reward metric) used THESE params
-        ts, metrics = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(100 + i))
-        logger.log(i, metrics)
-        if (i + 1) % args.eval_every == 0 or i == 0:
-            r = float(metrics["mean_episode_reward"])
-            print(
-                f"iter {i+1:4d}  reward {r:8.3f}  (closed-form {cj_reward:.3f})  "
-                f"kl {float(metrics['approx_kl']):+.4f}"
-            )
-            if args.checkpoint and r > best:
-                best = r
-                # r was measured on the pre-update params — checkpoint those.
-                save_checkpoint(args.checkpoint, prev_ts)
-    logger.close()
+    try:
+        for i in range(args.iterations):
+            prev_ts = ts  # the rollout (and its reward metric) used THESE params
+            ts, metrics = ppo.jit_train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(100 + i))
+            logger.log(i, metrics)
+            if (i + 1) % args.eval_every == 0 or i == 0:
+                r = float(metrics["mean_episode_reward"])
+                print(
+                    f"iter {i+1:4d}  reward {r:8.3f}  (closed-form {cj_reward:.3f})  "
+                    f"kl {float(metrics['approx_kl']):+.4f}"
+                )
+                if args.checkpoint and r > best:
+                    best = r
+                    # r was measured on the pre-update params — checkpoint those.
+                    save_checkpoint(args.checkpoint, prev_ts)
+    finally:
+        # buffered SummaryWriter scalars survive a mid-training crash/Ctrl-C
+        logger.close()
 
 
 if __name__ == "__main__":

@@ -75,6 +75,17 @@ def _adapter_reset(cfg, key):
     return _jit_reset(cfg, key)
 
 
+def _make_obs_reducer(observation_indices):
+    """Shared reduced-observation plumbing for both adapters: returns the
+    normalised index tuple (or None) and a ``reduce(obs (N, S)) -> (N, k)``
+    function (identity when no indices were given)."""
+    if observation_indices is None:
+        return None, (lambda obs: obs)
+    indices = tuple(observation_indices)
+    idx = np.asarray(indices, dtype=np.intp)
+    return indices, (lambda obs: obs[:, idx])
+
+
 def _build_spaces(cfg: EnvConfig, observation_indices=None):
     """(observation_space, action_space) for one trajectory (gymnasium).
 
@@ -158,19 +169,12 @@ class GymTradingEnv(_GYM_BASE):
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
         self.info_calculator = info_calculator
-        self.observation_indices = (
-            None if observation_indices is None else tuple(observation_indices)
-        )
-        self._obs_idx = (
-            None if observation_indices is None
-            else np.asarray(self.observation_indices, dtype=np.intp)
+        self.observation_indices, self._reduce = _make_obs_reducer(
+            observation_indices
         )
         self.observation_space, self.action_space = _build_spaces(
             cfg, self.observation_indices
         )
-
-    def _reduce(self, obs: np.ndarray) -> np.ndarray:
-        return obs if self._obs_idx is None else obs[:, self._obs_idx]
 
     @property
     def num_trajectories(self) -> int:
@@ -239,12 +243,8 @@ class VecTradingEnv:
         # selected columns, matching the reference's ReduceStateSizeWrapper →
         # SB3-adapter stack (experiments/helpers.py:63-65) where the SB3
         # layer only ever sees the reduced view.
-        self.observation_indices = (
-            None if observation_indices is None else tuple(observation_indices)
-        )
-        self._obs_idx = (
-            None if observation_indices is None
-            else np.asarray(self.observation_indices, dtype=np.intp)
+        self.observation_indices, self._reduce = _make_obs_reducer(
+            observation_indices
         )
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         self._state = None
@@ -255,9 +255,6 @@ class VecTradingEnv:
                 cfg, self.observation_indices
             )
         self.render_mode = None
-
-    def _reduce(self, obs: np.ndarray) -> np.ndarray:
-        return obs if self._obs_idx is None else obs[:, self._obs_idx]
 
     # ------------------------------------------------------------- stepping
     def reset(self):

@@ -765,10 +765,17 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     def _update_exo():
         if p.fill_kind != "exomm":
             return None, None
+        # all exo param tuples are populated together by
+        # rollout_params_from_config; a hand-built params struct missing
+        # them should fail here, not at a confusing tuple index below
+        assert len(p.exo_kind) == 2, (
+            "fill_kind='exomm' requires exo_kind/exo_level/exo_speed/"
+            "exo_vol/exo_initial/exo_dt_scaled (bid, ask) tuples"
+        )
         sq = math.sqrt(p.dt)
 
         def side(i, exo, n):
-            kind = p.exo_kind[i] if p.exo_kind else "ou"
+            kind = p.exo_kind[i]
             if kind == "bm":  # midprice.py BrownianMotionMidprice.update
                 return exo + p.exo_level[i] * p.dt + (p.exo_vol[i] * sq) * n
             if kind == "gbm":  # GeometricBrownianMotionMidprice.update

@@ -44,10 +44,26 @@ class TensorboardLogger:
         self.prefix = prefix
 
     def log(self, step: int, metrics: Mapping[str, object]) -> None:
+        """Log one iteration's scalar metrics at ``step``.  Values with a
+        leading axis (the stacked ``(n_iterations,)`` metrics that
+        :func:`mbt_gym_tpu.agents.ppo.train_chunk` returns) are logged
+        element-wise at steps ``step .. step+n-1``."""
         for key, value in metrics.items():
-            v = float(np.asarray(value))
-            if np.isfinite(v):
-                self._writer.add_scalar(f"{self.prefix}/{key}", v, int(step))
+            arr = np.asarray(value)
+            if arr.ndim == 0:
+                self._scalar(key, float(arr), step)
+            elif arr.ndim == 1:
+                for j, v in enumerate(arr):
+                    self._scalar(key, float(v), step + j)
+            else:
+                raise ValueError(
+                    f"metric {key!r} has shape {arr.shape}; TensorboardLogger "
+                    "takes scalars or 1-D per-iteration stacks"
+                )
+
+    def _scalar(self, key: str, v: float, step: int) -> None:
+        if np.isfinite(v):
+            self._writer.add_scalar(f"{self.prefix}/{key}", v, int(step))
 
     def flush(self) -> None:
         self._writer.flush()

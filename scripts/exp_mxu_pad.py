@@ -34,66 +34,12 @@ def log(*a):
     print(*a, flush=True)
 
 
-def run_case(name, m, k, n, dims, lhs_shape, rhs_shape):
-    """dims: dot_general contraction dims; lhs varies per grid step."""
-
-    def kernel(a_ref, b_ref, out_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        out_ref[:] += jax.lax.dot_general(
-            a_ref[:].astype(jnp.bfloat16), b_ref[:].astype(jnp.bfloat16),
-            dimension_numbers=(dims, ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_m = lhs_shape[1 - dims[0][0]]
-    out_n = rhs_shape[1 - dims[1][0]]
-    a = jax.random.normal(jax.random.PRNGKey(0), (N_ITER, *lhs_shape), jnp.float32) * 0.1
-    b = jax.random.normal(jax.random.PRNGKey(1), rhs_shape, jnp.float32) * 0.1
-
-    @jax.jit
-    def run(a, b):
-        out = pl.pallas_call(
-            kernel,
-            grid=(N_ITER,),
-            in_specs=[
-                pl.BlockSpec((1, *lhs_shape), lambda i: (i, 0, 0)),
-                pl.BlockSpec(rhs_shape, lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((out_m, out_n), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((out_m, out_n), jnp.float32),
-            interpret=INTERP,
-        )(a.reshape(N_ITER, *lhs_shape), b)
-        return jnp.sum(jnp.abs(out))
-
-    try:
-        float(run(a, b))  # compile+warm
-        t0 = time.time()
-        acc = None
-        for _ in range(3):
-            r = run(a, b)
-            acc = r if acc is None else acc + r
-        float(acc)
-        dt = (time.time() - t0) / 3
-        ns = dt / N_ITER * 1e9
-        true_macs = m * k * n
-        log(f"{name:28s} {ns:9.1f} ns/dot   true MACs {true_macs/1e6:7.2f}M  "
-            f"-> {true_macs/ (dt / N_ITER) /1e12:6.2f} T-MACs/s")
-    except Exception as e:
-        log(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:200]}")
-
-
 def main():
     log("devices:", jax.devices())
     H = 256
-    # kernel squeezes the leading 1 of the lhs block: reshape inside via [0]
-    global run_case  # noqa
 
     def rc(name, lhs, rhs, dims):
+        # kernel squeezes the leading 1 of the lhs block via a_ref[0]
         def kernel(a_ref, b_ref, out_ref):
             i = pl.program_id(0)
 

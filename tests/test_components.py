@@ -267,3 +267,18 @@ def test_tensorboard_logger(tmp_path):
     noop = maybe_logger(None)
     noop.log(0, {"x": 1.0})
     noop.close()
+
+
+def test_tensorboard_logger_chunked_metrics(tmp_path):
+    """Stacked (n_iterations,) metric values from ppo.train_chunk log
+    element-wise at consecutive steps; >1-D values raise clearly."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from mbt_gym_tpu.utils.tblog import TensorboardLogger
+
+    logger = TensorboardLogger(str(tmp_path / "run"))
+    logger.log(0, {"pg_loss": np.arange(3, dtype=np.float32)})
+    with pytest.raises(ValueError, match="1-D"):
+        logger.log(3, {"bad": np.zeros((2, 2), np.float32)})
+    logger.close()
+    files = list((tmp_path / "run").glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0

@@ -129,7 +129,11 @@ def test_dryrun_multichip_wide(n_devices, tmp_path):
     out = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.config.update('jax_platforms','cpu');"
-         f"import __graft_entry__ as g; g.dryrun_multichip({n_devices})"],
+         # reduced shapes: these runs validate mesh-WIDTH mechanics; the
+         # production-ratio defaults are exercised by the in-process
+         # 8-device test above and the driver's own dryrun
+         f"import __graft_entry__ as g; g.dryrun_multichip({n_devices}, "
+         f"n_envs={n_devices * 128}, t_horizon=16)"],
         env=env, cwd=repo, capture_output=True, text=True, timeout=300,
     )
     assert out.returncode == 0, out.stdout + out.stderr
