@@ -146,3 +146,54 @@ def test_fused_pipeline_learns_on_tpu():
     # Risk-neutral optimum ~68.75; stochastic-policy rollouts with a loose
     # bar (>=70% of optimum shows genuine learning, random init starts ~0).
     assert best > 48.0, best
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MBT_RUN_SLOW"), reason="slow convergence test; set MBT_RUN_SLOW=1"
+)
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fully-fused pipeline uses the TPU hardware PRNG (run with "
+    "MBT_TPU_TESTS=1 to keep the backend)",
+)
+def test_fused_pipeline_learns_optimal_execution_on_tpu():
+    """Fused PPO on the trading-speed family must capture most of the
+    closed-form CJ execution schedule's cost saving over the no-trade
+    baseline (the schedule is the exact continuous-time optimum here, so
+    approaching it is the ceiling — full run in BENCH_NOTES reaches 99.3%
+    in 21 s; this gate runs a shorter budget and requires 90%)."""
+    import numpy as np
+
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalOeAgent
+    from mbt_gym_tpu.rollout import jit_rollout
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    phi, alpha = 2e-3, 0.1
+    raw_cfg = oe_env_config(
+        num_trajectories=8192, n_steps=200,
+        per_step_inventory_aversion=phi, terminal_inventory_aversion=alpha,
+    )
+    env_cfg = dataclasses.replace(
+        raw_cfg, normalise_observation_space=True, normalise_action_space=True
+    )
+    oe = CarteaJaimungalOeAgent.from_config(raw_cfg, phi=phi, alpha=alpha)
+    cf = float(
+        np.asarray(
+            jit_rollout(raw_cfg, oe.policy(), None, jax.random.PRNGKey(7))
+            .trajectory.rewards.sum(axis=0)
+        ).mean()
+    )
+    hold = -alpha * float(raw_cfg.initial_inventory) ** 2  # no-trade cost
+
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(256, 256), gamma=1.0, gae_lambda=0.95, n_epochs=1,
+        n_minibatches=4, shuffle=False, compute_dtype="bfloat16",
+        shared_trunk=True, learning_rate=1e-3,
+        fused_update=True, fused_rollout=True,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    ts, _ = ppo.jit_train_chunk(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1), 200)
+    det = float(ppo.evaluate_policy(env_cfg, ts.params, jax.random.PRNGKey(9), 2))
+    saving = (det - hold) / (cf - hold)
+    assert saving > 0.9, (det, cf, hold, saving)
