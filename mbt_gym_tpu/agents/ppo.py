@@ -524,6 +524,7 @@ def train_chunk(
     train_state: PPOTrainState,
     key: jax.Array,
     n_iterations: int,
+    mesh=None,
 ) -> Tuple[PPOTrainState, Dict[str, jax.Array]]:
     """``n_iterations`` full train iterations as ONE ``lax.scan`` — one
     device dispatch instead of ``n_iterations`` host round-trips.
@@ -543,15 +544,15 @@ def train_chunk(
     so compile cost matches the single-iteration program."""
 
     def body(ts, k):
-        return train_iteration(env_cfg, ppo_cfg, ts, k)
+        return train_iteration(env_cfg, ppo_cfg, ts, k, mesh=mesh)
 
     keys = jax.random.split(key, n_iterations)
     return jax.lax.scan(body, train_state, keys)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4))
-def jit_train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations):
-    return train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations)
+@partial(jax.jit, static_argnums=(0, 1, 4), static_argnames=("mesh",))
+def jit_train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations, mesh=None):
+    return train_chunk(env_cfg, ppo_cfg, train_state, key, n_iterations, mesh=mesh)
 
 
 def deterministic_policy(env_cfg: EnvConfig):

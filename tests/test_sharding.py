@@ -264,3 +264,42 @@ def test_fused_mesh_via_train_iteration_dispatch():
     )
     assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
     assert int(new_ts.update_count) == 1
+
+
+def test_train_chunk_under_mesh_matches_sequential():
+    """Chunked (scanned) GSPMD training over a data x model mesh equals
+    sequential mesh iterations on the same keys — pod-scale runs can
+    amortize dispatch without changing the math."""
+    import dataclasses
+    import hashlib
+
+    from mbt_gym_tpu.agents import ppo
+
+    def digest(tree):
+        h = hashlib.sha256()
+        for path, leaf in sorted(
+            jax.tree_util.tree_flatten_with_path(tree)[0], key=lambda kv: str(kv[0])
+        ):
+            h.update(str(path).encode())
+            h.update(np.asarray(leaf).tobytes())
+        return h.hexdigest()
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=64, n_steps=6),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(hidden=(16, 16), n_epochs=1, n_minibatches=2)
+    ts0 = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    params = mesh_lib.shard_params(mesh, ts0.params)
+    opt_state = ppo.make_optimizer(ppo_cfg).init(params)
+    ts0 = ppo.PPOTrainState(params=params, opt_state=opt_state, update_count=ts0.update_count)
+    key = jax.device_put(jax.random.PRNGKey(3), mesh_lib.replicated(mesh))
+
+    chunk_ts, chunk_m = ppo.jit_train_chunk(env_cfg, ppo_cfg, ts0, key, 3, mesh=mesh)
+    assert chunk_m["pg_loss"].shape == (3,)
+
+    seq_ts = ts0
+    for k in jax.random.split(key, 3):
+        seq_ts, _ = ppo.jit_train_iteration(env_cfg, ppo_cfg, seq_ts, k, mesh=mesh)
+    assert digest(chunk_ts.params) == digest(seq_ts.params)
