@@ -561,7 +561,20 @@ def _oe_episode_kernel(p: OeEpisodeParams, seed_ref, speed_ref, *out_refs):
         normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * math.pi) * u2)
         return _oe_step(p, carry, speed, normal)
 
-    final = jax.lax.fori_loop(0, p.run_steps, body, _oe_init(p, shape))
+    # Mosaic layout fix (found by the round-3 hardware run of
+    # test_oe_pallas_episode_hardware_stats): splat-initialized carries are
+    # inferred as REPLICATED vregs, but `price` (and through it `cash`)
+    # becomes lane-varying after the first noise draw, and Mosaic cannot
+    # relayout non-replicated -> replicated at the fori_loop boundary
+    # ("Invalid relayout ... replicated in destination but not in source").
+    # A runtime-random jitter ~1e-42 (absorbed to exact equality by the
+    # first f32 add with any normal-scale operand, so results are
+    # unchanged) makes every carry lane-varying — concrete, consistent
+    # layouts from iteration 0.  Interpret mode has no layouts; the
+    # injected-noise kernel variant keeps the unjittered init.
+    jitter = _uniform_from_bits(pltpu.prng_random_bits(shape)) * 1e-42
+    init = tuple(x + jitter for x in _oe_init(p, shape))
+    final = jax.lax.fori_loop(0, p.run_steps, body, init)
     for ref, val in zip(out_refs, final):
         ref[:] = val
 
