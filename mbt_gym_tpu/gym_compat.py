@@ -361,3 +361,90 @@ try:  # pragma: no cover - optional SB3 registration
     _SB3VecEnv.register(VecTradingEnv)  # type: ignore[attr-defined]
 except Exception:
     pass
+
+
+def _make_vector_trading_env_class():  # pragma: no cover - import guard
+    """Build VectorTradingEnv lazily so the module imports without
+    gymnasium (the SB3-shaped VecTradingEnv above is duck-typed)."""
+    from gymnasium.vector import AutoresetMode, VectorEnv
+    from gymnasium.vector.utils import batch_space
+
+    class VectorTradingEnv(VectorEnv):
+        """Native ``gymnasium.vector.VectorEnv`` adapter — BEYOND the
+        reference's SB3-only interop: modern gymnasium-native RL stacks
+        (CleanRL-style loops, ``gymnasium.wrappers.vector.*``) consume the
+        batched engine directly.
+
+        Follows gymnasium >= 1.0 NEXT_STEP autoreset semantics (declared
+        via ``metadata['autoreset_mode']``): the terminal step returns the
+        FINAL observations with ``terminations=True``; the following
+        ``step`` ignores its actions, resets every sub-env (all episodes
+        share the fixed horizon) and returns the reset observations with
+        zero rewards and all-False terminations."""
+
+        metadata = {"autoreset_mode": AutoresetMode.NEXT_STEP}
+        render_mode = None
+
+        def __init__(self, cfg: EnvConfig, seed: Optional[int] = None,
+                     observation_indices: Optional[tuple] = None):
+            self.cfg = cfg
+            self.num_envs = cfg.num_trajectories
+            self.observation_indices, self._reduce = _make_obs_reducer(
+                observation_indices
+            )
+            self.single_observation_space, self.single_action_space = _build_spaces(
+                cfg, self.observation_indices
+            )
+            self.observation_space = batch_space(
+                self.single_observation_space, self.num_envs
+            )
+            self.action_space = batch_space(self.single_action_space, self.num_envs)
+            self._key = jax.random.PRNGKey(0 if seed is None else seed)
+            self._state = None
+            self._needs_reset = True
+
+        def _do_reset(self):
+            self._key, reset_key = jax.random.split(self._key)
+            self._state, obs = _adapter_reset(self.cfg, reset_key)
+            self._needs_reset = False
+            return self._reduce(np.asarray(obs))
+
+        def reset(self, *, seed: Optional[int] = None, options=None):
+            if seed is not None:
+                self._key = jax.random.PRNGKey(seed)
+            return self._do_reset(), {}
+
+        def step(self, actions):
+            n = self.num_envs
+            if self._needs_reset:
+                # NEXT_STEP autoreset: this step's actions are ignored,
+                # every sub-env resets (episodes are synchronized).
+                obs = self._do_reset()
+                zeros = np.zeros(n, dtype=np.float64)
+                falses = np.zeros(n, dtype=bool)
+                return obs, zeros, falses, falses, {}
+            action = np.asarray(actions, dtype=self.cfg.dtype).reshape(
+                n, self.cfg.action_dim
+            )
+            res = _jit_step(self.cfg, self._state, action)
+            self._state = res.state
+            terminations = np.asarray(res.done)
+            self._needs_reset = bool(terminations.all())
+            return (
+                self._reduce(np.asarray(res.obs)),
+                np.asarray(res.reward),
+                terminations,
+                np.zeros(n, dtype=bool),  # fixed horizon: never truncated
+                {},
+            )
+
+        def close_extras(self, **kwargs):
+            pass
+
+    return VectorTradingEnv
+
+
+try:  # pragma: no cover - optional gymnasium.vector adapter
+    VectorTradingEnv = _make_vector_trading_env_class()
+except Exception:
+    VectorTradingEnv = None
