@@ -7,12 +7,20 @@ bitwise against the TPU engine in float64 compat mode — including the
 reference's documented bugs (power/triangular axis-0 ``np.max``,
 OU missing-dt drift), reproduced via the strict flags.
 
-Excluded (and why): Heston & CEV (reference uses the unseeded global NumPy
-RNG — not reproducible *in the reference itself*), ShortTermOuAlpha /
-ShortTermJumpAlpha (reference crashes for N > 1).  ExogenousMm IS covered
-with noisy inner processes via ``strict_reference_bug=True`` — see
-test_exomm_noisy_inner_processes_bitwise for the frozen-depth reference
-bug that makes this replayable at all.
+As of round 3 NOTHING is excluded — every reference model is verified
+against the actual implementation, working around its own defects:
+
+- Heston & CEV draw from the legacy GLOBAL np.random: the stream is
+  harvested by re-seeding and replaying the exact call sequence (N=1,
+  where the reference's (N,1)x(N,) broadcasts are still sound);
+- ShortTermOuAlpha / ShortTermJumpAlpha crash for N>1 AND their
+  constructors build ragged min/max arrays that numpy >= 1.24 rejects —
+  tested at N=1 through a constructor bypass that runs the reference's
+  genuine update math (see _bypass_st_alpha);
+- ExogenousMm with noisy inner processes is replayable only because the
+  reference's exogenous depths are FROZEN (an update bug this file
+  found) — ``strict_reference_bug=True`` reproduces it bitwise, see
+  test_exomm_noisy_inner_processes_bitwise.
 """
 import numpy as np
 import pytest
@@ -734,3 +742,292 @@ def test_exomm_noisy_inner_processes_bitwise(ref):
     np.testing.assert_allclose(
         np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-8
     )
+
+
+def _n1_env(ref, ref_mid, our_mid, global_seed=None, manual_loop=False):
+    """Run the reference at N=1 (the short-term-alpha models crash for
+    N>1; CEV/Heston draw from the legacy GLOBAL np.random) and return
+    (ref_obs, ref_rewards, our EnvConfig)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from mbt_gym_tpu.dynamics import LimitOrderDynamics
+    from mbt_gym_tpu.env import EnvConfig
+    from mbt_gym_tpu.processes import ExponentialFill, PoissonArrivals
+
+    am, fm, md, te, gt = ref["am"], ref["fm"], ref["md"], ref["te"], ref["gt"]
+    dyn = md.LimitOrderModelDynamics(
+        midprice_model=ref_mid,
+        arrival_model=am.PoissonArrivalModel(
+            intensity=np.array([120.0, 90.0]), step_size=DT, num_trajectories=1
+        ),
+        fill_probability_model=fm.ExponentialFillFunction(
+            fill_exponent=1.5, step_size=DT, num_trajectories=1
+        ),
+        num_trajectories=1, max_depth=5.0,
+    )
+    env = te.TradingEnvironment(
+        terminal_time=1.0, n_steps=T, seed=SEED, initial_inventory=0,
+        model_dynamics=dyn, max_inventory=T,
+        normalise_action_space=False, normalise_observation_space=False,
+        num_trajectories=1,
+    )
+
+    class FixedAgent:
+        def get_action(self, obs):
+            return np.full((1, 2), 0.45)
+
+    if global_seed is not None:
+        np.random.seed(global_seed)  # CEV/Heston consume the global stream
+    if manual_loop:
+        # the reference Heston's (1,1) min/max arrays mis-size its
+        # observation space (midprice_models.py:345-346 — S-1 dims for an
+        # S-dim state), which crashes generate_trajectory's preallocation;
+        # drive reset/step directly instead.
+        obs_list, reward_list = [env.reset()], []
+        agent = FixedAgent()
+        done = False
+        while not done:
+            obs, reward, dones, _ = env.step(agent.get_action(obs_list[-1]))
+            obs_list.append(obs)
+            reward_list.append(reward)
+            done = bool(np.asarray(dones).min())
+        ref_obs = np.stack(obs_list, axis=2)  # (N, S, T+1)
+        ref_rewards = np.stack(reward_list, axis=-1).reshape(1, 1, -1)  # (N=1, 1, T)
+    else:
+        ref_obs, _, ref_rewards = gt.generate_trajectory(env, FixedAgent())
+
+    cfg = EnvConfig(
+        dynamics=LimitOrderDynamics(
+            midprice_model=our_mid,
+            arrival_model=PoissonArrivals(intensity=(120.0, 90.0)),
+            fill_probability_model=ExponentialFill(fill_exponent=1.5),
+            max_depth=5.0,
+        ),
+        terminal_time=1.0, n_steps=T, max_inventory=float(T),
+        num_trajectories=1, dtype="float64",
+    )
+    return ref_obs, ref_rewards, cfg
+
+
+def _compare_n1(res, ref_obs, ref_rewards, n_cols, atol=1e-9):
+    ours = np.asarray(res.trajectory.observations)
+    assert ours.shape[2] == n_cols
+    np.testing.assert_array_equal(ours[:, :, 1].T, ref_obs[:, 1, :])
+    for col in [0] + list(range(3, n_cols)):
+        np.testing.assert_allclose(
+            ours[:, :, col].T, ref_obs[:, col, :], rtol=0, atol=atol, err_msg=f"col {col}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.trajectory.rewards).T, ref_rewards[:, 0, :], rtol=0, atol=1e-7
+    )
+
+
+def _slot_noise_cube(extra_mid_normals=None):
+    """Standard per-slot streams (seed+i+1) for N=1, with optional extra
+    midprice normal columns appended after the slot-stream column."""
+    from mbt_gym_tpu.types import SlotNoise
+
+    mid = np.random.default_rng(SEED + 1).normal(size=(T, 1, 1))
+    if extra_mid_normals is not None:
+        mid = np.concatenate([mid] + extra_mid_normals, axis=2)
+    return (
+        SlotNoise(normal=mid, uniform=None),
+        SlotNoise(normal=None, uniform=np.random.default_rng(SEED + 2).uniform(size=(T, 1, 2))),
+        SlotNoise(normal=None, uniform=np.random.default_rng(SEED + 3).uniform(size=(T, 1, 2))),
+    )
+
+
+def _bypass_st_alpha(ref, cls_name, inner, volatility=2.0, initial_price=100.0):
+    """Construct the reference's short-term-alpha models around their
+    constructor bug: ``min_value=np.array([[scalar, (1,1)-array]])`` is a
+    ragged array and raises under numpy >= 1.24, so the reference classes
+    cannot be instantiated at all in this environment
+    (midprice_models.py:163-176, 290-303).  The bypass feeds the evidently
+    intended (1, 2) bounds and runs the reference's GENUINE update math."""
+    from mbt_gym.stochastic_processes.StochasticProcessModel import (
+        StochasticProcessModel,
+    )
+
+    mm = ref["mm"]
+    obj = object.__new__(getattr(mm, cls_name))
+    obj.volatility = volatility
+    if cls_name == "ShortTermOuAlphaMidpriceModel":
+        obj.ou_process = inner
+    else:
+        obj.ou_jump_process = inner
+    obj.terminal_time = 1.0
+    StochasticProcessModel.__init__(
+        obj,
+        min_value=np.array([[initial_price - 8.0, float(inner.min_value[0, 0])]]),
+        max_value=np.array([[initial_price + 8.0, float(inner.max_value[0, 0])]]),
+        step_size=DT, terminal_time=1.0,
+        initial_state=np.array([[initial_price, float(inner.initial_state[0][0])]]),
+        num_trajectories=1, seed=None,
+    )
+    return obj
+
+
+def test_short_term_ou_alpha_bitwise_n1(ref):
+    """ShortTermOuAlpha at N=1 (the reference's (N,1)x(N,) broadcasts crash
+    for N>1, and its constructor is unrunnable under numpy >= 1.24 — see
+    _bypass_st_alpha): price stream from the env slot rng, inner OU from
+    its own explicitly-seeded Generator — bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.processes import OuMidprice, ShortTermOuAlphaMidprice
+    from mbt_gym_tpu.rollout import rollout
+
+    mm = ref["mm"]
+    SB = 4242
+    inner = mm.OuMidpriceModel(
+        initial_price=0.5, mean_reversion_level=0.0, mean_reversion_speed=2.0,
+        volatility=1.0, step_size=DT, terminal_time=1.0, num_trajectories=1,
+        seed=SB,
+    )
+    ref_mid = _bypass_st_alpha(ref, "ShortTermOuAlphaMidpriceModel", inner)
+    our_mid = ShortTermOuAlphaMidprice(
+        volatility=2.0,
+        ou=OuMidprice(
+            initial_price=0.5, mean_reversion_level=0.0, mean_reversion_speed=2.0,
+            volatility=1.0,
+        ),
+        initial_price=100.0,
+    )
+    ref_obs, ref_rewards, cfg = _n1_env(ref, ref_mid, our_mid)
+    inner_draws = np.random.default_rng(SB).normal(size=(T, 1, 1))
+    with enable_x64():
+        noise = _slot_noise_cube([inner_draws])
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((1, 2), 0.45, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+    _compare_n1(res, ref_obs, ref_rewards, 5)
+
+
+def test_short_term_jump_alpha_bitwise_n1(ref):
+    """ShortTermJumpAlpha at N=1 (same constructor bypass): inner
+    OU-with-jumps seeded explicitly; jumps react to the episode's actual
+    fills — bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.processes import OuJumpMidprice, ShortTermJumpAlphaMidprice
+    from mbt_gym_tpu.rollout import rollout
+
+    mm = ref["mm"]
+    SB = 777
+    inner = mm.OuJumpMidpriceModel(
+        initial_price=0.5, mean_reversion_level=0.0, mean_reversion_speed=2.0,
+        volatility=1.0, jump_size=0.3, step_size=DT, terminal_time=1.0,
+        num_trajectories=1, seed=SB,
+    )
+    ref_mid = _bypass_st_alpha(ref, "ShortTermJumpAlphaMidpriceModel", inner)
+    our_mid = ShortTermJumpAlphaMidprice(
+        volatility=2.0,
+        ou_jump=OuJumpMidprice(
+            initial_price=0.5, mean_reversion_level=0.0, mean_reversion_speed=2.0,
+            volatility=1.0, jump_size=0.3,
+        ),
+        initial_price=100.0,
+    )
+    ref_obs, ref_rewards, cfg = _n1_env(ref, ref_mid, our_mid)
+    inner_draws = np.random.default_rng(SB).normal(size=(T, 1, 1))
+    with enable_x64():
+        noise = _slot_noise_cube([inner_draws])
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((1, 2), 0.45, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+    _compare_n1(res, ref_obs, ref_rewards, 5)
+
+
+def test_cev_global_rng_n1(ref):
+    """CEV at N=1 (its (N,1)x(N,) broadcast silently corrupts N>1): the
+    reference draws from the legacy GLOBAL np.random — harvested by
+    re-seeding and replaying the exact call sequence.  Equal to 1e-9
+    (term association differs: ours (S)*(drift*dt) vs the reference's
+    ((S*drift)*dt))."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.processes import CevMidprice
+    from mbt_gym_tpu.rollout import rollout
+
+    mm = ref["mm"]
+    GS = 20240817
+    ref_mid = mm.ConstantElasticityOfVarianceMidpriceModel(
+        drift=0.1, volatility=0.2, gamma=0.7, initial_price=100.0,
+        step_size=DT, terminal_time=1.0, num_trajectories=1,
+    )
+    our_mid = CevMidprice(drift=0.1, volatility=0.2, gamma=0.7, initial_price=100.0)
+    ref_obs, ref_rewards, cfg = _n1_env(ref, ref_mid, our_mid, global_seed=GS)
+    # replay the global stream: one normal(size=1) per step, T calls
+    np.random.seed(GS)
+    cev_draws = np.stack([np.random.normal(size=1) for _ in range(T)])[:, :, None]
+    with enable_x64():
+        mid = cev_draws  # CEV consumes only its own column
+        from mbt_gym_tpu.types import SlotNoise
+
+        noise = (
+            SlotNoise(normal=mid, uniform=None),
+            SlotNoise(normal=None, uniform=np.random.default_rng(SEED + 2).uniform(size=(T, 1, 2))),
+            SlotNoise(normal=None, uniform=np.random.default_rng(SEED + 3).uniform(size=(T, 1, 2))),
+        )
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((1, 2), 0.45, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+    _compare_n1(res, ref_obs, ref_rewards, 4)
+
+
+def test_heston_global_rng_n1(ref):
+    """Heston at N=1: the reference's correlated Wieners come from the
+    GLOBAL np.random.multivariate_normal (SVD factorization); harvested
+    and inverted through our Cholesky construction (w1 -> z1 =
+    (w1 - rho*w0)/sqrt(1-rho^2)), agreeing to float64 roundoff."""
+    import jax
+    import jax.numpy as jnp
+    from jax import enable_x64
+
+    from mbt_gym_tpu.processes import HestonMidprice
+    from mbt_gym_tpu.rollout import rollout
+    from mbt_gym_tpu.types import SlotNoise
+
+    mm = ref["mm"]
+    GS = 31337
+    rho = -0.7
+    kwargs = dict(
+        drift=0.05, volatility_mean_reversion_rate=3.0,
+        volatility_mean_reversion_level=0.04, weiner_correlation=rho,
+        volatility_of_volatility=0.6, initial_price=100.0, initial_variance=0.04,
+    )
+    ref_mid = mm.HestonMidpriceModel(
+        **kwargs, step_size=DT, terminal_time=1.0, num_trajectories=1
+    )
+    our_mid = HestonMidprice(**kwargs)
+    ref_obs, ref_rewards, cfg = _n1_env(
+        ref, ref_mid, our_mid, global_seed=GS, manual_loop=True
+    )
+    # replay the global stream: one multivariate_normal per step
+    np.random.seed(GS)
+    means, corr = np.array([0, 0]), np.array([[1, rho], [rho, 1]])
+    ws = np.stack(
+        [np.random.multivariate_normal(means, cov=corr, size=1) for _ in range(T)]
+    )  # (T, 1, 2)
+    z1 = (ws[:, :, 1] - rho * ws[:, :, 0]) / np.sqrt(1.0 - rho**2)
+    mid = np.stack([ws[:, :, 0], z1], axis=2)  # our iid columns
+    with enable_x64():
+        noise = (
+            SlotNoise(normal=mid, uniform=None),
+            SlotNoise(normal=None, uniform=np.random.default_rng(SEED + 2).uniform(size=(T, 1, 2))),
+            SlotNoise(normal=None, uniform=np.random.default_rng(SEED + 3).uniform(size=(T, 1, 2))),
+        )
+        res = rollout(
+            cfg, lambda p, o, s: jnp.full((1, 2), 0.45, dtype=o.dtype), None,
+            jax.random.PRNGKey(0), noise=noise,
+        )
+    _compare_n1(res, ref_obs, ref_rewards, 5, atol=1e-8)
