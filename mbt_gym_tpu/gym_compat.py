@@ -420,7 +420,10 @@ def _make_vector_trading_env_class():  # pragma: no cover - import guard
                 # NEXT_STEP autoreset: this step's actions are ignored,
                 # every sub-env resets (episodes are synchronized).
                 obs = self._do_reset()
-                zeros = np.zeros(n, dtype=np.float64)
+                # engine-dtype rewards, matching normal steps (ADVICE r3:
+                # float64 zeros here could flip a consumer's preallocated
+                # reward-buffer dtype)
+                zeros = np.zeros(n, dtype=self.cfg.dtype)
                 falses = np.zeros(n, dtype=bool)
                 return obs, zeros, falses, falses, {}
             action = np.asarray(actions, dtype=self.cfg.dtype).reshape(

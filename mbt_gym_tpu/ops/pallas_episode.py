@@ -711,7 +711,7 @@ def as_episode_trajectories_pallas(
     params: AsEpisodeParams,
     seed,
     num_trajectories: int = 16384,
-    rows: int = None,
+    rows: int | None = None,
     interpret: bool = False,
 ):
     """Full AS episode with trajectory streams: returns post-step
@@ -727,7 +727,13 @@ def as_episode_trajectories_pallas(
     double-buffered output blocks, measured 4.96B vs 4.51B env-steps/s at
     the headline 16k-env/T=200 shape (round 3; multi-program rows 32/64
     FAIL to compile at T=200, their 2x-buffered (T, rows, 128) blocks
-    exceeding VMEM, so the fallback is the proven 16-row tiling)."""
+    exceeding VMEM, so the fallback is the proven 16-row tiling).
+
+    NOTE (ADVICE r3): the ``run_steps * rows`` envelope extrapolates the
+    (T=200, rows=128) hardware-proven point to other (T, rows) products —
+    e.g. T=50/rows=512 compiles under the same VMEM budget model but was
+    not individually measured; if a shape in the envelope fails to
+    compile, pass ``rows=TRAJ_ROWS`` explicitly."""
     if rows is None:
         one_shot = num_trajectories // LANES
         if (
