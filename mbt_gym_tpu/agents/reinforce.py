@@ -75,7 +75,15 @@ def _epoch_loss(params, env_cfg: EnvConfig, std, key):
     from mbt_gym_tpu.rollout import rollout
 
     res = rollout(env_cfg, policy, params, key)
-    traj = res.trajectory
+    # The trajectory is DATA, exactly as in the reference where sampled
+    # torch actions are detached constants (PolicyGradientAgent.py:55-67).
+    # Without this stop_gradient the score term cancels symbolically —
+    # z = (actions - means)/std == eps with zero dependence on params,
+    # because jax traces the rollout differentiably — leaving only an
+    # incidental pathwise reward gradient that learns weakly and diverges
+    # on long runs (found + fixed round 4; see tests/test_convergence.py
+    # REINFORCE gates).
+    traj = jax.lax.stop_gradient(res.trajectory)
     # Recompute log-probs differentiably from the stored obs/actions.
     means = networks.mlp_apply(params, traj.observations[:-1])  # (T, N, A)
     z = (traj.actions - means) / std
