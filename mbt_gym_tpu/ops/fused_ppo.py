@@ -179,6 +179,7 @@ def _kernel_T(
     vf_coef: float,
     compute_dtype,
     swap_dw0: bool,
+    split_at: Tuple[int, ...] | None,
     *refs,
 ):
     """One grid step = one (env tile x T-chunk) block; grid is 2D
@@ -203,6 +204,20 @@ def _kernel_T(
     233.6 -> 196.2 ms for the 52.4M-sample update (scripts/
     exp_update_kernel.py; dual-layout weights and python-unrolled /
     lane-concatenated dW variants measured no further gain).
+
+    ``split_at`` (round 4) enables the reference's SEPARATE pi/vf towers
+    (experiments/helpers.py:71 ``net_arch=[dict(pi=[256,256],
+    vf=[256,256])]``) as a STACKED trunk: per-layer entry = the per-tower
+    output width.  Layer 0 stacks both towers' weights on the output dim
+    (shared input x, ONE matmul, zero waste); inner layers run two
+    per-tower matmuls on sublane row slices of the stacked carries; the
+    merged (A+1, 2H) head carries TRUE ZERO off-blocks, so the existing
+    merged forward (mv), dh contraction, and dW accumulation stay
+    bit-identical code — the off-block dW garbage never influences any
+    in-block value and is discarded by the host unpack.  No op is
+    block-diagonal-padded: total MXU work is exactly the two towers' own
+    (2x the shared trunk's, which is the honest cost of the reference
+    architecture).
     """
     it = iter(refs)
     obs_ref, act_ref, olp_ref, adv_ref, ret_ref = (next(it) for _ in range(5))
@@ -242,10 +257,21 @@ def _kernel_T(
 
         hs = [x]
         h = x
-        for w_ref, b_ref in trunk:
+        for li, (w_ref, b_ref) in enumerate(trunk):
             # saved activations in compute_dtype (bf16 in production):
             # halves the live VMEM so L=1024 lanes fit
-            h = jnp.tanh(_mm(w_ref[:], h, ((1,), (0,)), compute_dtype) + b_ref[:]).astype(compute_dtype)
+            if split_at is None or li == 0:
+                pre = _mm(w_ref[:], h, ((1,), (0,)), compute_dtype)
+            else:
+                wo, wi = split_at[li], split_at[li - 1]
+                pre = jnp.concatenate(
+                    [
+                        _mm(w_ref[:wo], h[:wi], ((1,), (0,)), compute_dtype),
+                        _mm(w_ref[wo:], h[wi:], ((1,), (0,)), compute_dtype),
+                    ],
+                    axis=0,
+                )
+            h = jnp.tanh(pre + b_ref[:]).astype(compute_dtype)
             hs.append(h)
         mv = _mm(whead_ref[:], h, ((1,), (0,)), compute_dtype) + bhead_ref[:]  # (A+1, L)
         mean = mv[:a_dim]  # (A, L)
@@ -294,15 +320,35 @@ def _kernel_T(
                 # where dot(x, dz) -> (S, H) pays 8 x L x 256 — a measured
                 # 15.5 ms (8%) of the 52.4M-sample config-5 update
                 # (scripts/exp_dw_layout.py round-3 ablation; per-op marginal
-                # costs in BENCH_NOTES.md).
+                # costs in BENCH_NOTES.md).  In split mode the stacked
+                # layer-0 dW is still ONE matmul (shared input x).
                 a_w = a_w + _mm(hs[0], dz, ((1,), (1,)), compute_dtype)
-            else:
+            elif split_at is None or li == 0:
                 a_w = a_w + _mm(dz, hs[li], ((1,), (1,)), compute_dtype)  # (H, in)
+            else:
+                wo, wi = split_at[li], split_at[li - 1]
+                a_w = a_w + jnp.concatenate(
+                    [
+                        _mm(dz[:wo], hs[li][:wi], ((1,), (1,)), compute_dtype),
+                        _mm(dz[wo:], hs[li][wi:], ((1,), (1,)), compute_dtype),
+                    ],
+                    axis=0,
+                )
             a_b = a_b + jnp.sum(dz, axis=1, keepdims=True)
             new_trunk.append((a_w, a_b))
             if li > 0:
                 w_ref, _ = trunk[li]
-                dh = _mm(w_ref[:], dz, ((0,), (0,)), compute_dtype)
+                if split_at is None:
+                    dh = _mm(w_ref[:], dz, ((0,), (0,)), compute_dtype)
+                else:
+                    wo, wi = split_at[li], split_at[li - 1]
+                    dh = jnp.concatenate(
+                        [
+                            _mm(w_ref[:wo], dz[:wo], ((0,), (0,)), compute_dtype),
+                            _mm(w_ref[wo:], dz[wo:], ((0,), (0,)), compute_dtype),
+                        ],
+                        axis=0,
+                    )
         new_trunk = tuple(reversed(new_trunk))
 
         pg_sum = pg_sum + valid * jnp.sum(-jnp.minimum(pg1, pg2))
@@ -358,8 +404,13 @@ def ppo_fused_grads_T(
     (T, A, N)``, ``old_logp/adv/returns (T, N)`` — the fused rollout
     kernel's native buffers.  ``N`` must be a multiple of ``tile``.
     Returns grads in the standard (row-major) param layout + metrics.
+
+    Accepts BOTH actor-critic layouts: the shared-trunk production layout
+    and the reference's separate pi/vf towers (``{"pi": [...], "vf":
+    [...], "log_std"}``, experiments/helpers.py:71) — the latter runs as
+    a stacked trunk with a zero-off-block merged head (see ``_kernel_T``);
+    grads come back in the same layout as ``params``.
     """
-    assert "shared" in params, "fused update requires the shared-trunk layout"
     T, s_dim, n = obs_t.shape
     a_dim = actions_t.shape[1]
     assert n % tile == 0, (n, tile)
@@ -397,9 +448,47 @@ def ppo_fused_grads_T(
     # (1024, Tc=40) runs (modelled 9.9M).
     from mbt_gym_tpu.ops.pallas_rollout import _sublane_pad
 
-    trunk = params["shared"]
-    n_layers = len(trunk)
-    h_dim = trunk[-1]["w"].shape[1]
+    split = "shared" not in params
+    if split:
+        t_pi, t_vf = params["pi"][:-1], params["vf"][:-1]
+        assert [l["w"].shape for l in t_pi] == [l["w"].shape for l in t_vf], (
+            "separate pi/vf towers must have matching widths (the reference "
+            "always uses symmetric net_arch, experiments/helpers.py:71)"
+        )
+        n_layers = len(t_pi)
+        widths = tuple(l["w"].shape[1] for l in t_pi)
+        split_at = widths
+        # stacked-trunk arrays: (2*w_out, w_in) transposed weights; layer 0
+        # shares the obs input so its in-dim stays s_dim
+        trunk_arrays = [
+            (
+                jnp.concatenate([p["w"].T, v["w"].T], axis=0),
+                jnp.concatenate([p["b"], v["b"]]).reshape(-1, 1),
+            )
+            for p, v in zip(t_pi, t_vf)
+        ]
+        hp, hv = params["pi"][-1], params["vf"][-1]
+        w_last = widths[-1]
+        h_dim = 2 * w_last  # stacked carry width (VMEM model + head specs)
+        whead = jnp.zeros((a_dim + 1, h_dim), hp["w"].dtype)
+        whead = whead.at[:a_dim, :w_last].set(hp["w"].T)
+        whead = whead.at[a_dim:, w_last:].set(hv["w"].T)
+        bhead = jnp.concatenate([hp["b"], hv["b"]]).reshape(-1, 1)
+    else:
+        trunk = params["shared"]
+        n_layers = len(trunk)
+        split_at = None
+        h_dim = trunk[-1]["w"].shape[1]
+        trunk_arrays = [
+            (trunk[li]["w"].T, trunk[li]["b"].reshape(-1, 1))
+            for li in range(n_layers)
+        ]
+        whead = jnp.concatenate(
+            [params["pi_head"]["w"], params["vf_head"]["w"]], axis=1
+        ).T  # (A+1, H)
+        bhead = jnp.concatenate(
+            [params["pi_head"]["b"], params["vf_head"]["b"]]
+        ).reshape(-1, 1)  # (A+1, 1)
     channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
     per_lane = 6800 * max(h_dim, 128) // 256 * max(n_layers, 2) // 2
     budget = int(15.75 * 1024 * 1024)
@@ -440,18 +529,9 @@ def ppo_fused_grads_T(
         pl.BlockSpec((t_chunk, a_dim, tile), lambda i, j: (j, 0, i)),
         flat_block, flat_block, flat_block,
     ]
-    for li in range(n_layers):
-        wT = trunk[li]["w"].T  # (out, in)
-        b = trunk[li]["b"].reshape(-1, 1)
+    for wT, b in trunk_arrays:
         inputs += [wT, b]
         in_specs += [full(wT.shape), full(b.shape)]
-    # merged (A+1, H) head: pi rows then the vf row (see _kernel_T docstring)
-    whead = jnp.concatenate(
-        [params["pi_head"]["w"], params["vf_head"]["w"]], axis=1
-    ).T  # (A+1, H)
-    bhead = jnp.concatenate(
-        [params["pi_head"]["b"], params["vf_head"]["b"]]
-    ).reshape(-1, 1)  # (A+1, 1)
     inputs += [whead, bhead, params["log_std"].reshape(-1, 1)]
     in_specs += [full((a_dim + 1, h_dim)), full((a_dim + 1, 1)), full((a_dim, 1))]
 
@@ -463,8 +543,8 @@ def ppo_fused_grads_T(
     out_shapes = []
     out_specs = []
     for li in range(n_layers):
-        wT_shape = (trunk[li]["w"].shape[1], trunk[li]["w"].shape[0])
-        dw_shape = trunk[li]["w"].shape if (li == 0 and swap_dw0) else wT_shape
+        wT_shape = trunk_arrays[li][0].shape  # (out_tot, in)
+        dw_shape = wT_shape[::-1] if (li == 0 and swap_dw0) else wT_shape
         out_shapes += [
             jax.ShapeDtypeStruct(dw_shape, jnp.float32),
             jax.ShapeDtypeStruct((wT_shape[0], 1), jnp.float32),
@@ -483,7 +563,7 @@ def ppo_fused_grads_T(
 
     kernel = partial(
         _kernel_T, n_layers, T, s_dim, a_dim, 1.0 / m, clip_eps, vf_coef, cdt,
-        swap_dw0,
+        swap_dw0, split_at,
     )
     outs = pl.pallas_call(
         kernel,
@@ -495,23 +575,48 @@ def ppo_fused_grads_T(
     )(*inputs)
 
     it = iter(outs)
-    g_trunk = []
-    for li in range(n_layers):
-        dwT, db = next(it), next(it)
-        dw = dwT if (li == 0 and swap_dw0) else dwT.T  # layer 0 is natural
-        g_trunk.append({
-            "w": dw.astype(trunk[li]["w"].dtype),
-            "b": db[:, 0].astype(trunk[li]["b"].dtype),
-        })
-    dwh, dbh, dlstd, metrics = (next(it) for _ in range(4))
-    grads = {
-        "shared": g_trunk,
-        "pi_head": {"w": dwh[:a_dim].T.astype(params["pi_head"]["w"].dtype),
-                    "b": dbh[:a_dim, 0].astype(params["pi_head"]["b"].dtype)},
-        "vf_head": {"w": dwh[a_dim:].T.astype(params["vf_head"]["w"].dtype),
-                    "b": dbh[a_dim:, 0].astype(params["vf_head"]["b"].dtype)},
-        "log_std": dlstd[:, 0].astype(params["log_std"].dtype),
-    }
+    if split:
+        g_pi, g_vf = [], []
+        for li in range(n_layers):
+            dwT, db = next(it), next(it)
+            wo = widths[li]
+            if li == 0 and swap_dw0:
+                dwp, dwv = dwT[:, :wo], dwT[:, wo:]  # natural (S, w0)
+            else:
+                dwp, dwv = dwT[:wo].T, dwT[wo:].T
+            g_pi.append({"w": dwp.astype(t_pi[li]["w"].dtype),
+                         "b": db[:wo, 0].astype(t_pi[li]["b"].dtype)})
+            g_vf.append({"w": dwv.astype(t_vf[li]["w"].dtype),
+                         "b": db[wo:, 0].astype(t_vf[li]["b"].dtype)})
+        dwh, dbh, dlstd, metrics = (next(it) for _ in range(4))
+        # in-block slices only — the off-block dW garbage dies here
+        g_pi.append({"w": dwh[:a_dim, :w_last].T.astype(hp["w"].dtype),
+                     "b": dbh[:a_dim, 0].astype(hp["b"].dtype)})
+        g_vf.append({"w": dwh[a_dim:, w_last:].T.astype(hv["w"].dtype),
+                     "b": dbh[a_dim:, 0].astype(hv["b"].dtype)})
+        grads = {
+            "pi": g_pi,
+            "vf": g_vf,
+            "log_std": dlstd[:, 0].astype(params["log_std"].dtype),
+        }
+    else:
+        g_trunk = []
+        for li in range(n_layers):
+            dwT, db = next(it), next(it)
+            dw = dwT if (li == 0 and swap_dw0) else dwT.T  # layer 0 is natural
+            g_trunk.append({
+                "w": dw.astype(trunk[li]["w"].dtype),
+                "b": db[:, 0].astype(trunk[li]["b"].dtype),
+            })
+        dwh, dbh, dlstd, metrics = (next(it) for _ in range(4))
+        grads = {
+            "shared": g_trunk,
+            "pi_head": {"w": dwh[:a_dim].T.astype(params["pi_head"]["w"].dtype),
+                        "b": dbh[:a_dim, 0].astype(params["pi_head"]["b"].dtype)},
+            "vf_head": {"w": dwh[a_dim:].T.astype(params["vf_head"]["w"].dtype),
+                        "b": dbh[a_dim:, 0].astype(params["vf_head"]["b"].dtype)},
+            "log_std": dlstd[:, 0].astype(params["log_std"].dtype),
+        }
     metric_dict = {
         "pg_loss": metrics[0, 0] / m,
         "vf_loss": metrics[0, 1] / m,

@@ -71,9 +71,12 @@ def test_fused_grads_match_autodiff(hidden):
         )
 
 
-def test_fused_train_iteration_matches_xla():
+@pytest.mark.parametrize("shared_trunk", [True, False])
+def test_fused_train_iteration_matches_xla(shared_trunk):
     """One full train_iteration with the fused update must land on the same
-    params as the XLA path (f32 kernel, CPU interpret mode)."""
+    params as the XLA path (f32 kernel, CPU interpret mode) — for BOTH
+    actor-critic layouts (separate pi/vf towers are the reference's SB3
+    convention, experiments/helpers.py:71; VERDICT r3 item 3)."""
     from mbt_gym_tpu.utils.config import as_env_config
 
     env_cfg = dataclasses.replace(
@@ -82,7 +85,7 @@ def test_fused_train_iteration_matches_xla():
     )
     base = ppo.PPOConfig(
         hidden=(32, 32), n_epochs=2, n_minibatches=2, shuffle=False,
-        shared_trunk=True, ent_coef=0.01,
+        shared_trunk=shared_trunk, ent_coef=0.01,
     )
     fused = dataclasses.replace(
         base, fused_update=True, fused_tile=64, fused_compute_dtype="float32"
@@ -107,17 +110,21 @@ def test_fused_train_iteration_matches_xla():
         )
 
 
-@pytest.mark.parametrize("T", [8, 10])
-def test_transposed_fused_grads_match_autodiff(T):
+@pytest.mark.parametrize(
+    "T,shared_trunk", [(8, True), (10, True), (8, False), (10, False)]
+)
+def test_transposed_fused_grads_match_autodiff(T, shared_trunk):
     """Feature-major kernel (ppo_fused_grads_T) must produce the same grads
     and metrics as jax.grad of the XLA loss on the same samples — including
     horizons that are NOT multiples of 8 (T=10), where the kernel
     zero-pads the time axis and masks the value-head gradient and metric
-    sums by step validity."""
+    sums by step validity, and for BOTH layouts (separate pi/vf towers run
+    as a stacked trunk with a zero-off-block merged head)."""
     s_dim, a_dim, L = 4, 2, 64
     m = T * L
     params = networks.init_actor_critic(
-        jax.random.PRNGKey(2), s_dim, a_dim, hidden=(32, 32), shared_trunk=True
+        jax.random.PRNGKey(2), s_dim, a_dim, hidden=(32, 32),
+        shared_trunk=shared_trunk,
     )
     obs, actions, log_probs, adv, returns, values = _make_batch(
         jax.random.PRNGKey(5), m, s_dim, a_dim, params
