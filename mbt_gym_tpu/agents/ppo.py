@@ -58,7 +58,7 @@ class PPOConfig:
     # Fused Pallas policy+env rollout (ops/pallas_rollout.py): the MLP
     # forward runs with VMEM-resident activations inside the episode
     # kernel.  Limit-order (AS / CJ-MM) and trading-speed (OE) families,
-    # shared_trunk only; single-chip (mesh=None).
+    # either actor-critic layout (separate towers run as a stacked trunk).
     fused_rollout: bool = False
     # None -> auto: widest lane tile fitting scoped vmem (pallas_rollout.auto_tile)
     fused_rollout_tile: int | None = None
@@ -458,7 +458,6 @@ def train_iteration(
     if ppo_cfg.fused_rollout:
         from mbt_gym_tpu.ops import pallas_rollout
 
-        assert ppo_cfg.shared_trunk, "fused_rollout requires shared_trunk=True"
         if jax.default_backend() != "tpu" and not ppo_cfg.fused_interpret_ok:
             raise RuntimeError(
                 "fused_rollout uses the TPU hardware PRNG; on this backend "

@@ -10,8 +10,11 @@ with ``X (features, lanes)``), so the matmul chain never leaves VMEM and
 only the fundamental per-step outputs (obs, action, log-prob, value,
 reward ≈ 36 B/env-step) are written out.
 
-Scope: four model families, all with the shared-trunk actor-critic of
-``networks.init_actor_critic(shared_trunk=True)``:
+Scope: four model families, with EITHER actor-critic layout — the
+shared-trunk production layout of ``networks.init_actor_critic(
+shared_trunk=True)`` or the reference's separate pi/vf towers
+(experiments/helpers.py:71), which run as a stacked trunk (round 4; see
+:func:`transpose_params`):
 
 - "limit": the flagship market-making family (BM midprice + Poisson
   arrivals + exponential fill + limit-order dynamics) with PnL, CjMm, or
@@ -596,22 +599,50 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
 
 
 def transpose_params(params):
-    """Host-side: shared-trunk actor-critic params -> the kernel's
-    transposed weight list [(W^T, b_col), ...] + combined head (A+1 rows:
-    pi rows then the vf row) + log_std column."""
-    assert "shared" in params, "fused rollout requires the shared-trunk layout"
-    trunk = [
-        (layer["w"].T.astype(jnp.float32), layer["b"].reshape(-1, 1).astype(jnp.float32))
-        for layer in params["shared"]
-    ]
-    w_head = jnp.concatenate(
-        [params["pi_head"]["w"], params["vf_head"]["w"]], axis=1
-    ).T.astype(jnp.float32)  # (A+1, H)
-    b_head = jnp.concatenate(
-        [params["pi_head"]["b"], params["vf_head"]["b"]]
-    ).reshape(-1, 1).astype(jnp.float32)
+    """Host-side: actor-critic params -> the kernel's transposed weight
+    list [(W^T, b_col), ...] + combined head (A+1 rows: pi rows then the
+    vf row) + log_std column + ``split_at`` (None for the shared trunk).
+
+    Separate pi/vf towers (the reference's SB3 convention,
+    experiments/helpers.py:71) become a STACKED trunk, exactly as in
+    ops/fused_ppo.py round 4: layer 0 stacks both towers on the output
+    dim (shared obs input), inner layers are walked as two per-tower
+    matmuls on row slices (``split_at`` holds the per-tower widths), and
+    the merged (A+1, 2H) head carries true zero off-blocks so the merged
+    head matmul computes pi from the pi rows and vf from the vf rows."""
     log_std = params["log_std"].reshape(-1, 1).astype(jnp.float32)
-    return trunk, w_head, b_head, log_std
+    if "shared" in params:
+        trunk = [
+            (layer["w"].T.astype(jnp.float32), layer["b"].reshape(-1, 1).astype(jnp.float32))
+            for layer in params["shared"]
+        ]
+        w_head = jnp.concatenate(
+            [params["pi_head"]["w"], params["vf_head"]["w"]], axis=1
+        ).T.astype(jnp.float32)  # (A+1, H)
+        b_head = jnp.concatenate(
+            [params["pi_head"]["b"], params["vf_head"]["b"]]
+        ).reshape(-1, 1).astype(jnp.float32)
+        return trunk, w_head, b_head, log_std, None
+    t_pi, t_vf = params["pi"][:-1], params["vf"][:-1]
+    assert [l["w"].shape for l in t_pi] == [l["w"].shape for l in t_vf], (
+        "separate pi/vf towers must have matching widths"
+    )
+    trunk = [
+        (
+            jnp.concatenate([p["w"].T, v["w"].T], axis=0).astype(jnp.float32),
+            jnp.concatenate([p["b"], v["b"]]).reshape(-1, 1).astype(jnp.float32),
+        )
+        for p, v in zip(t_pi, t_vf)
+    ]
+    split_at = tuple(l["w"].shape[1] for l in t_pi)
+    hp, hv = params["pi"][-1], params["vf"][-1]
+    a_dim = hp["w"].shape[1]
+    w_last = split_at[-1]
+    w_head = jnp.zeros((a_dim + 1, 2 * w_last), jnp.float32)
+    w_head = w_head.at[:a_dim, :w_last].set(hp["w"].T)
+    w_head = w_head.at[a_dim:, w_last:].set(hv["w"].T)
+    b_head = jnp.concatenate([hp["b"], hv["b"]]).reshape(-1, 1).astype(jnp.float32)
+    return trunk, w_head, b_head, log_std, split_at
 
 
 def _mmT(w, x, compute_dtype=jnp.bfloat16):
@@ -624,7 +655,7 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
 
 
 def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
-                  is_last=None, inv0=None):
+                  is_last=None, inv0=None, split_at=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
     ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
     n_mid, exo_n (2, L) or None, mid2_n (1, L) or None)``; ``is_last``
@@ -678,7 +709,16 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     h = X
     for li in range(n_layers):
         w_ref, b_ref = trunk[li]
-        h = jnp.tanh(_mmT(w_ref[:], h, cdt) + b_ref[:])
+        if split_at is None or li == 0:
+            pre = _mmT(w_ref[:], h, cdt)
+        else:
+            # stacked separate towers: two per-tower matmuls on row slices
+            wo, wi = split_at[li], split_at[li - 1]
+            pre = jnp.concatenate(
+                [_mmT(w_ref[:wo], h[:wi], cdt), _mmT(w_ref[wo:], h[wi:], cdt)],
+                axis=0,
+            )
+        h = jnp.tanh(pre + b_ref[:])
     hd = _mmT(w_head_ref[:], h, cdt) + b_head_ref[:]  # (A+1, L)
     mean = hd[0:a_dim]
     value = hd[a_dim : a_dim + 1]
@@ -993,7 +1033,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     return new_carry, (X, action, logp, value, reward)
 
 
-def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool):
+def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool,
+                 split_at=None):
     use_inv0 = bool(p.inventory_range)
 
     def kernel(*refs):
@@ -1063,7 +1104,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 draws = hw_draws()
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws,
-                is_last=(i == p.run_steps - 1), inv0=inv0,
+                is_last=(i == p.run_steps - 1), inv0=inv0, split_at=split_at,
             )
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel
@@ -1116,7 +1157,7 @@ def _sublane_pad(d: int) -> int:
 
 def auto_tile(
     n: int, run_steps: int, has_noise: bool, s_dim: int = 4, a_dim: int = 2,
-    exomm: bool = False, mid2: bool = False,
+    exomm: bool = False, mid2: bool = False, h_width: int = 256,
 ) -> int:
     """Widest lane tile whose double-buffered per-program output blocks
     (T x (S+A+3) x tile f32, sublane-padded, plus the noise input block
@@ -1129,6 +1170,11 @@ def auto_tile(
     if has_noise:
         channels += _sublane_pad(n_noise_channels(a_dim, exomm=exomm, mid2=mid2))
     per_lane = 2 * run_steps * 4 * channels
+    # Live forward activations beyond the calibrated production width
+    # (shared-trunk h=256): separate towers carry a STACKED (2H, L)
+    # activation, so charge ~2 live f32 copies of the extra rows per lane
+    # (round 4; keeps the hardware-proven points unchanged at h<=256).
+    per_lane += 2 * 4 * max(0, h_width - 256)
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= n and n % cand == 0 and cand * per_lane <= budget:
             return cand
@@ -1174,14 +1220,18 @@ def mlp_rollout_pallas(
     n = num_trajectories
     T = p.run_steps
     if tile is None:
+        if "shared" in params:
+            h_width = max(l["w"].shape[1] for l in params["shared"])
+        else:
+            h_width = 2 * max(l["w"].shape[1] for l in params["pi"][:-1])
         tile = auto_tile(
             n, T, noise is not None,
             s_dim=len(p.obs_low), a_dim=len(p.act_low),
-            exomm=p.fill_kind == "exomm", mid2=p.has_mid2,
+            exomm=p.fill_kind == "exomm", mid2=p.has_mid2, h_width=h_width,
         )
     assert n % tile == 0 and tile % LANES == 0, (n, tile)
     grid = n // tile
-    trunk, w_head, b_head, log_std = transpose_params(params)
+    trunk, w_head, b_head, log_std, split_at = transpose_params(params)
     n_layers = len(trunk)
     a_dim = w_head.shape[0] - 1
 
@@ -1228,7 +1278,8 @@ def mlp_rollout_pallas(
         pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
         flat, flat, flat,
     ]
-    kernel = _make_kernel(p, n_layers, a_dim, use_noise=noise is not None)
+    kernel = _make_kernel(p, n_layers, a_dim, use_noise=noise is not None,
+                          split_at=split_at)
     # The plain HLO interpreter has no lowering for prng_seed; the hardware-
     # PRNG path on CPU needs the Mosaic TPU interpreter (which stubs random
     # bits to zeros — smoke-run only; use noise= for exact CPU validation).

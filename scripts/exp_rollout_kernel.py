@@ -40,7 +40,7 @@ def log(*a):
 def build(env_cfg, params, tile, mode):
     """mode: 'base' | 'noprng' | 'prngonly' | 'nowrite'"""
     p = pr.rollout_params_from_config(env_cfg)
-    trunk, w_head, b_head, log_std = pr.transpose_params(params)
+    trunk, w_head, b_head, log_std, _split = pr.transpose_params(params)
     n_layers = len(trunk)
     a_dim = w_head.shape[0] - 1
 

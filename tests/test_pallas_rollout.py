@@ -79,6 +79,54 @@ def test_fused_rollout_matches_xla_engine(setup):
     np.testing.assert_allclose(np.asarray(batch.returns), np.asarray(ret), rtol=0, atol=0)
 
 
+def test_fused_rollout_separate_towers_matches_xla_engine(setup):
+    """Separate pi/vf towers (the reference's net_arch convention,
+    experiments/helpers.py:71) run inside the rollout kernel as a stacked
+    trunk with a zero-off-block merged head (round 4) — same injected
+    noise, same engine reference, same tolerances as the shared-trunk
+    parity test."""
+    env_cfg, _, channels = setup
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=False,
+    )
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference(env_cfg, params, channels)
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+def test_fully_fused_iteration_separate_towers_runs():
+    """The REFERENCE-EXACT architecture (separate 2-layer towers) through
+    the FULLY-fused pipeline (fused rollout -> feature-major fused update),
+    interpret-mode smoke on CPU: finite metrics + params move."""
+    from mbt_gym_tpu.agents import ppo
+
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=128, n_steps=8),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ppo_cfg = ppo.PPOConfig(
+        hidden=(16, 16), n_epochs=1, n_minibatches=2, shuffle=False,
+        shared_trunk=False, fused_rollout=True, fused_rollout_tile=128,
+        fused_update=True, fused_compute_dtype="float32",
+        fused_interpret_ok=True,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    ts2, m = ppo.train_iteration(env_cfg, ppo_cfg, ts, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts.params, ts2.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
 class _UnknownReward:
     """An unsupported reward type for guard tests."""
 
