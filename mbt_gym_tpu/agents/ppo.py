@@ -300,6 +300,11 @@ def _fused_iteration_body(
     from mbt_gym_tpu.ops import fused_ppo, pallas_rollout
 
     assert not ppo_cfg.shuffle, "fused path uses contiguous env-slice minibatches"
+    assert not isinstance(env_cfg.start_time, tuple), (
+        "PPO training does not support random start times (post-done steps "
+        "would enter GAE); use a fixed start_time.  The fused ROLLOUT "
+        "itself supports them (collect_rollout_fused_T) for evaluation."
+    )
     interpret = jax.default_backend() != "tpu"
     if axis_name is not None:
         # Distinct per-device noise streams from the replicated key.

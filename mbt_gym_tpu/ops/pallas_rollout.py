@@ -50,9 +50,12 @@ Orthogonal to the dynamics kind, the families compose with:
 
 The composite stress configuration (utils.config.composite_env_config:
 Hawkes + exogenous-MM + lam) therefore runs on the fused pipeline too.
-The remaining XLA-only configurations: the strict_reference_bug fill
-variants, callable reset specs and random start times, and float64
-reference-parity runs.
+Random start times (``start_time=("uniform", lo, hi)``) run fused too
+(round 4): a per-env t0 input plane with post-done lane freezing, parity-
+tested vs the XLA engine's masking.  The remaining XLA-only
+configurations: the strict_reference_bug fill variants, callable reset
+specs (host-evaluated per reset by design), and float64 reference-parity
+runs.
 
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
@@ -210,9 +213,18 @@ class MlpRolloutParams(NamedTuple):
     # reference's canonical PPO training env (experiments/helpers.py:21-60
     # get_cj_env) uses (-5, 6) with lam dynamics.
     inventory_range: tuple = ()
+    # Random start times (start_time=("uniform", lo, hi),
+    # TradingEnvironment.py:257-268): the kernel scans the FULL horizon
+    # with a per-env t0 input plane (the inv0 pattern, round 4) and
+    # freezes post-done lanes — state, obs (time clamped at terminal) and
+    # rewards exactly mirror the XLA engine's random-start masking
+    # (rollout.py).  start_time stays 0.0 here so run_steps is n_steps.
+    random_start: bool = False
 
     @property
     def run_steps(self) -> int:
+        if self.random_start:
+            return self.n_steps
         return self.n_steps - round(self.start_time / self.dt)
 
     @property
@@ -528,7 +540,18 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
     else:
         inventory_range = ()
         inv0 = float(cfg.initial_inventory)
-    assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time)
+    assert not callable(cfg.start_time), (
+        "callable start_time is host-evaluated per reset; use the XLA "
+        "rollout (gym_compat adapters resolve it each reset)"
+    )
+    if isinstance(cfg.start_time, tuple):
+        tag = cfg.start_time[0]
+        assert tag == "uniform", f"Unknown start_time spec {cfg.start_time}"
+        random_start = True
+        start_val = 0.0  # full horizon; per-env t0 comes in via the t0 plane
+    else:
+        random_start = False
+        start_val = round(float(cfg.start_time) / cfg.step_size) * cfg.step_size
     assert cfg.dtype == "float32", (
         "fused rollout computes in float32/bf16; float64 reference-parity "
         "configs must use the XLA rollout"
@@ -548,7 +571,8 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         max_cash=float(cfg.resolved_max_cash()),
         initial_cash=float(cfg.initial_cash),
         initial_inventory=inv0,
-        start_time=round(float(cfg.start_time) / cfg.step_size) * cfg.step_size,
+        start_time=start_val,
+        random_start=random_start,
         obs_low=tuple(float(x) for x in obs_low),
         obs_grad=tuple(float(h - l) / 2.0 for l, h in zip(obs_low, obs_high)),
         act_low=tuple(float(x) for x in act_low),
@@ -655,7 +679,7 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
 
 
 def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
-                  is_last=None, inv0=None, split_at=None):
+                  is_last=None, inv0=None, split_at=None, ep_len=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
     ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
     n_mid, exo_n (2, L) or None, mid2_n (1, L) or None)``; ``is_last``
@@ -685,7 +709,9 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # Column order = raw_observation: cash, inventory, time, then process
     # states in slot order: midprice price, arrival state (Hawkes 2-dim
     # intensity), fill state (exogenous best depths), impact state.
-    time_plane = jnp.full((1, L), t_val, jnp.float32)
+    # t_val is a traced scalar (fixed start) or a (1, L) per-env plane
+    # (random start, clamped at terminal by the caller)
+    time_plane = jnp.broadcast_to(t_val, (1, L)).astype(jnp.float32)
     planes = [cash, inv, time_plane, price]
     if p.has_mid2:
         planes.append(mid2)  # midprice state col 2 precedes arrival state
@@ -985,12 +1011,14 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             return x
         return x**power  # reference semantics: NaN on negative base + frac exp
 
+    if ep_len is None:
+        ep_len = p.terminal_time - p.start_time
     if p.reward_kind == "pnl":
         reward = pnl
     elif p.reward_kind == "cjmm":
-        # inv0 is a (1, L) plane: per-env under random initial inventory
-        episode_length = p.terminal_time - p.start_time
-        const = (p.alpha * p.dt / episode_length) * q_pow(inv0)
+        # inv0 is a (1, L) plane: per-env under random initial inventory;
+        # ep_len likewise under random start times (terminal - t0)
+        const = (p.alpha * p.dt / ep_len) * q_pow(inv0)
         reward = (
             pnl
             - p.dt * p.phi * q_pow(new_inv)
@@ -999,12 +1027,11 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         )
     elif p.reward_kind == "cjoe":
         (speed,) = exec_action
-        episode_length = p.terminal_time - p.start_time
         reward = (
             pnl
             - p.dt * p.phi * q_pow(new_inv)
             - p.dt * p.alpha * (
-                e * speed * q_pow(inv, e - 1.0) + q_pow(inv0) * episode_length
+                e * speed * q_pow(inv, e - 1.0) + q_pow(inv0) * ep_len
             )
         )
     elif p.reward_kind == "exp_utility":
@@ -1036,6 +1063,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool,
                  split_at=None):
     use_inv0 = bool(p.inventory_range)
+    use_t0 = p.random_start
 
     def kernel(*refs):
         it = iter(refs)
@@ -1044,6 +1072,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         else:
             seed_ref = next(it)
         inv0_ref = next(it) if use_inv0 else None
+        t0_ref = next(it) if use_t0 else None
         trunk = [(next(it), next(it)) for _ in range(n_layers)]
         w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
         obs_ref, act_ref, logp_ref, val_ref, rew_ref = (next(it) for _ in range(5))
@@ -1088,9 +1117,23 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             inv0_ref[:] if use_inv0
             else jnp.full((1, L), p.initial_inventory, jnp.float32)
         )
+        t0_row = t0_ref[:] if use_t0 else None  # (1, L)
+        ep_len = (p.terminal_time - t0_row) if use_t0 else None
 
         def body(i, carry):
-            t_val = p.start_time + i.astype(jnp.float32) * p.dt
+            if use_t0:
+                # Per-env start times: the step STARTING at or past the
+                # terminal is post-done — its lanes are frozen below,
+                # exactly as the XLA engine's random-start masking
+                # (rollout.py: was_done freeze + zeroed rewards); the obs
+                # time is clamped at terminal like the frozen XLA obs.
+                t_start = t0_row + i.astype(jnp.float32) * p.dt  # (1, L)
+                t_val = jnp.minimum(t_start, p.terminal_time)
+                was_done = t_start >= p.terminal_time - p.dt / 2
+                last = t_start >= p.terminal_time - 1.5 * p.dt
+            else:
+                t_val = p.start_time + i.astype(jnp.float32) * p.dt
+                last = i == p.run_steps - 1
             if use_noise:
                 draws = (
                     noise_ref[i, 0:1], noise_ref[i, 1:2],
@@ -1104,8 +1147,14 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 draws = hw_draws()
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws,
-                is_last=(i == p.run_steps - 1), inv0=inv0, split_at=split_at,
+                is_last=last, inv0=inv0, split_at=split_at, ep_len=ep_len,
             )
+            if use_t0:
+                reward = jnp.where(was_done, 0.0, reward)
+                new_carry = jax.tree_util.tree_map(
+                    lambda nw, old: jnp.where(was_done, old, nw),
+                    new_carry, carry,
+                )
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel
             # streams write plain 2D (T, L) rows, so nothing pads anywhere.
@@ -1194,6 +1243,7 @@ def mlp_rollout_pallas(
     interpret: bool = False,
     noise=None,
     inv0=None,
+    t0=None,
 ):
     """Run one full episode for all envs with the MLP policy fused in.
 
@@ -1258,6 +1308,17 @@ def mlp_rollout_pallas(
         in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
     else:
         assert inv0 is None, "inv0 only valid with inventory_range"
+    if p.random_start:
+        # (N,) per-env start times, quantised to the step grid by the
+        # caller (collect_rollout_fused_T draws ONE shared value per
+        # episode, matching env.reset / TradingEnvironment.py:257-268;
+        # per-env planes are accepted for tests and generality)
+        assert t0 is not None, "random_start set: pass t0 (N,) start times"
+        t0 = jnp.asarray(t0, jnp.float32).reshape(1, n)
+        inputs.append(t0)
+        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+    else:
+        assert t0 is None, "t0 only valid with a random start_time spec"
     for w, b in trunk:
         inputs += [w, b]
         in_specs += [full(w.shape), full(b.shape)]
@@ -1325,6 +1386,7 @@ def collect_rollout_fused_T(
     interpret: bool = False,
     noise=None,
     inv0=None,
+    t0=None,
 ) -> TRolloutBatch:
     """Fused rollout in its native feature-major layout + shared GAE —
     the input to :func:`mbt_gym_tpu.ops.fused_ppo.ppo_fused_grads_T`.
@@ -1332,7 +1394,17 @@ def collect_rollout_fused_T(
     Random initial inventory (``initial_inventory=(lo, hi)``): per-env
     integer draws in [lo, hi) are taken from ``key`` each episode (same
     distribution as ``env.reset``); pass ``inv0`` to inject specific draws
-    (parity tests)."""
+    (parity tests).
+
+    Random start times (``start_time=("uniform", lo, hi)``): ONE shared
+    draw per episode, quantised to the step grid — the ``env.reset`` /
+    reference distribution (TradingEnvironment.py:257-268) — broadcast
+    into the kernel's per-env t0 plane; pass ``t0`` (N,) to inject draws
+    (parity tests; per-env values are accepted).  Post-done lanes are
+    frozen with zero rewards, so GAE over the full horizon matches the
+    XLA engine's masking — but note values past done are the frozen-obs
+    values, which is why PPO training gates random starts out on BOTH
+    paths."""
     from mbt_gym_tpu.agents.ppo import compute_gae
 
     p = rollout_params_from_config(env_cfg)
@@ -1343,10 +1415,19 @@ def collect_rollout_fused_T(
             inv0 = jax.random.randint(
                 inv_key, (env_cfg.num_trajectories,), lo, hi
             ).astype(jnp.float32)
+    if p.random_start:
+        key, t_key = jax.random.split(key)
+        if t0 is None:
+            _, lo, hi = env_cfg.start_time
+            raw = jax.random.uniform(
+                t_key, (), dtype=jnp.float32, minval=lo, maxval=hi
+            )
+            shared = jnp.round(raw / env_cfg.step_size) * env_cfg.step_size
+            t0 = jnp.broadcast_to(shared, (env_cfg.num_trajectories,))
     seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
     obs_t, actions_t, log_probs, values, rewards = mlp_rollout_pallas(
         p, params, seed, env_cfg.num_trajectories, tile=tile,
-        interpret=interpret, noise=noise, inv0=inv0,
+        interpret=interpret, noise=noise, inv0=inv0, t0=t0,
     )
     last_value = jnp.zeros_like(values[0])
     advantages, returns = compute_gae(rewards, values, last_value, gamma, lam)
@@ -1366,6 +1447,7 @@ def collect_rollout_fused(
     interpret: bool = False,
     noise=None,
     inv0=None,
+    t0=None,
 ):
     """Drop-in replacement for ``agents.ppo.collect_rollout``: returns the
     row-major :class:`RolloutBatch`.  NOTE: the (T, N, S) transpose this
@@ -1377,7 +1459,7 @@ def collect_rollout_fused(
 
     tb = collect_rollout_fused_T(
         env_cfg, params, key, gamma=gamma, lam=lam, tile=tile,
-        interpret=interpret, noise=noise, inv0=inv0,
+        interpret=interpret, noise=noise, inv0=inv0, t0=t0,
     )
     return RolloutBatch(
         obs=jnp.swapaxes(tb.obs_t, 1, 2), actions=jnp.swapaxes(tb.actions_t, 1, 2),

@@ -102,6 +102,104 @@ def test_fused_rollout_separate_towers_matches_xla_engine(setup):
     np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
 
 
+def _xla_reference_random_start(env_cfg, params, channels, t0):
+    """XLA-engine replica with the random-start masking of rollout.py:
+    reset at the shared t0, scan the FULL horizon, freeze post-done state/
+    obs and zero post-done rewards."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0), start_time=t0)
+    std = jnp.exp(params["log_std"])
+    outs = []
+    for t in range(env_cfg.n_steps):
+        mean, v = networks.policy_value(params, obs)
+        eps = channels[t, 4:6].T
+        action = mean + std * eps
+        logp = networks.gaussian_log_prob(params, mean, action)
+        clipped = jnp.clip(action, -1.0, 1.0)
+        noise = (
+            SlotNoise(normal=channels[t, 6][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        # scalar condition, exactly as rollout.py's random-start masking
+        # (shared t0 -> every env finishes at the same step)
+        was_done = state.time[0] >= env_cfg.terminal_time - env_cfg.step_size / 2
+        new_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(was_done, old, new), res.state, state
+        )
+        reward = jnp.where(was_done, 0.0, res.reward)
+        new_obs = jnp.where(was_done, obs, res.obs)
+        outs.append((obs, action, logp, v, reward))
+        state, obs = new_state, new_obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+def test_fused_rollout_random_start_matches_xla_engine(setup):
+    """Random start times on the fused pipeline (VERDICT r3 item 2): a
+    ("uniform", lo, hi) start-time spec, the shared per-episode draw
+    injected as the kernel's t0 plane, must reproduce the XLA engine's
+    masking — frozen post-done obs (time clamped at terminal), zero
+    post-done rewards — on the same injected noise."""
+    base_cfg, params, channels = setup
+    env_cfg = dataclasses.replace(base_cfg, start_time=("uniform", 0.0, 0.5))
+    # T=6, dt=1/6: t0 = 2 grid steps -> 4 valid steps, 2 frozen.
+    t0_val = 2 * env_cfg.step_size
+    t0 = jnp.full((N,), t0_val, jnp.float32)
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels, t0=t0,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference_random_start(
+        env_cfg, params, channels, t0_val
+    )
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.log_probs), np.asarray(ref_logp), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.values), np.asarray(ref_v), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+    # the post-done tail really is frozen: zero rewards, constant obs
+    np.testing.assert_allclose(np.asarray(batch.rewards[-2:]), 0.0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(batch.obs[-1]), np.asarray(batch.obs[-2]), atol=0
+    )
+
+
+def test_fused_rollout_per_env_start_times_self_consistent(setup):
+    """The t0 plane is genuinely PER-ENV: a mixed plane (half the envs at
+    t0=0, half at t0=2dt) must reproduce, lane for lane, two separate
+    shared-t0 runs on the matching noise slices."""
+    base_cfg, params, channels = setup
+    # 2N envs (the kernel needs >=128 lanes per tile): the same noise block
+    # twice, halves distinguished only by their t0 plane values.
+    env_cfg = dataclasses.replace(
+        base_cfg, start_time=("uniform", 0.0, 0.5), num_trajectories=2 * N
+    )
+    channels2 = jnp.concatenate([channels, channels], axis=2)
+    t0_val = 2 * env_cfg.step_size
+    t0 = jnp.concatenate([
+        jnp.zeros((N,), jnp.float32), jnp.full((N,), t0_val, jnp.float32)
+    ])
+    mixed = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels2, t0=t0,
+    )
+    for sl, val in [(slice(0, N), 0.0), (slice(N, 2 * N), t0_val)]:
+        cfg_half = dataclasses.replace(env_cfg, num_trajectories=N)
+        solo = pallas_rollout.collect_rollout_fused(
+            cfg_half, params, jax.random.PRNGKey(0), tile=128,
+            interpret=True, noise=channels,
+            t0=jnp.full((N,), val, jnp.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(mixed.rewards[:, sl]), np.asarray(solo.rewards),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mixed.obs[:, sl]), np.asarray(solo.obs),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_fully_fused_iteration_separate_towers_runs():
     """The REFERENCE-EXACT architecture (separate 2-layer towers) through
     the FULLY-fused pipeline (fused rollout -> feature-major fused update),
