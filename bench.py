@@ -161,6 +161,28 @@ def measure_pallas_trajectories(
     return num_trajectories * cfg.n_steps * episodes_per_call / med
 
 
+def measure_cjp(
+    num_trajectories: int = 16384, episodes_per_call: int = 2, iters: int = 3
+) -> float:
+    """bench_suite config-2 lane (VERDICT r3 item 7): 1000-step CJP
+    market-making episodes with the closed-form Cartea-Jaimungal MM agent
+    (h-table lookup via one-hot MXU matmul, agents/baseline.py) and the
+    CjMm reward — the slowest closed-form path (~800M steps/s round 3).
+    Driver-visible so a regression in the one-hot policy path shows up in
+    BENCH_r*.json."""
+    import jax
+
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config
+    from mbt_gym_tpu.utils.profiling import _episode_thunk
+
+    cfg = cj_env_config(num_trajectories=num_trajectories, max_inventory=100.0)
+    policy = CarteaJaimungalMmAgent.from_config(cfg, max_inventory=100).policy()
+    thunk = _episode_thunk(cfg, policy, episodes_per_call)
+    med = _timed_median(lambda i: thunk(jax.random.PRNGKey(i)), iters, "cjp")
+    return num_trajectories * cfg.n_steps * episodes_per_call / med
+
+
 def verify_pallas_hardware_stats(num_trajectories: int = 16384) -> str:
     """Statistical validation of the episode kernel's HARDWARE PRNG draws
     against the AS-replication ground truth (BASELINE.md / notebook Test 1):
@@ -347,6 +369,22 @@ def main():
         except Exception as exc:
             verify_msgs.append(
                 f"fused-ppo crashed: {type(exc).__name__}: {str(exc)[:200]}"
+            )
+        try:
+            cjp_rate = measure_cjp()
+            rates["cjp"] = round(cjp_rate, 1)
+            # Band: ~800M steps/s measured round 3; a structural regression
+            # in the one-hot MXU h-table policy (e.g. a gather fallback)
+            # costs 5-10x, far below this floor; session-to-session relay
+            # variance does not reach it.
+            if cjp_rate < 250e6:
+                verify_msgs.append(
+                    f"cjp: rate {cjp_rate/1e6:.0f}M below the 250M floor "
+                    "(~800M expected)"
+                )
+        except Exception as exc:
+            verify_msgs.append(
+                f"cjp crashed: {type(exc).__name__}: {str(exc)[:200]}"
             )
     print(
         f"general engine {xla_rate/1e6:.1f}M"
