@@ -1,0 +1,160 @@
+"""A/B measurement of the fused pipeline's two learning simplifications
+(VERDICT r3 item 1): shuffle=False contiguous env-slice minibatches and the
+shared-trunk architecture, against the reference's SB3 conventions
+(shuffled row-major minibatches, separate pi/vf towers —
+experiments/helpers.py:71,80-81) — at MATCHED budgets and seeds on two
+families (the canonical lam learning env and optimal execution).
+
+Five arms isolate each factor:
+  ref-xla          XLA, separate towers, shuffle=True   (reference config)
+  shared-shuffle   XLA, shared trunk,    shuffle=True   (towers isolated)
+  shared-noshuffle XLA, shared trunk,    shuffle=False  (shuffle isolated)
+  fused-shared     fused, shared trunk,  shuffle=False  (production)
+  fused-towers     fused, separate towers, shuffle=False (ref arch, fast path)
+
+Each arm trains the same iteration budget from the same per-seed init key
+and reports the FINAL deterministic eval (ppo.evaluate_policy).  Run on a
+TPU host (the fused arms need the hardware PRNG):
+
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/exp_ab_learning.py \
+      > /tmp/ab.log 2>&1 &
+
+Results land in scripts/out/ab_learning_r04.json and a markdown table on
+stdout (BENCH_NOTES records the round-4 capture).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+SEEDS = [0, 1, 2, 3, 4]
+
+
+def run_family(name, env_cfg, base_cfg, iterations, chunk, jax):
+    from mbt_gym_tpu.agents import ppo
+
+    arms = {
+        "ref-xla": dataclasses.replace(
+            base_cfg, shared_trunk=False, shuffle=True,
+            fused_rollout=False, fused_update=False,
+        ),
+        "shared-shuffle": dataclasses.replace(
+            base_cfg, shared_trunk=True, shuffle=True,
+            fused_rollout=False, fused_update=False,
+        ),
+        "shared-noshuffle": dataclasses.replace(
+            base_cfg, shared_trunk=True, shuffle=False,
+            fused_rollout=False, fused_update=False,
+        ),
+        "fused-shared": dataclasses.replace(
+            base_cfg, shared_trunk=True, shuffle=False,
+            fused_rollout=True, fused_update=True,
+        ),
+        "fused-towers": dataclasses.replace(
+            base_cfg, shared_trunk=False, shuffle=False,
+            fused_rollout=True, fused_update=True,
+        ),
+    }
+    out = {}
+    for arm, cfg in arms.items():
+        finals = []
+        for seed in SEEDS:
+            t0 = time.time()
+            ts = ppo.init_train_state(env_cfg, cfg, jax.random.PRNGKey(seed))
+            done = 0
+            while done < iterations:
+                k = min(chunk, iterations - done)
+                ts, _ = ppo.jit_train_chunk(
+                    env_cfg, cfg, ts, jax.random.PRNGKey(seed * 10_000 + done), k
+                )
+                done += k
+            det = float(
+                ppo.evaluate_policy(env_cfg, ts.params, jax.random.PRNGKey(99), 4)
+            )
+            finals.append(det)
+            print(
+                f"{name}/{arm}/seed{seed}: final_det={det:.3f} "
+                f"({time.time()-t0:.0f}s)",
+                file=sys.stderr, flush=True,
+            )
+        out[arm] = {
+            "finals": finals,
+            "mean": float(np.mean(finals)),
+            "std": float(np.std(finals)),
+            "min": float(np.min(finals)),
+            "max": float(np.max(finals)),
+        }
+    return out
+
+
+def main():
+    import jax
+
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.utils.config import learning_env_config, oe_env_config
+
+    results = {"seeds": SEEDS}
+
+    # ---- family 1: the reference's canonical lam learning env ----------
+    # max_inventory = n_steps (=100) is the REFERENCE's exact setting
+    # (helpers.py:56) and it is load-bearing: with a small cap (e.g. the
+    # round-3 test's 20) every sufficiently-good arm discovers the
+    # market-order money pump — MOs are not masked at max inventory and
+    # the inventory clip keeps the MO cash (TradingEnvironment.py:283-289,
+    # faithfully reproduced here), so a pinned agent earns ~best_bid per
+    # step and final evals become a bimodal exploit lottery (~7100 vs ~34,
+    # round-4 first capture).  At max_inventory=n_steps the clip is
+    # unreachable profitably within the horizon (1 unit/step ramp eats the
+    # episode), which is presumably why the reference chose it.
+    canon_env = dataclasses.replace(
+        learning_env_config(num_trajectories=4096),
+        max_inventory=100.0, normalise_observation_space=True,
+    )
+    canon_base = ppo.PPOConfig(
+        hidden=(256, 256), n_epochs=4, n_minibatches=8,
+        learning_rate=1e-3, gamma=1.0, gae_lambda=0.95,
+        compute_dtype="bfloat16", fused_compute_dtype="bfloat16",
+    )
+    results["canonical"] = run_family(
+        "canonical", canon_env, canon_base, iterations=300, chunk=50, jax=jax
+    )
+
+    # ---- family 2: optimal execution (speed dynamics + CjOe) -----------
+    phi, alpha = 2e-3, 0.1
+    oe_env = dataclasses.replace(
+        oe_env_config(
+            num_trajectories=8192, n_steps=200,
+            per_step_inventory_aversion=phi, terminal_inventory_aversion=alpha,
+        ),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    oe_base = dataclasses.replace(canon_base, n_epochs=1, n_minibatches=4)
+    results["oe"] = run_family(
+        "oe", oe_env, oe_base, iterations=200, chunk=50, jax=jax
+    )
+
+    os.makedirs("scripts/out", exist_ok=True)
+    path = "scripts/out/ab_learning_r04.json"
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+
+    for fam in ("canonical", "oe"):
+        print(f"\n### {fam}: final deterministic eval over {len(SEEDS)} seeds")
+        print("| arm | mean | std | min | max |")
+        print("|---|---|---|---|---|")
+        for arm, r in results[fam].items():
+            print(
+                f"| {arm} | {r['mean']:.2f} | {r['std']:.2f} "
+                f"| {r['min']:.2f} | {r['max']:.2f} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

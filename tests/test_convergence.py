@@ -56,6 +56,82 @@ def test_ppo_learns_at_all_ci_gate():
     assert best > 0.35 * cf, (best, cf)
 
 
+def test_fused_simplifications_inside_shuffled_xla_band():
+    """CI-scale learning A/B (VERDICT r3 item 1): the production fused
+    configuration (shared trunk + shuffle=False contiguous env-slice
+    minibatches, the real fused kernels driven with injected noise on CPU)
+    must land inside the band of the reference configuration (separate
+    pi/vf towers + SB3-style shuffled minibatches, XLA path) at a matched
+    60-iteration budget on the CJ CI env.  Measured round 4: fused 2.96 vs
+    shuffled-XLA [2.90, 2.90, 3.09] over 3 seeds.  The full-scale 5-seed,
+    2-family version is scripts/exp_ab_learning.py (BENCH_NOTES round 4)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.ops import pallas_rollout
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    raw = cj_env_config(
+        num_trajectories=256, n_steps=50, arrival_rate=10.0,
+        per_step_inventory_aversion=0.5, terminal_inventory_aversion=0.001,
+        max_inventory=10.0,
+    )
+    env_cfg = dataclasses.replace(
+        raw, normalise_observation_space=True, normalise_action_space=True
+    )
+
+    xla_cfg = ppo.PPOConfig(
+        hidden=(64, 64), n_epochs=4, n_minibatches=4, shuffle=True,
+        shared_trunk=False, learning_rate=1e-3,
+    )
+    xla_bests = []
+    for seed in (0, 1, 2):
+        ts = ppo.init_train_state(env_cfg, xla_cfg, jax.random.PRNGKey(seed))
+        best = -np.inf
+        for i in range(60):
+            ts, m = ppo.jit_train_iteration(
+                env_cfg, xla_cfg, ts, jax.random.PRNGKey(1000 * seed + i)
+            )
+            best = max(best, float(m["mean_episode_reward"]))
+        xla_bests.append(best)
+
+    fused_cfg = ppo.PPOConfig(
+        hidden=(64, 64), n_epochs=4, n_minibatches=4, shuffle=False,
+        shared_trunk=True, learning_rate=1e-3,
+        fused_rollout=True, fused_update=True, fused_interpret_ok=True,
+        fused_compute_dtype="float32", fused_rollout_tile=128, fused_tile=128,
+    )
+    n_ch = pallas_rollout.n_noise_channels(env_cfg.action_dim)
+
+    @partial(jax.jit)
+    def fused_step(params, opt, key, noise):
+        return ppo._fused_iteration_body(
+            env_cfg, fused_cfg, params, opt, key, noise=noise
+        )
+
+    rng = np.random.default_rng(7)
+    ts = ppo.init_train_state(env_cfg, fused_cfg, jax.random.PRNGKey(0))
+    params, opt = ts.params, ts.opt_state
+    fused_best = -np.inf
+    for i in range(60):
+        noise = rng.uniform(
+            size=(env_cfg.n_steps, n_ch, env_cfg.num_trajectories)
+        ).astype(np.float32)
+        noise[:, 4:] = rng.normal(
+            size=(env_cfg.n_steps, n_ch - 4, env_cfg.num_trajectories)
+        ).astype(np.float32)
+        params, opt, m = fused_step(
+            params, opt, jax.random.PRNGKey(1000 + i), jnp.asarray(noise)
+        )
+        fused_best = max(fused_best, float(m["mean_episode_reward"]))
+
+    # inside the shuffled-XLA band, with margin for seed noise (observed
+    # spread ~0.2 across seeds)
+    assert fused_best >= min(xla_bests) - 0.35, (fused_best, xla_bests)
+
+
 def test_reinforce_learns_ci_gate():
     """Always-on REINFORCE learning gate (VERDICT round-3 weak item 4,
     counterpart of the reference's PolicyGradientAgent training loop,
