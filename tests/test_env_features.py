@@ -194,3 +194,41 @@ def test_predraw_noise_mode_statistics_and_determinism():
     # Different stream, same distribution: means agree within a few SE.
     assert abs(s_pre["mean_pnl"] - s_step["mean_pnl"]) < 4 * s_step["std_pnl"] / np.sqrt(512) + 1e-6
     assert abs(s_pre["mean_spread"] - s_step["mean_spread"]) < 0.02
+
+
+def test_market_order_money_pump_is_reference_faithful():
+    """Reference quirk pinned (found by the round-4 RL A/B): market orders
+    are NOT masked at max inventory (only limit fills are,
+    TradingEnvironment.py:199-201) and the inventory clip keeps the MO's
+    cash (TradingEnvironment.py:283-289 clips inventory and cash
+    INDEPENDENTLY after ModelDynamics.update_state already credited
+    `mo_sell * best_bid`).  An agent pinned at -max_inventory therefore
+    earns ~best_bid (~initial_price) of marked-to-market PnL per step by
+    selling a market order it cannot deliver.  We reproduce the mechanics
+    faithfully; the reference's canonical training env sidesteps the pump
+    by setting max_inventory = n_steps (helpers.py:56), making the clip
+    unreachable profitably within one episode (1 unit/step ramp).  RL on
+    this env with a small max_inventory override WILL discover the pump
+    (round-4 capture: deterministic evals ~7100 vs the ~68 closed-form
+    baseline) — see scripts/exp_ab_learning.py."""
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=4), max_inventory=3.0
+    )
+
+    def sell_mo_every_step(params, obs, state):
+        n = obs.shape[0]
+        # deep quotes (never filled), no buy MO, sell MO every step
+        return jnp.stack(
+            [jnp.full((n,), 30.0)] * 2 + [jnp.zeros((n,)), jnp.ones((n,))],
+            axis=1,
+        ).astype(obs.dtype)
+
+    res = jit_rollout(cfg, sell_mo_every_step, None, jax.random.PRNGKey(0))
+    state = res.final_state
+    # inventory pinned at the clip; cash grew ~best_bid per post-pin step
+    np.testing.assert_allclose(np.asarray(state.inventory), -3.0, atol=1e-5)
+    total_reward = float(res.trajectory.rewards.sum(axis=0).mean())
+    n_pinned_steps = cfg.n_steps - 3  # ramp from initial inventory ~0
+    assert total_reward > 0.8 * 99.0 * n_pinned_steps, total_reward
