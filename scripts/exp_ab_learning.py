@@ -94,10 +94,19 @@ def run_family(name, env_cfg, base_cfg, iterations, chunk, jax):
 
 
 def main():
+    import argparse
+
     import jax
 
     from mbt_gym_tpu.agents import ppo
     from mbt_gym_tpu.utils.config import learning_env_config, oe_env_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--canonical-iters", type=int, default=300)
+    ap.add_argument("--oe-iters", type=int, default=200)
+    ap.add_argument("--skip-oe", action="store_true")
+    ap.add_argument("--out", default="scripts/out/ab_learning_r04.json")
+    args = ap.parse_args()
 
     results = {"seeds": SEEDS}
 
@@ -122,7 +131,8 @@ def main():
         compute_dtype="bfloat16", fused_compute_dtype="bfloat16",
     )
     results["canonical"] = run_family(
-        "canonical", canon_env, canon_base, iterations=300, chunk=50, jax=jax
+        "canonical", canon_env, canon_base,
+        iterations=args.canonical_iters, chunk=50, jax=jax,
     )
 
     # ---- family 2: optimal execution (speed dynamics + CjOe) -----------
@@ -134,18 +144,19 @@ def main():
         ),
         normalise_observation_space=True, normalise_action_space=True,
     )
-    oe_base = dataclasses.replace(canon_base, n_epochs=1, n_minibatches=4)
-    results["oe"] = run_family(
-        "oe", oe_env, oe_base, iterations=200, chunk=50, jax=jax
-    )
+    if not args.skip_oe:
+        oe_base = dataclasses.replace(canon_base, n_epochs=1, n_minibatches=4)
+        results["oe"] = run_family(
+            "oe", oe_env, oe_base, iterations=args.oe_iters, chunk=50, jax=jax
+        )
 
     os.makedirs("scripts/out", exist_ok=True)
-    path = "scripts/out/ab_learning_r04.json"
+    path = args.out
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {path}", file=sys.stderr)
 
-    for fam in ("canonical", "oe"):
+    for fam in [k for k in ("canonical", "oe") if k in results]:
         print(f"\n### {fam}: final deterministic eval over {len(SEEDS)} seeds")
         print("| arm | mean | std | min | max |")
         print("|---|---|---|---|---|")
