@@ -83,7 +83,7 @@ def _timed_median(call, iters: int, label: str) -> float:
 
 
 def measure_engine(
-    num_trajectories: int = 16384, episodes_per_call: int = 10, iters: int = 5
+    num_trajectories: int = 16384, episodes_per_call: int = 40, iters: int = 5
 ) -> float:
     import jax
 
@@ -124,12 +124,23 @@ def measure_engine(
 
 
 def measure_pallas_trajectories(
-    num_trajectories: int = 16384, episodes_per_call: int = 10, iters: int = 5
+    num_trajectories: int = 16384, episodes_per_call: int = 120, iters: int = 5
 ):
     """The fused whole-episode Pallas kernel with FULL trajectory
     materialization (ops/pallas_episode.as_episode_trajectories_pallas) —
     semantics-equivalent to rollout() for this config (stats validated
-    against the ground-truth table), so eligible as the headline path."""
+    against the ground-truth table), so eligible as the headline path.
+
+    episodes_per_call sizing (round-4 batch sweep,
+    scripts/exp_batch_sweep.py): one 16k x T=200 episode is ~0.4 ms of
+    device work while a chained dispatch costs ~3 ms (and a fetched one
+    ~26 ms), so the round-3 default of 10 episodes/call under-reported the
+    device rate ~40% (4.8B measured vs 8.1B at 120/call).  120 episodes
+    ~= 50 ms of device work per dispatch keeps chaining overhead <6% —
+    the same amortized-consumer semantics declared above, just measured
+    at honest granularity; the sweep also showed the round-3 "batch
+    non-monotonicity" was exactly this overhead (amortized rates are
+    monotone in batch)."""
     import jax
     import jax.numpy as jnp
 
