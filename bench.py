@@ -166,8 +166,17 @@ def measure_pallas_trajectories(
         acc, _ = jax.lax.scan(one, 0.0, seed0 + jnp.arange(episodes_per_call, dtype=jnp.int32))
         return acc
 
+    # Seed derivation must stay inside int32: _timed_median's window keys
+    # reach (WINDOWS)*1_000_000 + iters, and *1000 scaling overflows int32
+    # from window 3 on (the r03 key-spacing fix + this lane's scaling —
+    # 3_000_000*1000 > 2^31 raised OverflowError and silently dropped the
+    # headline lane).  Reduce mod a Mersenne prime in Python ints first;
+    # per-episode seeds are seed0 + [0, episodes_per_call) so windows stay
+    # disjoint (spacing 1000 >> 120 episodes/call).
     med = _timed_median(
-        lambda i: episodes(jnp.int32(1000 + i * 1000)), iters, "pallas-traj"
+        lambda i: episodes(jnp.int32((1000 + i * 1000) % 0x7FFFFFFF)),
+        iters,
+        "pallas-traj",
     )
     return num_trajectories * cfg.n_steps * episodes_per_call / med
 
@@ -362,7 +371,16 @@ def main():
         rates["pallas_episode"] = round(pallas_rate, 1)
         value = max(value, pallas_rate)
     except Exception as exc:  # CPU-only hosts: the kernel needs real TPU PRNG
-        print(f"pallas path unavailable: {type(exc).__name__}", file=sys.stderr)
+        print(
+            f"pallas path unavailable: {type(exc).__name__}: {str(exc)[:200]}",
+            file=sys.stderr,
+        )
+        if on_tpu:
+            # On real hardware the headline lane failing is a regression,
+            # not an expected fallback — surface it in the verify field.
+            verify_msgs.append(
+                f"pallas-lane crashed: {type(exc).__name__}: {str(exc)[:160]}"
+            )
     if on_tpu:
         try:
             msg = verify_pallas_hardware_stats()
