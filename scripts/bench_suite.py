@@ -17,6 +17,8 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
     CjMm + random initial inventory) on the fused pipeline
  10. The composite stress family (Hawkes + exogenous-MM fills + lam) on
      the fused pipeline — config 4's model stack with the learner in loop
+ 11. Config 9 with the reference's exact net_arch (separate 256x256
+     pi/vf towers, experiments/helpers.py:71) on the fused kernels
 """
 from __future__ import annotations
 
@@ -62,7 +64,8 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
             "env_steps_per_s": rate, "ms_per_call": dt * 1e3, "compile_s": compile_s}
 
 
-def measure_ppo(name, env_cfg, iters=3, n_minibatches=4, fused=True):
+def measure_ppo(name, env_cfg, iters=3, n_minibatches=4, fused=True,
+                shared_trunk=True):
     from mbt_gym_tpu.agents import ppo
 
     # Pod-scale production settings: shared-trunk actor-critic, contiguous
@@ -71,10 +74,13 @@ def measure_ppo(name, env_cfg, iters=3, n_minibatches=4, fused=True):
     # the fused Pallas rollout + update kernels (VMEM-resident activations)
     # on TPU.  The convergence gates (tests/test_convergence.py + the
     # on-chip run in BENCH_NOTES.md) use this same architecture.
+    # shared_trunk=False runs the reference's exact net_arch (separate
+    # 256x256 pi/vf towers, experiments/helpers.py:71) as a stacked trunk
+    # on the same fused kernels (round 4).
     on_tpu = jax.default_backend() == "tpu"
     ppo_cfg = ppo.PPOConfig(
         hidden=(256, 256), n_epochs=1, n_minibatches=n_minibatches,
-        shuffle=False, compute_dtype="bfloat16", shared_trunk=True,
+        shuffle=False, compute_dtype="bfloat16", shared_trunk=shared_trunk,
         fused_update=fused and on_tpu, fused_rollout=fused and on_tpu,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
@@ -235,6 +241,20 @@ def main():
             "10. PPO on composite Hawkes+ExoMM+L&M, 262k envs/chip",
             cfg10,
             n_minibatches=4 if args.small else 16,
+        )
+    )
+
+    # Config 11: config 9's workload with the reference's EXACT network
+    # architecture — separate 256x256 pi/vf towers
+    # (experiments/helpers.py:71) — on the same fused kernels (stacked-
+    # trunk formulation, round 4).  Measures the throughput cost of the
+    # reference net_arch vs the shared-trunk production default.
+    rows.append(
+        measure_ppo(
+            "11. PPO, separate pi/vf towers (reference net_arch)",
+            cfg9,
+            n_minibatches=4 if args.small else 16,
+            shared_trunk=False,
         )
     )
 
