@@ -79,11 +79,28 @@ class EnvConfig:
     normalise_observation_space: bool = False
     reward_scaling: Optional[float] = None  # None = no reward normalisation
     dtype: str = "float32"
+    # Repo addition (NOT reference behavior): block unit market orders at
+    # the +/- max_inventory boundary, with the same at-boundary convention
+    # as the limit-fill mask (TradingEnvironment.py:323-327 masks only
+    # limit fills; market orders pass and the independent inventory/cash
+    # clips at :283-289 keep the cash — a money-pump exploit RL discovers,
+    # see tests/test_env_features.py::
+    # test_market_order_money_pump_is_reference_faithful).  Default False
+    # preserves the reference mechanics bitwise.
+    mask_market_orders_at_max_inventory: bool = False
 
     def __post_init__(self):
         if self.dynamics is None:
             object.__setattr__(self, "dynamics", default_dynamics())
         self.dynamics.validate()
+        if self.mask_market_orders_at_max_inventory:
+            from mbt_gym_tpu.dynamics import LimitAndMarketOrderDynamics
+
+            assert isinstance(self.dynamics, LimitAndMarketOrderDynamics), (
+                "mask_market_orders_at_max_inventory only applies to "
+                "LimitAndMarketOrderDynamics (the only dynamics with market "
+                "orders)."
+            )
         if self.normalise_action_space:
             from mbt_gym_tpu.dynamics import AtTheTouchDynamics
 
@@ -343,6 +360,24 @@ def step(
         f"Action must have shape ({n}, {dynamics.action_dim}); got {action.shape}."
     )
     action = denormalise_action(cfg, action)
+
+    if cfg.mask_market_orders_at_max_inventory:
+        # Repo addition (see EnvConfig): zero the MO trigger columns where
+        # the unit order would cross +/- max_inventory, with the same
+        # strict at-boundary convention as the limit-fill mask below (a
+        # buy is blocked AT +max, a sell AT -max).  Masking the action
+        # itself keeps the dynamics' bookkeeping untouched and models the
+        # exchange rejecting the order.
+        can_buy = (state.inventory < cfg.max_inventory).astype(dtype)
+        can_sell = (state.inventory > -cfg.max_inventory).astype(dtype)
+        action = jnp.concatenate(
+            [
+                action[:, :2],
+                action[:, 2:3] * can_buy[:, None],
+                action[:, 3:4] * can_sell[:, None],
+            ],
+            axis=1,
+        )
 
     if noise is None:
         noise = draw_step_noise(cfg, jax.random.fold_in(state.key, state.step), state.cash.shape[0])

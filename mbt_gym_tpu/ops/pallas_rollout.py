@@ -220,6 +220,12 @@ class MlpRolloutParams(NamedTuple):
     # rewards exactly mirror the XLA engine's random-start masking
     # (rollout.py).  start_time stays 0.0 here so run_steps is n_steps.
     random_start: bool = False
+    # Repo addition (EnvConfig.mask_market_orders_at_max_inventory): block
+    # the lam family's unit market orders at +/- max_inventory with the
+    # same at-boundary convention as the limit-fill mask — closes the
+    # reference money-pump exploit (tests/test_env_features.py).  Default
+    # False preserves reference mechanics.
+    mask_mo_at_max_inventory: bool = False
 
     @property
     def run_steps(self) -> int:
@@ -573,6 +579,7 @@ def rollout_params_from_config(cfg: EnvConfig) -> MlpRolloutParams:
         initial_inventory=inv0,
         start_time=start_val,
         random_start=random_start,
+        mask_mo_at_max_inventory=bool(cfg.mask_market_orders_at_max_inventory),
         obs_low=tuple(float(x) for x in obs_low),
         obs_grad=tuple(float(h - l) / 2.0 for l, h in zip(obs_low, obs_high)),
         act_low=tuple(float(x) for x in act_low),
@@ -884,6 +891,11 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         hs = p.fixed_half_spread
         mo_buy = (mo_buy_raw > 0.5).astype(jnp.float32)
         mo_sell = (mo_sell_raw > 0.5).astype(jnp.float32)
+        if p.mask_mo_at_max_inventory:
+            # repo-addition MO mask: same PRE-STEP inventory + strict
+            # at-boundary convention as the limit-fill mask below
+            mo_buy = mo_buy * (inv < p.max_inventory).astype(jnp.float32)
+            mo_sell = mo_sell * (inv > -p.max_inventory).astype(jnp.float32)
         arr_bid, arr_ask = _sample_arrivals()
         new_lam_b, new_lam_a = _update_hawkes(arr_bid, arr_ask)
         pb, pa = _fill_probs(bid_depth, ask_depth)

@@ -232,3 +232,45 @@ def test_market_order_money_pump_is_reference_faithful():
     total_reward = float(res.trajectory.rewards.sum(axis=0).mean())
     n_pinned_steps = cfg.n_steps - 3  # ramp from initial inventory ~0
     assert total_reward > 0.8 * 99.0 * n_pinned_steps, total_reward
+
+
+def test_market_order_mask_closes_money_pump():
+    """Repo-addition flag (EnvConfig.mask_market_orders_at_max_inventory):
+    the same sell-MO-every-step scenario as the reference-faithful pump
+    test above must be UNPROFITABLE with the mask on — market orders are
+    blocked at the +/- max_inventory boundary with the limit-fill mask's
+    strict at-boundary convention, so the agent only ever sells the 3
+    units it can deliver (each costing the half-spread mark-to-market)."""
+    from mbt_gym_tpu.utils.config import learning_env_config
+
+    cfg = dataclasses.replace(
+        learning_env_config(num_trajectories=4, initial_inventory=0),
+        max_inventory=3.0,
+        mask_market_orders_at_max_inventory=True,
+    )
+
+    def sell_mo_every_step(params, obs, state):
+        n = obs.shape[0]
+        return jnp.stack(
+            [jnp.full((n,), 30.0)] * 2 + [jnp.zeros((n,)), jnp.ones((n,))],
+            axis=1,
+        ).astype(obs.dtype)
+
+    res = jit_rollout(cfg, sell_mo_every_step, None, jax.random.PRNGKey(0))
+    state = res.final_state
+    # ramp to the boundary, then every further sell MO is rejected
+    np.testing.assert_allclose(np.asarray(state.inventory), -3.0, atol=1e-5)
+    total_reward = float(res.trajectory.rewards.sum(axis=0).mean())
+    # no pump: |reward| bounded by the 3 executed sells' proceeds + the
+    # inventory penalties, nowhere near the faithful test's ~0.8*99*T
+    assert abs(total_reward) < 400.0, total_reward
+    # cash = 3 executed sells at ~(price - half_spread), not T sells
+    assert float(np.max(np.asarray(state.cash))) < 3.5 * 100.0, state.cash
+
+
+def test_market_order_mask_requires_lam_dynamics():
+    with pytest.raises(AssertionError, match="mask_market_orders"):
+        dataclasses.replace(
+            as_env_config(num_trajectories=4),
+            mask_market_orders_at_max_inventory=True,
+        )

@@ -702,6 +702,52 @@ def test_fused_rollout_lam_dynamics_matches_xla_engine(reward_name):
     np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
 
 
+def test_fused_rollout_lam_mo_mask_matches_xla_engine():
+    """Repo-addition MO mask (EnvConfig.mask_market_orders_at_max_inventory):
+    with a tight max_inventory and a policy that fires market orders, the
+    fused kernel's in-kernel MO gating must reproduce the XLA engine's
+    action-column masking on the same injected noise — including steps
+    where an env sits AT the boundary and its MO is rejected."""
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    env_cfg = dataclasses.replace(
+        lam_env_config(num_trajectories=N, n_steps=T),
+        max_inventory=1.0,
+        mask_market_orders_at_max_inventory=True,
+        normalise_observation_space=True,
+    )
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(7), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    # widen the sample spread so MO columns cross the 0.5 trigger often
+    params = dict(params, log_std=params["log_std"] + 0.7)
+    n_ch = pallas_rollout.n_noise_channels(env_cfg.action_dim)
+    rng = np.random.default_rng(43)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:9] = rng.normal(size=(T, 5, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    assert p.mask_mo_at_max_inventory
+
+    batch = pallas_rollout.collect_rollout_fused(
+        env_cfg, params, jax.random.PRNGKey(0), tile=128,
+        interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_logp, ref_v, ref_r = _xla_reference_lam(
+        env_cfg, params, channels
+    )
+    # the scenario must actually exercise both a fired AND a blocked MO:
+    # some step has an env at the boundary with its MO column > 0.5
+    inv = np.asarray(ref_obs)[..., 1] * env_cfg.max_inventory  # denormalised
+    mo_cols = np.asarray(ref_act)[..., 2:] > 0.5
+    at_bound = (inv >= env_cfg.max_inventory) | (inv <= -env_cfg.max_inventory)
+    assert mo_cols.any() and (at_bound & mo_cols.any(axis=-1)).any()
+    np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
 def test_lam_dynamics_config_guard():
     from mbt_gym_tpu.utils.config import lam_env_config
 
