@@ -244,8 +244,16 @@ def _fused_grads_and_metrics(params, ppo_cfg: PPOConfig, mb: RolloutBatch):
     if "shared" not in params:
         m = mb.obs.shape[0]
         lanes = ppo_cfg.fused_tile
-        while m % lanes != 0:
+        while lanes > 1 and m % lanes != 0:
             lanes //= 2
+        # On hardware the kernel's lane dimension must stay MXU-friendly;
+        # an odd minibatch size would otherwise degenerate to lanes=1.
+        assert interpret or lanes >= 128, (
+            f"fused_update with separate towers re-blocks the {m}-sample "
+            "minibatch into (rows, lanes) and needs a lane count >= 128 on "
+            "TPU; pick num_trajectories*n_steps/n_minibatches divisible by "
+            "128 or use the XLA path (fused_update=False)."
+        )
         t_rows = m // lanes
         to_t = lambda x: x.reshape(t_rows, lanes, -1).swapaxes(1, 2)
         flat_t = lambda x: x.reshape(t_rows, lanes)
