@@ -57,6 +57,15 @@ configurations: the strict_reference_bug fill variants, callable reset
 specs (host-evaluated per reset by design), and float64 reference-parity
 runs.
 
+Besides the MLP actor-critic, the kernel family also runs the closed-form
+Cartea-Jaimungal MM agent (round 4, :func:`table_rollout_pallas`): the
+precomputed (time, inventory) depth table (BaselineAgents.py:86-170 via
+``agents.baseline.CarteaJaimungalMmAgent.depth_table``) is VMEM-resident
+and looked up per step with a one-hot MXU contraction — the fused
+counterpart of the engine's one-hot-matmul policy path, covering the CJP
+replication config (the slowest closed-form lane on the XLA engine) with
+streams or stats-only outputs.
+
 Other configs use the XLA rollout.  A noise-injectable mode runs under the Pallas interpreter on
 CPU, and tests/test_pallas_rollout.py asserts parity against the XLA
 engine + networks on the SAME noise.
@@ -86,13 +95,17 @@ GROUP = 8  # f32 sublane granularity: packed channel groups align to it
 N_CHANNELS = 7
 
 
-def n_noise_channels(a_dim: int, exomm: bool = False, mid2: bool = False) -> int:
+def n_noise_channels(
+    a_dim: int, exomm: bool = False, mid2: bool = False, table: bool = False
+) -> int:
     """Injected-noise channel count: 4 env uniforms + max(a_dim, 2)
     policy-sample normals + 1 midprice normal (+ 2 exogenous best-depth
     OU normals for the exogenous-MM fill kind, + 1 second-midprice-state
     normal for the 2-dim midprice kinds: Heston variance / short-term
-    alpha)."""
-    return 4 + max(a_dim, 2) + 1 + (2 if exomm else 0) + (1 if mid2 else 0)
+    alpha).  The deterministic "table" policy draws no policy-sample
+    normals, so its channel layout drops the eps rows."""
+    n_eps = 0 if table else max(a_dim, 2)
+    return 4 + n_eps + 1 + (2 if exomm else 0) + (1 if mid2 else 0)
 
 
 class MlpRolloutParams(NamedTuple):
@@ -226,6 +239,15 @@ class MlpRolloutParams(NamedTuple):
     # reference money-pump exploit (tests/test_env_features.py).  Default
     # False preserves reference mechanics.
     mask_mo_at_max_inventory: bool = False
+    # Policy: "mlp" (the actor-critic forward above) or "table" (round 4:
+    # a closed-form depth table indexed by (time step, inventory) — the
+    # CarteaJaimungalMmAgent policy, BaselineAgents.py:86-170 — looked up
+    # per step via a one-hot MXU contraction; limit dynamics only, no
+    # action-box clipping, exactly like the XLA engine's closed-form
+    # policy path in agents/baseline.py).
+    policy_kind: str = "mlp"
+    # "table" policy: true (unpadded) inventory-grid size 2*q_max + 1.
+    table_size: int = 0
 
     @property
     def run_steps(self) -> int:
@@ -686,7 +708,8 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
 
 
 def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
-                  is_last=None, inv0=None, split_at=None, ep_len=None):
+                  is_last=None, inv0=None, split_at=None, ep_len=None,
+                  table_row=None):
     """One fused policy+env step for a (.., L) lane tile.  ``draws`` is
     ``(u_arr_bid, u_arr_ask, u_fill_bid, u_fill_ask, eps (>=a_dim, L),
     n_mid, exo_n (2, L) or None, mid2_n (1, L) or None)``; ``is_last``
@@ -696,8 +719,9 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     Hawkes-intensity planes (arrival_kind "hawkes"), two exogenous
     best-depth planes (fill_kind "exomm"), and the impact-state plane
     (speed dynamics with a stateful impact kind).  Returns (new_carry,
-    outputs)."""
-    (trunk, w_head_ref, b_head_ref, lstd_ref) = refs
+    outputs).  With ``p.policy_kind == "table"`` the MLP weight ``refs``
+    are unused (pass None) and ``table_row`` must carry this step's
+    (2, Q_pad) [bid; ask] closed-form depth row."""
     it = iter(carry)
     cash, inv, price = next(it), next(it), next(it)
     lam_b = lam_a = exo_b = exo_a = imp = mid2 = None
@@ -734,48 +758,82 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         ]
     X = jnp.concatenate(planes, axis=0)  # (S, L)
 
-    # --- policy/value forward, transposed ---
-    # bf16 matmuls are safe on normalised [-1, 1] observations; raw-scale
-    # observations (e.g. price ~ 100 in the unnormalised OE config) lose
-    # ~1e-2 absolute on the policy mean in bf16, so compute f32 there.
-    cdt = jnp.bfloat16 if p.normalise_obs else jnp.float32
-    h = X
-    for li in range(n_layers):
-        w_ref, b_ref = trunk[li]
-        if split_at is None or li == 0:
-            pre = _mmT(w_ref[:], h, cdt)
-        else:
-            # stacked separate towers: two per-tower matmuls on row slices
-            wo, wi = split_at[li], split_at[li - 1]
-            pre = jnp.concatenate(
-                [_mmT(w_ref[:wo], h[:wi], cdt), _mmT(w_ref[wo:], h[wi:], cdt)],
-                axis=0,
-            )
-        h = jnp.tanh(pre + b_ref[:])
-    hd = _mmT(w_head_ref[:], h, cdt) + b_head_ref[:]  # (A+1, L)
-    mean = hd[0:a_dim]
-    value = hd[a_dim : a_dim + 1]
-
-    # --- Gaussian sample; log-prob of the UNCLIPPED sample (SB3 convention) ---
-    log_std = lstd_ref[:]  # (A, 1)
-    eps = eps_all[:a_dim]  # (A, L)
-    action = mean + jnp.exp(log_std) * eps
-    logp = jnp.sum(-0.5 * eps * eps - log_std, axis=0, keepdims=True) - (
-        0.5 * _LOG_2PI * a_dim
-    )
-
-    # --- executed action: clip to the box, then to model units ---
-    if p.normalise_act:
-        clipped = jnp.clip(action, -1.0, 1.0)
-        exec_action = tuple(
-            (clipped[c : c + 1] + 1.0) * p.act_grad[c] + p.act_low[c]
-            for c in range(a_dim)
-        )
+    if p.policy_kind == "table":
+        # --- closed-form depth-table policy (BaselineAgents.py:86-170 via
+        # agents/baseline.py CarteaJaimungalMmAgent.depth_table) ---
+        # ``table_row`` is this step's (2, Q_pad) [bid; ask] depth row.
+        # The per-env inventory lookup is a one-hot MXU contraction —
+        # the same reasoning as the XLA policy path (baseline.py: TPU
+        # gathers over (N,) indices are far slower than a one-hot matmul).
+        # f32 throughout: the contraction selects single table entries, so
+        # f32 keeps the fused lane bit-comparable to the engine's lookup.
+        q_max = (p.table_size - 1) // 2
+        idx = jnp.clip(q_max + inv, 0.0, 2.0 * q_max).astype(jnp.int32)  # (1, L)
+        q_pad = table_row.shape[-1]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (q_pad, L), 0) == idx
+        ).astype(jnp.float32)
+        quotes = jax.lax.dot_general(
+            table_row.astype(jnp.float32), onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2, L)
+        # No action-box clip: the engine does not clip closed-form actions
+        # (env.step clips nothing when normalise_action_space=False; the
+        # large-depth boundary override exceeds max_depth by design).
+        exec_action = (quotes[0:1], quotes[1:2])
+        action = quotes
+        logp = jnp.zeros((1, L), jnp.float32)
+        value = jnp.zeros((1, L), jnp.float32)
     else:
-        exec_action = tuple(
-            jnp.clip(action[c : c + 1], p.act_low[c], p.act_low[c] + 2 * p.act_grad[c])
-            for c in range(a_dim)
+        # --- policy/value forward, transposed ---
+        # bf16 matmuls are safe on normalised [-1, 1] observations;
+        # raw-scale observations (e.g. price ~ 100 in the unnormalised OE
+        # config) lose ~1e-2 absolute on the policy mean in bf16, so
+        # compute f32 there.
+        cdt = jnp.bfloat16 if p.normalise_obs else jnp.float32
+        trunk, w_head_ref, b_head_ref, lstd_ref = refs
+        h = X
+        for li in range(n_layers):
+            w_ref, b_ref = trunk[li]
+            if split_at is None or li == 0:
+                pre = _mmT(w_ref[:], h, cdt)
+            else:
+                # stacked separate towers: two per-tower matmuls on row
+                # slices
+                wo, wi = split_at[li], split_at[li - 1]
+                pre = jnp.concatenate(
+                    [_mmT(w_ref[:wo], h[:wi], cdt), _mmT(w_ref[wo:], h[wi:], cdt)],
+                    axis=0,
+                )
+            h = jnp.tanh(pre + b_ref[:])
+        hd = _mmT(w_head_ref[:], h, cdt) + b_head_ref[:]  # (A+1, L)
+        mean = hd[0:a_dim]
+        value = hd[a_dim : a_dim + 1]
+
+        # --- Gaussian sample; log-prob of the UNCLIPPED sample (SB3
+        # convention) ---
+        log_std = lstd_ref[:]  # (A, 1)
+        eps = eps_all[:a_dim]  # (A, L)
+        action = mean + jnp.exp(log_std) * eps
+        logp = jnp.sum(-0.5 * eps * eps - log_std, axis=0, keepdims=True) - (
+            0.5 * _LOG_2PI * a_dim
         )
+
+        # --- executed action: clip to the box, then to model units ---
+        if p.normalise_act:
+            clipped = jnp.clip(action, -1.0, 1.0)
+            exec_action = tuple(
+                (clipped[c : c + 1] + 1.0) * p.act_grad[c] + p.act_low[c]
+                for c in range(a_dim)
+            )
+        else:
+            exec_action = tuple(
+                jnp.clip(
+                    action[c : c + 1], p.act_low[c], p.act_low[c] + 2 * p.act_grad[c]
+                )
+                for c in range(a_dim)
+            )
 
     # --- arrival thinning (current intensity) + intensity update
     # (HawkesArrivals: thin at the CURRENT state, then mean-revert to the
@@ -1073,9 +1131,14 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 
 
 def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool,
-                 split_at=None):
+                 split_at=None, stats_only: bool = False):
     use_inv0 = bool(p.inventory_range)
     use_t0 = p.random_start
+    table = p.policy_kind == "table"
+    assert not (stats_only and use_t0), (
+        "stats-only outputs with random start times are unsupported "
+        "(nothing needs them; the streams mode freezes post-done lanes)"
+    )
 
     def kernel(*refs):
         it = iter(refs)
@@ -1085,17 +1148,33 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             seed_ref = next(it)
         inv0_ref = next(it) if use_inv0 else None
         t0_ref = next(it) if use_t0 else None
-        trunk = [(next(it), next(it)) for _ in range(n_layers)]
-        w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
-        obs_ref, act_ref, logp_ref, val_ref, rew_ref = (next(it) for _ in range(5))
+        if table:
+            bid_tbl_ref, ask_tbl_ref = next(it), next(it)
+            weight_refs = None
+        else:
+            trunk = [(next(it), next(it)) for _ in range(n_layers)]
+            w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
+            weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
+        if stats_only:
+            # terminal cash/inventory/price + per-env episode reward sum —
+            # the fused counterpart of rollout.mc_episode_stats' inputs
+            cash_out, inv_out, price_out, rsum_out = (next(it) for _ in range(4))
+            first_out = cash_out
+        else:
+            obs_ref, act_ref, logp_ref, val_ref, rew_ref = (
+                next(it) for _ in range(5)
+            )
+            first_out = obs_ref
 
         if not use_noise:
             # Two-component seed: (call seed, program id) gives each tile an
             # independent stream without the contiguous-block overlap of
             # `seed + program_id` across calls with nearby seeds.
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        L = obs_ref.shape[-1]
-        n_eps = max(a_dim, 2)  # policy-sample normal rows (channel layout)
+        L = first_out.shape[-1]
+        # policy-sample normal rows (channel layout); the deterministic
+        # table policy draws none
+        n_eps = 0 if table else max(a_dim, 2)
         use_exo = p.fill_kind == "exomm"
         use_mid2 = p.has_mid2
         # Box-Muller pairs covering n_eps action normals + 1 midprice
@@ -1119,20 +1198,26 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             # best-depth normals, then the second-midprice normal
             return (
                 u[0:1], u[1:2], u[2:3], u[3:4],
-                normals[0:n_eps], normals[n_eps : n_eps + 1],
+                normals[0:n_eps] if n_eps else None,
+                normals[n_eps : n_eps + 1],
                 normals[exo_at : exo_at + 2] if use_exo else None,
                 normals[mid2_at : mid2_at + 1] if use_mid2 else None,
             )
 
-        weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
         inv0 = (
             inv0_ref[:] if use_inv0
             else jnp.full((1, L), p.initial_inventory, jnp.float32)
         )
         t0_row = t0_ref[:] if use_t0 else None  # (1, L)
         ep_len = (p.terminal_time - t0_row) if use_t0 else None
+        # table row index base: a late fixed start begins deeper into the
+        # (n_steps + 1)-row depth table, exactly like the engine policy's
+        # round(t / dt) time index (agents/baseline.py)
+        t_off = round(p.start_time / p.dt) if table else 0
 
         def body(i, carry):
+            if stats_only:
+                carry, racc = carry[:-1], carry[-1]
             if use_t0:
                 # Per-env start times: the step STARTING at or past the
                 # terminal is post-done — its lanes are frozen below,
@@ -1157,9 +1242,18 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 )
             else:
                 draws = hw_draws()
+            if table:
+                r0 = t_off + i
+                table_row = jnp.concatenate(
+                    [bid_tbl_ref[pl.ds(r0, 1), :], ask_tbl_ref[pl.ds(r0, 1), :]],
+                    axis=0,
+                )  # (2, Q_pad)
+            else:
+                table_row = None
             new_carry, (X, action, logp, value, reward) = _rollout_step(
                 p, n_layers, a_dim, weight_refs, carry, t_val, draws,
                 is_last=last, inv0=inv0, split_at=split_at, ep_len=ep_len,
+                table_row=table_row,
             )
             if use_t0:
                 reward = jnp.where(was_done, 0.0, reward)
@@ -1167,6 +1261,8 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                     lambda nw, old: jnp.where(was_done, old, nw),
                     new_carry, carry,
                 )
+            if stats_only:
+                return new_carry + (racc + reward,)
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel
             # streams write plain 2D (T, L) rows, so nothing pads anywhere.
@@ -1200,7 +1296,14 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         if p.dynamics_kind == "speed" and p.impact_kind != "power":
             # impact state starts at 0 (temp_perm) / initial_transient_impact
             init = init + (jnp.full((1, L), p.impact_initial, jnp.float32),)
-        jax.lax.fori_loop(0, p.run_steps, body, init)
+        if stats_only:
+            init = init + (jnp.zeros((1, L), jnp.float32),)  # reward sum
+        final = jax.lax.fori_loop(0, p.run_steps, body, init)
+        if stats_only:
+            cash_out[:] = final[0]
+            inv_out[:] = final[1]
+            price_out[:] = final[2]
+            rsum_out[:] = final[-1]
 
     return kernel
 
@@ -1368,6 +1471,183 @@ def mlp_rollout_pallas(
         interpret=interp,
     )(*inputs)
     return obs_t, actions_t, log_probs, values, rewards
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p", "num_trajectories", "tile", "interpret", "stats_only"),
+)
+def table_rollout_pallas(
+    p: MlpRolloutParams,
+    bid_table,
+    ask_table,
+    seed,
+    num_trajectories: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    noise=None,
+    inv0=None,
+    stats_only: bool = False,
+):
+    """Fused whole-episode rollout with a CLOSED-FORM depth-table policy
+    (round 4) — the Pallas fast path for the Cartea-Jaimungal MM agent
+    (BaselineAgents.py:86-170), covering the CJP replication config
+    (utils.config.cj_env_config), the slowest closed-form lane on the XLA
+    engine.
+
+    ``bid_table`` / ``ask_table`` are (n_steps + 1, Q_pad) f32 depth
+    tables by (time index, inventory index q_max + q), Q_pad a multiple of
+    128 (build them with :func:`cj_depth_tables`); ``p.table_size`` holds
+    the true grid size 2 * q_max + 1.  Inside the kernel the per-env
+    lookup is a one-hot MXU contraction against this step's table row —
+    the same device-level choice as the XLA policy's one-hot matmul
+    (agents/baseline.py), minus the per-step HBM round trips.
+
+    Two output modes:
+
+    - streams (default): the five :func:`mlp_rollout_pallas` buffers;
+      log-probs/values are zeros (the policy is deterministic).
+    - ``stats_only=True``: terminal cash/inventory/price + the per-env
+      episode reward sum, each ``(N,)`` — nothing (T, ...)-shaped ever
+      leaves the chip, so lane tiles stay wide at any horizon (the CJP
+      config runs T=1000).
+
+    ``noise`` uses the table-policy channel layout
+    (``n_noise_channels(a_dim, table=True)``: 4 env uniforms + the
+    midprice normal + any exo/mid2 extras — no policy eps rows).
+    """
+    assert p.policy_kind == "table" and p.table_size >= 1
+    assert p.dynamics_kind == "limit", (
+        "the closed-form depth-table policy quotes (bid, ask) limit "
+        "depths — limit-order dynamics only (ModelDynamics.py:87-131)"
+    )
+    assert not p.normalise_act, (
+        "closed-form depths are model units; the engine path never "
+        "normalises closed-form actions either"
+    )
+    assert not p.random_start, (
+        "random start times with the table policy are unsupported (the "
+        "reference's CJ replication runs fixed-horizon episodes)"
+    )
+    n = num_trajectories
+    T = p.run_steps
+    a_dim = 2
+    bid_table = jnp.asarray(bid_table, jnp.float32)
+    ask_table = jnp.asarray(ask_table, jnp.float32)
+    assert bid_table.shape == ask_table.shape and bid_table.ndim == 2
+    assert bid_table.shape[0] >= round(p.start_time / p.dt) + T, (
+        "depth table must cover every executed step's time index",
+        bid_table.shape, T,
+    )
+    assert bid_table.shape[1] % LANES == 0 and bid_table.shape[1] >= p.table_size
+    if tile is None:
+        # Same scoped-vmem envelope as auto_tile, with the two resident
+        # depth tables charged against the budget; stats mode has no
+        # (T, ...) output blocks at all, so any horizon keeps wide tiles.
+        budget = 15 * 1024 * 1024 - 2 * int(bid_table.size) * 4
+        channels = 0 if stats_only else (_sublane_pad(len(p.obs_low)) + _sublane_pad(a_dim) + 3)
+        if noise is not None:
+            channels += _sublane_pad(
+                n_noise_channels(
+                    a_dim, exomm=p.fill_kind == "exomm", mid2=p.has_mid2,
+                    table=True,
+                )
+            )
+        per_lane = 2 * T * 4 * channels + 10 * 4  # + state planes
+        tile = 128
+        for cand in (2048, 1024, 512, 256, 128):
+            if cand <= n and n % cand == 0 and cand * per_lane <= budget:
+                tile = cand
+                break
+    assert n % tile == 0 and tile % LANES == 0, (n, tile)
+    grid = n // tile
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+
+    inputs = []
+    in_specs = []
+    if noise is None:
+        inputs.append(jnp.asarray([seed], dtype=jnp.int32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    else:
+        noise = jnp.asarray(noise, jnp.float32)
+        n_ch = n_noise_channels(
+            a_dim, exomm=p.fill_kind == "exomm", mid2=p.has_mid2, table=True
+        )
+        assert noise.shape == (T, n_ch, n), (noise.shape, n_ch)
+        inputs.append(noise)
+        in_specs.append(pl.BlockSpec((T, n_ch, tile), lambda i: (0, 0, i)))
+    if p.inventory_range:
+        assert inv0 is not None, "inventory_range set: pass inv0 (N,) draws"
+        inv0 = jnp.asarray(inv0, jnp.float32).reshape(1, n)
+        inputs.append(inv0)
+        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+    else:
+        assert inv0 is None, "inv0 only valid with inventory_range"
+    inputs += [bid_table, ask_table]
+    in_specs += [full(bid_table.shape), full(ask_table.shape)]
+
+    s_dim = len(p.obs_low)
+    if stats_only:
+        flat1 = pl.BlockSpec((1, tile), lambda i: (0, i))
+        out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32)] * 4
+        out_specs = [flat1] * 4
+    else:
+        flat = pl.BlockSpec((T, tile), lambda i: (0, i))
+        out_shape = [
+            jax.ShapeDtypeStruct((T, s_dim, n), jnp.float32),  # obs
+            jax.ShapeDtypeStruct((T, a_dim, n), jnp.float32),  # actions
+            jax.ShapeDtypeStruct((T, n), jnp.float32),  # log-probs (zeros)
+            jax.ShapeDtypeStruct((T, n), jnp.float32),  # values (zeros)
+            jax.ShapeDtypeStruct((T, n), jnp.float32),  # rewards
+        ]
+        out_specs = [
+            pl.BlockSpec((T, s_dim, tile), lambda i: (0, 0, i)),
+            pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
+            flat, flat, flat,
+        ]
+    kernel = _make_kernel(
+        p, 0, a_dim, use_noise=noise is not None, stats_only=stats_only
+    )
+    interp = interpret
+    if interpret is True and noise is None:
+        interp = pltpu.InterpretParams()
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interp,
+    )(*inputs)
+    if stats_only:
+        cash, inv, price, rsum = (o[0] for o in outs)
+        return cash, inv, price, rsum
+    return outs
+
+
+def cj_depth_tables(agent):
+    """(bid, ask) kernel-ready depth tables from a
+    :class:`~mbt_gym_tpu.agents.baseline.CarteaJaimungalMmAgent`:
+    each (n_steps + 1, Q_pad) f32 with the inventory grid lane-padded to a
+    multiple of 128 (padded columns are never selected — the kernel clips
+    the inventory index to the true grid)."""
+    import numpy as np
+
+    tbl = np.asarray(agent.depth_table(), np.float32)  # (T+1, Q, 2)
+    q = tbl.shape[1]
+    q_pad = -(-q // LANES) * LANES
+    padded = np.zeros((tbl.shape[0], q_pad, 2), np.float32)
+    padded[:, :q] = tbl
+    return padded[..., 0], padded[..., 1]
+
+
+def cj_rollout_params(cfg: EnvConfig, agent) -> MlpRolloutParams:
+    """:func:`rollout_params_from_config` specialised to the closed-form
+    CJ table policy (policy_kind="table" + the agent's inventory grid)."""
+    p = rollout_params_from_config(cfg)
+    return p._replace(policy_kind="table", table_size=2 * agent.max_inventory + 1)
 
 
 S_DIM = 4  # AS env state columns (cash, inventory, time, price)

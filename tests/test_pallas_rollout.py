@@ -1459,3 +1459,173 @@ def test_fused_rollout_exomm_bm_gbm_inner_matches_xla_engine():
     np.testing.assert_allclose(np.asarray(batch.obs), np.asarray(ref_obs), rtol=2e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(batch.actions), np.asarray(ref_act), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(batch.rewards), np.asarray(ref_r), rtol=1e-4, atol=5e-3)
+
+
+# ------------------------------------------------------- table policy (CJ MM)
+def _xla_reference_table(env_cfg, policy, channels):
+    """XLA engine + the closed-form CJ policy (agents/baseline.py one-hot
+    matmul path) on the same injected draws; channel layout is the
+    table-policy one (n_noise_channels(2, table=True) = 5: 4 env uniforms
+    + the midprice normal)."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    outs = []
+    for t in range(channels.shape[0]):
+        action = policy(None, obs, state)
+        noise = (
+            SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, action, noise=noise)
+        outs.append((obs, action, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+def test_fused_table_policy_matches_xla_engine():
+    """The closed-form CJ depth-table policy fused into the rollout kernel
+    (round 4: one-hot MXU lookup of the precomputed depth table,
+    BaselineAgents.py:86-170) must reproduce the XLA engine + the
+    agents/baseline.py policy on the same draws — including the
+    large-depth boundary override rows, which the small inventory grid
+    guarantees get hit."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    Tt = 12
+    env_cfg = cj_env_config(num_trajectories=N, n_steps=Tt, max_inventory=3.0)
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    policy = agent.policy()
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    assert p.policy_kind == "table" and p.table_size == 7
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+    assert bid_tbl.shape == (Tt + 1, 128)
+
+    rng = np.random.default_rng(7)
+    n_ch = pallas_rollout.n_noise_channels(2, table=True)
+    assert n_ch == 5
+    channels = rng.uniform(size=(Tt, n_ch, N)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(Tt, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    obs_f, act_f, logp_f, val_f, rew_f = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, N, tile=128, interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_rew = _xla_reference_table(env_cfg, policy, channels)
+
+    # the inventory boundary must actually bind (exercising the
+    # index-based large-depth override rows of the depth table)
+    assert np.abs(np.asarray(ref_obs)[..., 1]).max() == 3.0
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(act_f), np.asarray(ref_act).transpose(0, 2, 1),
+        rtol=1e-6, atol=1e-6,
+    )
+    # f32 accumulation-order plateau only (cash ~ 1e2 marks)
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
+    # deterministic policy: the log-prob/value streams are zeros
+    assert float(jnp.abs(logp_f).max()) == 0.0
+    assert float(jnp.abs(val_f).max()) == 0.0
+
+    # stats-only mode: terminal state + episode reward sums must equal the
+    # stream reductions on the same draws
+    cash, inv, price, rsum = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, N, tile=128, interpret=True, noise=channels,
+        stats_only=True,
+    )
+    np.testing.assert_allclose(np.asarray(rsum), np.asarray(rew_f.sum(0)), rtol=1e-5, atol=1e-5)
+    # terminal state outputs: compare against the engine's post-episode
+    # state on the same draws
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    for t in range(Tt):
+        action = policy(None, obs, state)
+        noise = (
+            SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, action, noise=noise)
+        state, obs = res.state, res.obs
+    np.testing.assert_allclose(np.asarray(cash), np.asarray(state.cash), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inv), np.asarray(state.inventory), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(price), np.asarray(state.process_states[0][:, 0]), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_table_policy_random_initial_inventory():
+    """Table policy + per-env initial inventory draws: the CjMm reward's
+    per-env q0^2 constant and the policy's per-env lookup must both see
+    the injected q0 plane."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    Tt = 8
+    env_cfg = dataclasses.replace(
+        cj_env_config(num_trajectories=N, n_steps=Tt, max_inventory=3.0),
+        initial_inventory=(-2, 3),
+    )
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    policy = agent.policy()
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    assert p.inventory_range == (-2, 3)
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+
+    rng = np.random.default_rng(11)
+    channels = rng.uniform(size=(Tt, 5, N)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(Tt, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    q0 = jnp.asarray(rng.integers(-2, 3, size=N).astype(np.float32))
+    assert len(np.unique(np.asarray(q0))) > 2
+
+    obs_f, act_f, _, _, rew_f = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, N, tile=128, interpret=True, noise=channels,
+        inv0=q0,
+    )
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0), initial_inventory=q0)
+    outs = []
+    for t in range(Tt):
+        action = policy(None, obs, state)
+        noise = (
+            SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, action, noise=noise)
+        outs.append((obs, action, res.reward))
+        state, obs = res.state, res.obs
+    ref_obs, ref_act, ref_rew = [jnp.stack(x) for x in zip(*outs)]
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(act_f), np.asarray(ref_act).transpose(0, 2, 1), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
+
+
+def test_table_rollout_config_guards():
+    """The table path refuses configurations it does not model."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    env_cfg = cj_env_config(num_trajectories=N, n_steps=4, max_inventory=3.0)
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+
+    with pytest.raises(AssertionError):  # not a table params struct
+        pallas_rollout.table_rollout_pallas(
+            p._replace(policy_kind="mlp"), bid_tbl, ask_tbl, 0, N, tile=128,
+            interpret=True,
+        )
+    with pytest.raises(AssertionError):  # non-limit dynamics
+        pallas_rollout.table_rollout_pallas(
+            p._replace(dynamics_kind="lam"), bid_tbl, ask_tbl, 0, N, tile=128,
+            interpret=True,
+        )
+    with pytest.raises(AssertionError):  # table too short for the horizon
+        pallas_rollout.table_rollout_pallas(
+            p, bid_tbl[:3], ask_tbl[:3], 0, N, tile=128, interpret=True,
+        )
