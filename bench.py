@@ -203,6 +203,61 @@ def measure_cjp(
     return num_trajectories * cfg.n_steps * episodes_per_call / med
 
 
+def measure_cjp_pallas(
+    num_trajectories: int = 65536, episodes_per_call: int = 2, iters: int = 3
+):
+    """The same CJP configuration on the fused table-policy rollout kernel
+    (round 4, ops/pallas_rollout.table_rollout_pallas stats mode): the
+    closed-form depth table is VMEM-resident and looked up per step via a
+    one-hot MXU contraction.  Measured 2.19B steps/s round 4 (2.8x the
+    engine lane).  Returns (rate, mean_episode_reward, true_value_h0) —
+    the reward mean over the timed windows' hardware-PRNG episodes must
+    match the analytic CJP value function h(0, 0) (the notebook Test-2
+    oracle, BaselineAgents.py:161-170), giving the lane a built-in
+    correctness check."""
+    import jax
+    import jax.numpy as jnp
+
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.ops import pallas_rollout as pr
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    cfg = cj_env_config(num_trajectories=num_trajectories, max_inventory=100.0)
+    agent = CarteaJaimungalMmAgent.from_config(cfg, max_inventory=100)
+    p = pr.cj_rollout_params(cfg, agent)
+    bid_tbl, ask_tbl = (jnp.asarray(t) for t in pr.cj_depth_tables(agent))
+
+    @jax.jit
+    def episodes(seed0):
+        def one(acc, s):
+            _, _, _, rsum = pr.table_rollout_pallas(
+                p, bid_tbl, ask_tbl, s, num_trajectories, stats_only=True
+            )
+            return acc + rsum.mean(), None
+
+        acc, _ = jax.lax.scan(
+            one, 0.0, seed0 + jnp.arange(episodes_per_call, dtype=jnp.int32)
+        )
+        return acc
+
+    rewards = []
+
+    def call(i):
+        s = episodes(jnp.int32((1000 + i * 1000) % 0x7FFFFFFF))
+        rewards.append(s)
+        return s
+
+    med = _timed_median(call, iters, "cjp-pallas")
+    # mean over every accumulated call (each entry sums episodes_per_call
+    # per-episode means)
+    mean_ep = float(sum(float(r) for r in rewards)) / (
+        len(rewards) * episodes_per_call
+    )
+    h0 = float(agent.h_table()[0, agent.max_inventory])
+    rate = num_trajectories * cfg.n_steps * episodes_per_call / med
+    return rate, mean_ep, h0
+
+
 def verify_pallas_hardware_stats(num_trajectories: int = 16384) -> str:
     """Statistical validation of the episode kernel's HARDWARE PRNG draws
     against the AS-replication ground truth (BASELINE.md / notebook Test 1):
@@ -414,6 +469,29 @@ def main():
         except Exception as exc:
             verify_msgs.append(
                 f"cjp crashed: {type(exc).__name__}: {str(exc)[:200]}"
+            )
+        try:
+            cjp_p_rate, cjp_p_reward, cjp_h0 = measure_cjp_pallas()
+            rates["cjp_pallas"] = round(cjp_p_rate, 1)
+            # 2.19B measured round 4; 1B floor catches a structural
+            # regression (e.g. the lookup falling off the MXU) without
+            # tripping on relay variance.
+            if cjp_p_rate < 1.0e9:
+                verify_msgs.append(
+                    f"cjp-pallas: rate {cjp_p_rate/1e6:.0f}M below the 1B "
+                    "floor (~2.2B expected)"
+                )
+            # Built-in correctness: hardware-PRNG mean episode reward must
+            # match the analytic CJP value function h(0, 0) (observed
+            # |delta| ~ 0.02 at this episode count; band 0.5).
+            if abs(cjp_p_reward - cjp_h0) > 0.5:
+                verify_msgs.append(
+                    f"cjp-pallas reward {cjp_p_reward:.3f} off the analytic "
+                    f"value function {cjp_h0:.3f}"
+                )
+        except Exception as exc:
+            verify_msgs.append(
+                f"cjp-pallas crashed: {type(exc).__name__}: {str(exc)[:200]}"
             )
     print(
         f"general engine {xla_rate/1e6:.1f}M"

@@ -248,6 +248,12 @@ class MlpRolloutParams(NamedTuple):
     policy_kind: str = "mlp"
     # "table" policy: true (unpadded) inventory-grid size 2*q_max + 1.
     table_size: int = 0
+    # "table" policy lookup operand dtype.  "float32" (default) keeps the
+    # fused lookup bit-comparable to the engine's one-hot matmul.
+    # "bfloat16" was MEASURED NEUTRAL on hardware (2.13B vs 2.18B steps/s
+    # at the CJP config — the lookup is ~14% of step cost and the dot is
+    # not the bottleneck; BENCH_NOTES round 4), so f32 exactness is free.
+    table_lookup_dtype: str = "float32"
 
     @property
     def run_steps(self) -> int:
@@ -770,11 +776,12 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         q_max = (p.table_size - 1) // 2
         idx = jnp.clip(q_max + inv, 0.0, 2.0 * q_max).astype(jnp.int32)  # (1, L)
         q_pad = table_row.shape[-1]
+        ldt = jnp.dtype(p.table_lookup_dtype)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (q_pad, L), 0) == idx
-        ).astype(jnp.float32)
+        ).astype(ldt)
         quotes = jax.lax.dot_general(
-            table_row.astype(jnp.float32), onehot,
+            table_row.astype(ldt), onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (2, L)

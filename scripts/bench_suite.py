@@ -19,6 +19,8 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
      the fused pipeline — config 4's model stack with the learner in loop
  11. Config 9 with the reference's exact net_arch (separate 256x256
      pi/vf towers, experiments/helpers.py:71) on the fused kernels
+ 12. Config 2's CJP workload on the fused table-policy rollout kernel
+     (closed-form depth table, one-hot MXU lookup; TPU only)
 """
 from __future__ import annotations
 
@@ -257,6 +259,57 @@ def main():
             shared_trunk=False,
         )
     )
+
+    # Config 12: config 2's CJP workload on the fused table-policy rollout
+    # kernel (round 4, ops/pallas_rollout.table_rollout_pallas stats mode):
+    # the closed-form depth table is VMEM-resident, looked up per step via
+    # a one-hot MXU contraction.  TPU-only (the stats path uses the
+    # hardware PRNG; config 2 remains the XLA-engine regression guard).
+    if jax.default_backend() == "tpu":
+        from mbt_gym_tpu.ops import pallas_rollout as pr
+
+        cfg12 = cj_env_config(num_trajectories=65536 // scale, max_inventory=100.0)
+        agent12 = CarteaJaimungalMmAgent.from_config(cfg12, max_inventory=100)
+        p12 = pr.cj_rollout_params(cfg12, agent12)
+        bid12, ask12 = (jnp.asarray(t) for t in pr.cj_depth_tables(agent12))
+        eps12 = 2
+
+        @jax.jit
+        def table_thunk(key):
+            seed0 = jax.random.randint(key, (), 0, 1 << 30, dtype=jnp.int32)
+
+            def one(acc, s):
+                _, _, _, rsum = pr.table_rollout_pallas(
+                    p12, bid12, ask12, s, cfg12.num_trajectories, stats_only=True
+                )
+                return acc + rsum.mean(), None
+
+            acc, _ = jax.lax.scan(
+                one, 0.0, seed0 + jnp.arange(eps12, dtype=jnp.int32)
+            )
+            return acc
+
+        t0 = time.time()
+        float(table_thunk(jax.random.PRNGKey(0)))
+        compile_s = time.time() - t0
+        acc = None
+        for w in range(4):
+            s = table_thunk(jax.random.PRNGKey(90 + w))
+            acc = s if acc is None else acc + s
+        float(acc)
+        t0 = time.time()
+        acc = None
+        for i in range(3):
+            s = table_thunk(jax.random.PRNGKey(1 + i))
+            acc = s if acc is None else acc + s
+        float(acc)
+        dt = (time.time() - t0) / 3
+        rows.append({
+            "config": "12. CJP closed-form on the fused table kernel",
+            "envs": cfg12.num_trajectories, "n_steps": cfg12.n_steps,
+            "env_steps_per_s": cfg12.num_trajectories * cfg12.n_steps * eps12 / dt,
+            "ms_per_call": dt * 1e3, "compile_s": compile_s,
+        })
 
     if args.json:
         for r in rows:
