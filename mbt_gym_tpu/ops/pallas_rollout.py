@@ -747,8 +747,12 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     # states in slot order: midprice price, arrival state (Hawkes 2-dim
     # intensity), fill state (exogenous best depths), impact state.
     # t_val is a traced scalar (fixed start) or a (1, L) per-env plane
-    # (random start, clamped at terminal by the caller)
-    time_plane = jnp.broadcast_to(t_val, (1, L)).astype(jnp.float32)
+    # (random start, clamped at terminal by the caller).  State planes are
+    # (1, L) in the MLP family; the table policy's sublane-packed stats
+    # mode carries (R, L) planes (R=8 fills the VPU's native (8, 128)
+    # shape) — every env-half op below is elementwise, so the row count
+    # flows through.
+    time_plane = jnp.broadcast_to(t_val, inv.shape).astype(jnp.float32)
     planes = [cash, inv, time_plane, price]
     if p.has_mid2:
         planes.append(mid2)  # midprice state col 2 precedes arrival state
@@ -774,24 +778,31 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         # f32 throughout: the contraction selects single table entries, so
         # f32 keeps the fused lane bit-comparable to the engine's lookup.
         q_max = (p.table_size - 1) // 2
-        idx = jnp.clip(q_max + inv, 0.0, 2.0 * q_max).astype(jnp.int32)  # (1, L)
+        idx = jnp.clip(q_max + inv, 0.0, 2.0 * q_max).astype(jnp.int32)  # (R, L)
         q_pad = table_row.shape[-1]
         ldt = jnp.dtype(p.table_lookup_dtype)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (q_pad, L), 0) == idx
-        ).astype(ldt)
-        quotes = jax.lax.dot_general(
-            table_row.astype(ldt), onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (2, L)
+        iota_q = jax.lax.broadcasted_iota(jnp.int32, (q_pad, L), 0)
+        bids, asks = [], []
+        for r in range(idx.shape[0]):
+            # one (Q_pad, L) one-hot + (2, Q_pad) x (Q_pad, L) MXU dot per
+            # sublane row; the env planes' rows are independent env lanes
+            onehot = (iota_q == idx[r : r + 1]).astype(ldt)
+            quotes_r = jax.lax.dot_general(
+                table_row.astype(ldt), onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (2, L)
+            bids.append(quotes_r[0:1])
+            asks.append(quotes_r[1:2])
+        bid_q = bids[0] if len(bids) == 1 else jnp.concatenate(bids, axis=0)
+        ask_q = asks[0] if len(asks) == 1 else jnp.concatenate(asks, axis=0)
         # No action-box clip: the engine does not clip closed-form actions
         # (env.step clips nothing when normalise_action_space=False; the
         # large-depth boundary override exceeds max_depth by design).
-        exec_action = (quotes[0:1], quotes[1:2])
-        action = quotes
-        logp = jnp.zeros((1, L), jnp.float32)
-        value = jnp.zeros((1, L), jnp.float32)
+        exec_action = (bid_q, ask_q)
+        action = jnp.concatenate([bid_q, ask_q], axis=0)
+        logp = jnp.zeros(inv.shape, jnp.float32)
+        value = jnp.zeros(inv.shape, jnp.float32)
     else:
         # --- policy/value forward, transposed ---
         # bf16 matmuls are safe on normalised [-1, 1] observations;
@@ -1138,13 +1149,21 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 
 
 def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool,
-                 split_at=None, stats_only: bool = False):
+                 split_at=None, stats_only: bool = False, rows: int = 1):
     use_inv0 = bool(p.inventory_range)
     use_t0 = p.random_start
     table = p.policy_kind == "table"
     assert not (stats_only and use_t0), (
         "stats-only outputs with random start times are unsupported "
         "(nothing needs them; the streams mode freezes post-done lanes)"
+    )
+    # rows > 1 = sublane-packed env planes ((R, L) instead of (1, L), R=8
+    # filling the VPU's native (8, 128) shape): full vector-unit
+    # utilization on the env update and the PRNG draws.  Table-policy
+    # stats mode only — the stream outputs and the MLP forward are laid
+    # out for (1, L) planes.
+    assert rows == 1 or (table and stats_only), (
+        "sublane-packed rows require the table policy's stats-only mode"
     )
 
     def kernel(*refs):
@@ -1190,30 +1209,35 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         # original draw stream exactly (4 uniforms -> [cos0, cos1, sin0,
         # sin1]).
         n_norm = n_eps + 1 + (2 if use_exo else 0) + (1 if use_mid2 else 0)
-        pairs = (n_norm + 1) // 2
         exo_at = n_eps + 1
         mid2_at = exo_at + (2 if use_exo else 0)
 
+        R = rows
+        bm_pairs = (n_norm * R + 1) // 2
+
         def hw_draws():
-            u = _uniform_from_bits(pltpu.prng_random_bits((4, L)))
-            bm_u = _uniform_from_bits(pltpu.prng_random_bits((2 * pairs, L)))
-            r = jnp.sqrt(-2.0 * jnp.log(1.0 - bm_u[0:pairs]))
-            theta = (2.0 * math.pi) * bm_u[pairs:]
+            # channel-major row grouping: channel c occupies rows
+            # [c*R, (c+1)*R) of each draw block (R=1 reproduces the
+            # original layout/stream exactly)
+            u = _uniform_from_bits(pltpu.prng_random_bits((4 * R, L)))
+            bm_u = _uniform_from_bits(pltpu.prng_random_bits((2 * bm_pairs, L)))
+            r = jnp.sqrt(-2.0 * jnp.log(1.0 - bm_u[0:bm_pairs]))
+            theta = (2.0 * math.pi) * bm_u[bm_pairs:]
             normals = jnp.concatenate(
                 [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0
             )  # rows: [0, n_eps) action eps, n_eps midprice, then exo
             # best-depth normals, then the second-midprice normal
             return (
-                u[0:1], u[1:2], u[2:3], u[3:4],
-                normals[0:n_eps] if n_eps else None,
-                normals[n_eps : n_eps + 1],
-                normals[exo_at : exo_at + 2] if use_exo else None,
-                normals[mid2_at : mid2_at + 1] if use_mid2 else None,
+                u[0 : R], u[R : 2 * R], u[2 * R : 3 * R], u[3 * R : 4 * R],
+                normals[0 : n_eps * R] if n_eps else None,
+                normals[n_eps * R : (n_eps + 1) * R],
+                normals[exo_at * R : (exo_at + 2) * R] if use_exo else None,
+                normals[mid2_at * R : (mid2_at + 1) * R] if use_mid2 else None,
             )
 
         inv0 = (
             inv0_ref[:] if use_inv0
-            else jnp.full((1, L), p.initial_inventory, jnp.float32)
+            else jnp.full((rows, L), p.initial_inventory, jnp.float32)
         )
         t0_row = t0_ref[:] if use_t0 else None  # (1, L)
         ep_len = (p.terminal_time - t0_row) if use_t0 else None
@@ -1239,13 +1263,14 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 t_val = p.start_time + i.astype(jnp.float32) * p.dt
                 last = i == p.run_steps - 1
             if use_noise:
+                # channel-major (R, L) slabs per channel (R=1 == original)
                 draws = (
-                    noise_ref[i, 0:1], noise_ref[i, 1:2],
-                    noise_ref[i, 2:3], noise_ref[i, 3:4],
-                    noise_ref[i, 4 : 4 + n_eps],
-                    noise_ref[i, 4 + n_eps : 5 + n_eps],
-                    noise_ref[i, 5 + n_eps : 7 + n_eps] if use_exo else None,
-                    noise_ref[i, 4 + mid2_at : 5 + mid2_at] if use_mid2 else None,
+                    noise_ref[i, 0 : R], noise_ref[i, R : 2 * R],
+                    noise_ref[i, 2 * R : 3 * R], noise_ref[i, 3 * R : 4 * R],
+                    noise_ref[i, 4 * R : (4 + n_eps) * R] if n_eps else None,
+                    noise_ref[i, (4 + n_eps) * R : (5 + n_eps) * R],
+                    noise_ref[i, (5 + n_eps) * R : (7 + n_eps) * R] if use_exo else None,
+                    noise_ref[i, (4 + mid2_at) * R : (5 + mid2_at) * R] if use_mid2 else None,
                 )
             else:
                 draws = hw_draws()
@@ -1281,30 +1306,30 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             return new_carry
 
         init = (
-            jnp.full((1, L), p.initial_cash, jnp.float32),
+            jnp.full((rows, L), p.initial_cash, jnp.float32),
             inv0,
-            jnp.full((1, L), p.initial_price, jnp.float32),
+            jnp.full((rows, L), p.initial_price, jnp.float32),
         )
         if p.has_mid2:
             # Heston initial variance / short-term alpha0
-            init = init + (jnp.full((1, L), p.mid2_initial, jnp.float32),)
+            init = init + (jnp.full((rows, L), p.mid2_initial, jnp.float32),)
         if p.arrival_kind == "hawkes":
             # Hawkes intensities start at the baseline (HawkesArrivals.
             # initial_state)
             init = init + (
-                jnp.full((1, L), p.intensity_bid, jnp.float32),
-                jnp.full((1, L), p.intensity_ask, jnp.float32),
+                jnp.full((rows, L), p.intensity_bid, jnp.float32),
+                jnp.full((rows, L), p.intensity_ask, jnp.float32),
             )
         if p.fill_kind == "exomm":
             init = init + (
-                jnp.full((1, L), p.exo_initial[0], jnp.float32),
-                jnp.full((1, L), p.exo_initial[1], jnp.float32),
+                jnp.full((rows, L), p.exo_initial[0], jnp.float32),
+                jnp.full((rows, L), p.exo_initial[1], jnp.float32),
             )
         if p.dynamics_kind == "speed" and p.impact_kind != "power":
             # impact state starts at 0 (temp_perm) / initial_transient_impact
-            init = init + (jnp.full((1, L), p.impact_initial, jnp.float32),)
+            init = init + (jnp.full((rows, L), p.impact_initial, jnp.float32),)
         if stats_only:
-            init = init + (jnp.zeros((1, L), jnp.float32),)  # reward sum
+            init = init + (jnp.zeros((rows, L), jnp.float32),)  # reward sum
         final = jax.lax.fori_loop(0, p.run_steps, body, init)
         if stats_only:
             cash_out[:] = final[0]
@@ -1482,7 +1507,9 @@ def mlp_rollout_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("p", "num_trajectories", "tile", "interpret", "stats_only"),
+    static_argnames=(
+        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows"
+    ),
 )
 def table_rollout_pallas(
     p: MlpRolloutParams,
@@ -1495,6 +1522,7 @@ def table_rollout_pallas(
     noise=None,
     inv0=None,
     stats_only: bool = False,
+    rows="auto",
 ):
     """Fused whole-episode rollout with a CLOSED-FORM depth-table policy
     (round 4) — the Pallas fast path for the Cartea-Jaimungal MM agent
@@ -1522,6 +1550,17 @@ def table_rollout_pallas(
     ``noise`` uses the table-policy channel layout
     (``n_noise_channels(a_dim, table=True)``: 4 env uniforms + the
     midprice normal + any exo/mid2 extras — no policy eps rows).
+
+    ``rows`` (stats mode only): sublane-pack the env planes as (rows, L)
+    tiles — rows >= 8 fills the VPU's native (8, 128) shape and measured
+    2.5-3.2x the (1, L) layout at the CJP config (5.8-7.0B steps/s,
+    BENCH_NOTES round 4); "auto" picks the largest of (16, 8, 4, 2, 1)
+    that divides N into lane-aligned columns (1 in streams mode).  Env
+    ordering is row-major over (rows, N/rows): env ``e`` lives at row
+    ``e // (N/rows)``, and ``inv0``/the flattened outputs follow that
+    same order, so per-env correspondence is preserved end to end (and
+    rows variants are BITWISE equal on injected noise —
+    tests/test_pallas_rollout.py).
     """
     assert p.policy_kind == "table" and p.table_size >= 1
     assert p.dynamics_kind == "limit", (
@@ -1536,7 +1575,17 @@ def table_rollout_pallas(
         "random start times with the table policy are unsupported (the "
         "reference's CJ replication runs fixed-horizon episodes)"
     )
+    if rows == "auto":
+        rows = 1
+        if stats_only:
+            for cand in (16, 8, 4, 2):
+                if num_trajectories % cand == 0 and (num_trajectories // cand) % LANES == 0:
+                    rows = cand
+                    break
+    assert rows == 1 or stats_only, "rows > 1 requires stats_only"
+    assert num_trajectories % rows == 0, (num_trajectories, rows)
     n = num_trajectories
+    cols = n // rows
     T = p.run_steps
     a_dim = 2
     bid_table = jnp.asarray(bid_table, jnp.float32)
@@ -1554,20 +1603,30 @@ def table_rollout_pallas(
         budget = 15 * 1024 * 1024 - 2 * int(bid_table.size) * 4
         channels = 0 if stats_only else (_sublane_pad(len(p.obs_low)) + _sublane_pad(a_dim) + 3)
         if noise is not None:
-            channels += _sublane_pad(
+            channels += rows * _sublane_pad(
                 n_noise_channels(
                     a_dim, exomm=p.fill_kind == "exomm", mid2=p.has_mid2,
                     table=True,
                 )
             )
-        per_lane = 2 * T * 4 * channels + 10 * 4  # + state planes
+        per_lane = 2 * T * 4 * channels + rows * 12 * 4  # + state planes
+        # Prefer the widest tile that still yields >= 8 grid programs (one
+        # per TensorCore): at 131k envs / rows=16, tile 1024 (grid 8)
+        # measured 6.99B steps/s vs wider-but-underparallel variants.
+        fitting = [
+            cand for cand in (2048, 1024, 512, 256, 128)
+            if cand <= cols and cols % cand == 0 and cand * per_lane <= budget
+        ]
         tile = 128
-        for cand in (2048, 1024, 512, 256, 128):
-            if cand <= n and n % cand == 0 and cand * per_lane <= budget:
+        for cand in fitting:
+            if cols // cand >= 8:
                 tile = cand
                 break
-    assert n % tile == 0 and tile % LANES == 0, (n, tile)
-    grid = n // tile
+        else:
+            if fitting:
+                tile = fitting[0]
+    assert cols % tile == 0 and tile % LANES == 0, (n, rows, tile)
+    grid = cols // tile
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
@@ -1583,13 +1642,17 @@ def table_rollout_pallas(
             a_dim, exomm=p.fill_kind == "exomm", mid2=p.has_mid2, table=True
         )
         assert noise.shape == (T, n_ch, n), (noise.shape, n_ch)
+        # channel-major row packing: channel c's (rows, cols) slab sits at
+        # rows [c*rows, (c+1)*rows) — env e = r * cols + col, the same
+        # row-major order as inv0 and the flattened outputs
+        noise = noise.reshape(T, n_ch * rows, cols)
         inputs.append(noise)
-        in_specs.append(pl.BlockSpec((T, n_ch, tile), lambda i: (0, 0, i)))
+        in_specs.append(pl.BlockSpec((T, n_ch * rows, tile), lambda i: (0, 0, i)))
     if p.inventory_range:
         assert inv0 is not None, "inventory_range set: pass inv0 (N,) draws"
-        inv0 = jnp.asarray(inv0, jnp.float32).reshape(1, n)
+        inv0 = jnp.asarray(inv0, jnp.float32).reshape(rows, cols)
         inputs.append(inv0)
-        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+        in_specs.append(pl.BlockSpec((rows, tile), lambda i: (0, i)))
     else:
         assert inv0 is None, "inv0 only valid with inventory_range"
     inputs += [bid_table, ask_table]
@@ -1597,8 +1660,8 @@ def table_rollout_pallas(
 
     s_dim = len(p.obs_low)
     if stats_only:
-        flat1 = pl.BlockSpec((1, tile), lambda i: (0, i))
-        out_shape = [jax.ShapeDtypeStruct((1, n), jnp.float32)] * 4
+        flat1 = pl.BlockSpec((rows, tile), lambda i: (0, i))
+        out_shape = [jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 4
         out_specs = [flat1] * 4
     else:
         flat = pl.BlockSpec((T, tile), lambda i: (0, i))
@@ -1615,7 +1678,8 @@ def table_rollout_pallas(
             flat, flat, flat,
         ]
     kernel = _make_kernel(
-        p, 0, a_dim, use_noise=noise is not None, stats_only=stats_only
+        p, 0, a_dim, use_noise=noise is not None, stats_only=stats_only,
+        rows=rows,
     )
     interp = interpret
     if interpret is True and noise is None:
@@ -1629,7 +1693,7 @@ def table_rollout_pallas(
         interpret=interp,
     )(*inputs)
     if stats_only:
-        cash, inv, price, rsum = (o[0] for o in outs)
+        cash, inv, price, rsum = (o.reshape(-1) for o in outs)
         return cash, inv, price, rsum
     return outs
 

@@ -268,7 +268,7 @@ def main():
     if jax.default_backend() == "tpu":
         from mbt_gym_tpu.ops import pallas_rollout as pr
 
-        cfg12 = cj_env_config(num_trajectories=65536 // scale, max_inventory=100.0)
+        cfg12 = cj_env_config(num_trajectories=131072 // scale, max_inventory=100.0)
         agent12 = CarteaJaimungalMmAgent.from_config(cfg12, max_inventory=100)
         p12 = pr.cj_rollout_params(cfg12, agent12)
         bid12, ask12 = (jnp.asarray(t) for t in pr.cj_depth_tables(agent12))

@@ -1629,3 +1629,45 @@ def test_table_rollout_config_guards():
         pallas_rollout.table_rollout_pallas(
             p, bid_tbl[:3], ask_tbl[:3], 0, N, tile=128, interpret=True,
         )
+
+
+def test_table_rollout_sublane_rows_bitwise():
+    """The sublane-packed stats layout (rows=8: (8, L) env planes filling
+    the VPU's native shape) must be BITWISE equal to the rows=1 layout on
+    the same injected noise — same draws per env, same accumulation
+    order, only the tile geometry changes.  Covers the channel-major
+    noise packing, per-row one-hot lookups, and the row-major env
+    ordering of inv0 and the flattened outputs."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    Nn, Tt = 1024, 10
+    env_cfg = dataclasses.replace(
+        cj_env_config(num_trajectories=Nn, n_steps=Tt, max_inventory=3.0),
+        initial_inventory=(-2, 3),
+    )
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+
+    rng = np.random.default_rng(3)
+    channels = rng.uniform(size=(Tt, 5, Nn)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(Tt, Nn)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    q0 = jnp.asarray(rng.integers(-2, 3, size=Nn).astype(np.float32))
+
+    outs1 = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=channels,
+        inv0=q0, stats_only=True,
+    )
+    outs8 = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=channels,
+        inv0=q0, stats_only=True, rows=8,
+    )
+    for a, b in zip(outs1, outs8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(AssertionError):  # rows > 1 requires stats_only
+        pallas_rollout.table_rollout_pallas(
+            p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True,
+            noise=channels, inv0=q0, rows=8,
+        )
