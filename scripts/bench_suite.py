@@ -21,6 +21,9 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
      pi/vf towers, experiments/helpers.py:71) on the fused kernels
  12. Config 2's CJP workload on the fused table-policy rollout kernel
      (closed-form depth table, one-hot MXU lookup; TPU only)
+ 13. Config 3's optimal-execution workload on the whole-episode OE Pallas
+     kernel (deterministic CJ-OE speed schedule as a per-step table;
+     TPU only)
 """
 from __future__ import annotations
 
@@ -308,6 +311,57 @@ def main():
             "config": "12. CJP closed-form on the fused table kernel",
             "envs": cfg12.num_trajectories, "n_steps": cfg12.n_steps,
             "env_steps_per_s": cfg12.num_trajectories * cfg12.n_steps * eps12 / dt,
+            "ms_per_call": dt * 1e3, "compile_s": compile_s,
+        })
+
+    # Config 13: config 3's OE workload on the whole-episode Pallas kernel
+    # (ops/pallas_episode.oe_episode_pallas: state in VMEM, hardware PRNG,
+    # the CJ-OE closed-form speed schedule as a per-step table).  TPU-only.
+    if jax.default_backend() == "tpu":
+        from mbt_gym_tpu.ops.pallas_episode import (
+            oe_episode_pallas, oe_params_from_config, oe_speed_table,
+        )
+
+        cfg13 = oe_env_config(num_trajectories=65536 // scale)
+        agent13 = CarteaJaimungalOeAgent.from_config(cfg13, alpha=0.01)
+        p13 = oe_params_from_config(cfg13)
+        table13 = oe_speed_table(cfg13, agent13)
+        eps13 = 16
+
+        @jax.jit
+        def oe_thunk(key):
+            seed0 = jax.random.randint(key, (), 0, 1 << 30, dtype=jnp.int32)
+
+            def one(acc, s):
+                cash, inv, price, perm, sq, sv = oe_episode_pallas(
+                    p13, table13, s, cfg13.num_trajectories
+                )
+                return acc + cash.mean() + inv.mean() + sq.mean(), None
+
+            acc, _ = jax.lax.scan(
+                one, 0.0, seed0 + jnp.arange(eps13, dtype=jnp.int32)
+            )
+            return acc
+
+        t0 = time.time()
+        float(oe_thunk(jax.random.PRNGKey(0)))
+        compile_s = time.time() - t0
+        acc = None
+        for w in range(4):
+            s = oe_thunk(jax.random.PRNGKey(90 + w))
+            acc = s if acc is None else acc + s
+        float(acc)
+        t0 = time.time()
+        acc = None
+        for i in range(3):
+            s = oe_thunk(jax.random.PRNGKey(1 + i))
+            acc = s if acc is None else acc + s
+        float(acc)
+        dt = (time.time() - t0) / 3
+        rows.append({
+            "config": "13. OE closed-form on the episode Pallas kernel",
+            "envs": cfg13.num_trajectories, "n_steps": cfg13.n_steps,
+            "env_steps_per_s": cfg13.num_trajectories * cfg13.n_steps * eps13 / dt,
             "ms_per_call": dt * 1e3, "compile_s": compile_s,
         })
 
