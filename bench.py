@@ -231,7 +231,7 @@ def measure_cjp_pallas(
     @jax.jit
     def episodes(seed0):
         def one(acc, s):
-            _, _, _, rsum = pr.table_rollout_pallas(
+            _, _, _, rsum, _ = pr.table_rollout_pallas(
                 p, bid_tbl, ask_tbl, s, num_trajectories, stats_only=True
             )
             return acc + rsum.mean(), None

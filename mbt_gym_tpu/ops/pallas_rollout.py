@@ -1182,9 +1182,12 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
             weight_refs = (trunk, w_head_ref, b_head_ref, lstd_ref)
         if stats_only:
-            # terminal cash/inventory/price + per-env episode reward sum —
-            # the fused counterpart of rollout.mc_episode_stats' inputs
-            cash_out, inv_out, price_out, rsum_out = (next(it) for _ in range(4))
+            # terminal cash/inventory/price + per-env episode reward and
+            # quoted-spread sums — the fused counterpart of
+            # rollout.mc_episode_stats' inputs
+            cash_out, inv_out, price_out, rsum_out, ssum_out = (
+                next(it) for _ in range(5)
+            )
             first_out = cash_out
         else:
             obs_ref, act_ref, logp_ref, val_ref, rew_ref = (
@@ -1248,7 +1251,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
 
         def body(i, carry):
             if stats_only:
-                carry, racc = carry[:-1], carry[-1]
+                carry, racc, sacc = carry[:-2], carry[-2], carry[-1]
             if use_t0:
                 # Per-env start times: the step STARTING at or past the
                 # terminal is post-done — its lanes are frozen below,
@@ -1294,7 +1297,11 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                     new_carry, carry,
                 )
             if stats_only:
-                return new_carry + (racc + reward,)
+                # quoted spread = bid + ask depth (2x the mean half-spread
+                # of the results table, analytics.episode_stats)
+                rr = reward.shape[0]
+                spread = action[:rr] + action[rr : 2 * rr]
+                return new_carry + (racc + reward, sacc + spread)
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel
             # streams write plain 2D (T, L) rows, so nothing pads anywhere.
@@ -1329,13 +1336,18 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             # impact state starts at 0 (temp_perm) / initial_transient_impact
             init = init + (jnp.full((rows, L), p.impact_initial, jnp.float32),)
         if stats_only:
-            init = init + (jnp.zeros((rows, L), jnp.float32),)  # reward sum
+            # reward + quoted-spread sums
+            init = init + (
+                jnp.zeros((rows, L), jnp.float32),
+                jnp.zeros((rows, L), jnp.float32),
+            )
         final = jax.lax.fori_loop(0, p.run_steps, body, init)
         if stats_only:
             cash_out[:] = final[0]
             inv_out[:] = final[1]
             price_out[:] = final[2]
-            rsum_out[:] = final[-1]
+            rsum_out[:] = final[-2]
+            ssum_out[:] = final[-1]
 
     return kernel
 
@@ -1543,9 +1555,9 @@ def table_rollout_pallas(
     - streams (default): the five :func:`mlp_rollout_pallas` buffers;
       log-probs/values are zeros (the policy is deterministic).
     - ``stats_only=True``: terminal cash/inventory/price + the per-env
-      episode reward sum, each ``(N,)`` — nothing (T, ...)-shaped ever
-      leaves the chip, so lane tiles stay wide at any horizon (the CJP
-      config runs T=1000).
+      episode reward and quoted-spread (bid + ask depth) sums, each
+      ``(N,)`` — nothing (T, ...)-shaped ever leaves the chip, so lane
+      tiles stay wide at any horizon (the CJP config runs T=1000).
 
     ``noise`` uses the table-policy channel layout
     (``n_noise_channels(a_dim, table=True)``: 4 env uniforms + the
@@ -1661,8 +1673,8 @@ def table_rollout_pallas(
     s_dim = len(p.obs_low)
     if stats_only:
         flat1 = pl.BlockSpec((rows, tile), lambda i: (0, i))
-        out_shape = [jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 4
-        out_specs = [flat1] * 4
+        out_shape = [jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 5
+        out_specs = [flat1] * 5
     else:
         flat = pl.BlockSpec((T, tile), lambda i: (0, i))
         out_shape = [
@@ -1693,9 +1705,49 @@ def table_rollout_pallas(
         interpret=interp,
     )(*inputs)
     if stats_only:
-        cash, inv, price, rsum = (o.reshape(-1) for o in outs)
-        return cash, inv, price, rsum
+        return tuple(o.reshape(-1) for o in outs)  # cash, inv, price, rsum, ssum
     return outs
+
+
+def cj_mc_episode_stats_pallas(
+    cfg: EnvConfig, agent, key, episodes: int = 1, rows="auto", tile=None,
+):
+    """Drop-in throughput-mode counterpart of
+    :func:`mbt_gym_tpu.rollout.mc_episode_stats` for the closed-form CJ
+    agent, on the fused table kernel: returns the same summary dict
+    (mean/std episode reward as mean/std_pnl, terminal-inventory moments,
+    mean quoted spread, episode count) without materializing trajectories.
+    ~9x the XLA engine's mc path at the CJP config (BENCH_NOTES round 4).
+    Hardware-PRNG only (TPU); use the streams mode + episode_stats for
+    CPU runs."""
+    p = cj_rollout_params(cfg, agent)
+    bid_tbl, ask_tbl = (jnp.asarray(t) for t in cj_depth_tables(agent))
+    n = cfg.num_trajectories
+    seed0 = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
+
+    def one(carry, s):
+        _, inv, _, rsum, ssum = table_rollout_pallas(
+            p, bid_tbl, ask_tbl, s, n, stats_only=True, rows=rows, tile=tile
+        )
+        stats = jnp.stack([
+            rsum.mean(), (rsum**2).mean(), inv.mean(), (inv**2).mean(),
+            ssum.mean() / p.run_steps,
+        ])
+        return carry + stats, None
+
+    total, _ = jax.lax.scan(
+        one, jnp.zeros((5,), jnp.float32),
+        seed0 + jnp.arange(episodes, dtype=jnp.int32),
+    )
+    mean_r, mean_r2, mean_q, mean_q2, mean_s = total / episodes
+    return {
+        "mean_pnl": mean_r,
+        "std_pnl": jnp.sqrt(jnp.maximum(mean_r2 - mean_r**2, 0.0)),
+        "mean_terminal_inventory": mean_q,
+        "std_terminal_inventory": jnp.sqrt(jnp.maximum(mean_q2 - mean_q**2, 0.0)),
+        "mean_spread": mean_s,
+        "episodes": episodes * n,
+    }
 
 
 def cj_depth_tables(agent):

@@ -282,7 +282,7 @@ def main():
             seed0 = jax.random.randint(key, (), 0, 1 << 30, dtype=jnp.int32)
 
             def one(acc, s):
-                _, _, _, rsum = pr.table_rollout_pallas(
+                _, _, _, rsum, _ = pr.table_rollout_pallas(
                     p12, bid12, ask12, s, cfg12.num_trajectories, stats_only=True
                 )
                 return acc + rsum.mean(), None

@@ -30,7 +30,7 @@ def main():
         @jax.jit
         def episodes(seed0):
             def one(acc, s):
-                _, _, _, rsum = pr.table_rollout_pallas(
+                _, _, _, rsum, _ = pr.table_rollout_pallas(
                     p, bid_tbl, ask_tbl, s, n_envs, stats_only=True
                 )
                 return acc + rsum.mean(), None

@@ -1532,11 +1532,15 @@ def test_fused_table_policy_matches_xla_engine():
 
     # stats-only mode: terminal state + episode reward sums must equal the
     # stream reductions on the same draws
-    cash, inv, price, rsum = pallas_rollout.table_rollout_pallas(
+    cash, inv, price, rsum, ssum = pallas_rollout.table_rollout_pallas(
         p, bid_tbl, ask_tbl, 0, N, tile=128, interpret=True, noise=channels,
         stats_only=True,
     )
     np.testing.assert_allclose(np.asarray(rsum), np.asarray(rew_f.sum(0)), rtol=1e-5, atol=1e-5)
+    # quoted-spread sums == bid+ask depth sums from the action streams
+    np.testing.assert_allclose(
+        np.asarray(ssum), np.asarray(act_f.sum(0).sum(0)), rtol=1e-5, atol=1e-4
+    )
     # terminal state outputs: compare against the engine's post-episode
     # state on the same draws
     state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
@@ -1671,3 +1675,50 @@ def test_table_rollout_sublane_rows_bitwise():
             p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True,
             noise=channels, inv0=q0, rows=8,
         )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware PRNG required; CPU parity of the table policy is "
+    "covered by the injected-noise tests above — this validates the "
+    "table kernel's hardware draw stream against the CJP analytic "
+    "value function (the notebook Test-2 oracle).",
+)
+def test_table_kernel_hardware_value_function():
+    """On real hardware the fused table kernel's mean episode reward over
+    fresh PRNG episodes must match the analytic CJP value function
+    h(0, 0) (BaselineAgents.py:161-170) — the same oracle the reference's
+    Test-2 notebook t-tests, here at ~0.5M episodes so the band is tight.
+    Also asserts the sublane-packed layouts agree with each other on
+    hardware (independent draw streams, same distribution)."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    n_envs = 65536
+    env_cfg = cj_env_config(num_trajectories=n_envs, max_inventory=100.0)
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg, max_inventory=100)
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+    bid_tbl, ask_tbl = jnp.asarray(bid_tbl), jnp.asarray(ask_tbl)
+    h0 = float(agent.h_table()[0, agent.max_inventory])
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("rows",))
+    def mean_reward(seed0, rows):
+        def one(acc, s):
+            _, _, _, rsum, _ = pallas_rollout.table_rollout_pallas(
+                p, bid_tbl, ask_tbl, s, n_envs, stats_only=True, rows=rows
+            )
+            return acc + rsum.mean(), None
+
+        acc, _ = jax.lax.scan(one, 0.0, seed0 + jnp.arange(4, dtype=jnp.int32))
+        return acc / 4
+
+    m16 = float(mean_reward(jnp.int32(11_000), 16))
+    m1 = float(mean_reward(jnp.int32(53_000), 1))
+    # episode-reward std is a few units; at 262k episodes the SE is ~0.01,
+    # so 0.3 is a ~10-sigma band that still catches any structural error
+    assert abs(m16 - h0) < 0.3, (m16, h0)
+    assert abs(m1 - h0) < 0.3, (m1, h0)
+    assert abs(m16 - m1) < 0.3, (m16, m1)
