@@ -921,6 +921,11 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
             "fill_kind='exomm' requires exo_kind/exo_level/exo_speed/"
             "exo_vol/exo_initial/exo_dt_scaled (bid, ask) tuples"
         )
+        # exo_n is channel-major (2R, L): bid rows [0, R), ask rows [R, 2R)
+        # (R=1 in the MLP family; the table policy's sublane-packed stats
+        # mode carries R > 1)
+        rr = exo_b.shape[0]
+        exo_n_bid, exo_n_ask = exo_n[0:rr], exo_n[rr : 2 * rr]
         sq = math.sqrt(p.dt)
 
         def side(i, exo, n):
@@ -939,7 +944,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
                 + (p.exo_vol[i] * sq) * n
             )
 
-        return side(0, exo_b, exo_n[0:1]), side(1, exo_a, exo_n[1:2])
+        return side(0, exo_b, exo_n_bid), side(1, exo_a, exo_n_ask)
 
     if p.dynamics_kind == "limit":
         bid_depth, ask_depth = exec_action
@@ -1755,12 +1760,24 @@ def cj_depth_tables(agent):
     :class:`~mbt_gym_tpu.agents.baseline.CarteaJaimungalMmAgent`:
     each (n_steps + 1, Q_pad) f32 with the inventory grid lane-padded to a
     multiple of 128 (padded columns are never selected — the kernel clips
-    the inventory index to the true grid)."""
+    the inventory index to the true grid).
+
+    The risk-neutral special case (PnL reward => ``inventory_neutral``,
+    BaselineAgents.py:96-98,110-112) quotes the CONSTANT depth 1/kappa at
+    every (time, inventory) — the engine policy never consults h there
+    (agents/baseline.py), so the fused tables must not either (the
+    inventory-dependent table plus its large-depth boundary overrides
+    would silently diverge from the engine's constant quotes)."""
     import numpy as np
 
-    tbl = np.asarray(agent.depth_table(), np.float32)  # (T+1, Q, 2)
-    q = tbl.shape[1]
+    q = 2 * agent.max_inventory + 1
     q_pad = -(-q // LANES) * LANES
+    if agent.inventory_neutral:
+        padded = np.zeros((agent.n_steps + 1, q_pad, 2), np.float32)
+        padded[:, :q] = np.float32(1.0 / agent.kappa)
+        return padded[..., 0], padded[..., 1]
+    tbl = np.asarray(agent.depth_table(), np.float32)  # (T+1, Q, 2)
+    assert tbl.shape[1] == q
     padded = np.zeros((tbl.shape[0], q_pad, 2), np.float32)
     padded[:, :q] = tbl
     return padded[..., 0], padded[..., 1]

@@ -37,26 +37,26 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(name, cfg, policy, episodes_per_call, iters=3):
-    from mbt_gym_tpu.utils.profiling import _episode_thunk
+def measure_thunk(name, thunk, envs, n_steps, episodes_per_call, iters=3):
+    """Shared timing protocol for scalar-returning episode thunks
+    (thunk(key) -> device scalar): one compile fetch, a 4-call chained
+    warm burst, then ``iters`` chained calls fetched once.
 
-    thunk = _episode_thunk(cfg, policy, episodes_per_call)
+    Untimed warmup dispatches matter: post-compile calls pay relay/
+    executable-cache warmup that decays over SEVERAL calls (config 1
+    measured 160 ms/call on the first burst vs ~32 ms settled in the same
+    session), which at ~30 ms/call configs dominates the 3-call timed
+    window.  Chaining by data dependency with ONE scalar fetch at the end
+    keeps the relay RTT (~30-50 ms/fetch, varies by session) out of the
+    device-rate measurement."""
     t0 = time.time()
     float(thunk(jax.random.PRNGKey(0)))
     compile_s = time.time() - t0
-    # Untimed warmup dispatches: post-compile calls pay relay/executable-
-    # cache warmup that decays over SEVERAL calls (config 1 measured
-    # 160 ms/call on the first burst vs ~32 ms settled in the same
-    # session), which at ~30 ms/call configs dominates the 3-call timed
-    # window.  Chain a burst of 4 and fetch once.
     acc = None
     for w in range(4):
         s = thunk(jax.random.PRNGKey(90 + w))
         acc = s if acc is None else acc + s
     float(acc)
-    # Chain iterations by data dependency and fetch ONE scalar at the end:
-    # a per-iteration fetch adds the full relay RTT (~30-50 ms, varies by
-    # session) to every call, polluting the device-rate measurement.
     t0 = time.time()
     acc = None
     for i in range(iters):
@@ -64,9 +64,19 @@ def measure(name, cfg, policy, episodes_per_call, iters=3):
         acc = s if acc is None else acc + s
     float(acc)
     dt = (time.time() - t0) / iters
-    rate = cfg.num_trajectories * cfg.n_steps * episodes_per_call / dt
-    return {"config": name, "envs": cfg.num_trajectories, "n_steps": cfg.n_steps,
+    rate = envs * n_steps * episodes_per_call / dt
+    return {"config": name, "envs": envs, "n_steps": n_steps,
             "env_steps_per_s": rate, "ms_per_call": dt * 1e3, "compile_s": compile_s}
+
+
+def measure(name, cfg, policy, episodes_per_call, iters=3):
+    from mbt_gym_tpu.utils.profiling import _episode_thunk
+
+    thunk = _episode_thunk(cfg, policy, episodes_per_call)
+    return measure_thunk(
+        name, thunk, cfg.num_trajectories, cfg.n_steps, episodes_per_call,
+        iters=iters,
+    )
 
 
 def measure_ppo(name, env_cfg, iters=3, n_minibatches=4, fused=True,
@@ -292,27 +302,10 @@ def main():
             )
             return acc
 
-        t0 = time.time()
-        float(table_thunk(jax.random.PRNGKey(0)))
-        compile_s = time.time() - t0
-        acc = None
-        for w in range(4):
-            s = table_thunk(jax.random.PRNGKey(90 + w))
-            acc = s if acc is None else acc + s
-        float(acc)
-        t0 = time.time()
-        acc = None
-        for i in range(3):
-            s = table_thunk(jax.random.PRNGKey(1 + i))
-            acc = s if acc is None else acc + s
-        float(acc)
-        dt = (time.time() - t0) / 3
-        rows.append({
-            "config": "12. CJP closed-form on the fused table kernel",
-            "envs": cfg12.num_trajectories, "n_steps": cfg12.n_steps,
-            "env_steps_per_s": cfg12.num_trajectories * cfg12.n_steps * eps12 / dt,
-            "ms_per_call": dt * 1e3, "compile_s": compile_s,
-        })
+        rows.append(measure_thunk(
+            "12. CJP closed-form on the fused table kernel",
+            table_thunk, cfg12.num_trajectories, cfg12.n_steps, eps12,
+        ))
 
     # Config 13: config 3's OE workload on the whole-episode Pallas kernel
     # (ops/pallas_episode.oe_episode_pallas: state in VMEM, hardware PRNG,
@@ -343,27 +336,10 @@ def main():
             )
             return acc
 
-        t0 = time.time()
-        float(oe_thunk(jax.random.PRNGKey(0)))
-        compile_s = time.time() - t0
-        acc = None
-        for w in range(4):
-            s = oe_thunk(jax.random.PRNGKey(90 + w))
-            acc = s if acc is None else acc + s
-        float(acc)
-        t0 = time.time()
-        acc = None
-        for i in range(3):
-            s = oe_thunk(jax.random.PRNGKey(1 + i))
-            acc = s if acc is None else acc + s
-        float(acc)
-        dt = (time.time() - t0) / 3
-        rows.append({
-            "config": "13. OE closed-form on the episode Pallas kernel",
-            "envs": cfg13.num_trajectories, "n_steps": cfg13.n_steps,
-            "env_steps_per_s": cfg13.num_trajectories * cfg13.n_steps * eps13 / dt,
-            "ms_per_call": dt * 1e3, "compile_s": compile_s,
-        })
+        rows.append(measure_thunk(
+            "13. OE closed-form on the episode Pallas kernel",
+            oe_thunk, cfg13.num_trajectories, cfg13.n_steps, eps13,
+        ))
 
     if args.json:
         for r in rows:

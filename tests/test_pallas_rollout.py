@@ -1722,3 +1722,110 @@ def test_table_kernel_hardware_value_function():
     assert abs(m16 - h0) < 0.3, (m16, h0)
     assert abs(m1 - h0) < 0.3, (m1, h0)
     assert abs(m16 - m1) < 0.3, (m16, m1)
+
+
+def test_table_rollout_rows_exomm_bitwise():
+    """Sublane-packed rows with exogenous-MM fills: the exo noise channels
+    are channel-major (bid rows [0, R), ask rows [R, 2R)) like every other
+    channel — regression test for the rows>1 slice bug where both sides
+    read rows of the BID channel and broadcast one draw across all
+    sublane rows (caught in the round-4 self-review)."""
+    import dataclasses as dc
+
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.processes.fills import ExogenousMmFill
+    from mbt_gym_tpu.processes.midprice import OuMidprice
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    Nn, Tt = 1024, 8
+    base = cj_env_config(num_trajectories=Nn, n_steps=Tt, max_inventory=3.0)
+    dyn = dc.replace(
+        base.dynamics,
+        fill_probability_model=ExogenousMmFill(
+            bid_process=OuMidprice(
+                initial_price=0.8, mean_reversion_level=0.8,
+                mean_reversion_speed=1.0, volatility=0.3, terminal_time=1.0,
+            ),
+            ask_process=OuMidprice(
+                initial_price=0.9, mean_reversion_level=0.9,
+                mean_reversion_speed=2.0, volatility=0.5, terminal_time=1.0,
+            ),
+            fill_exponent=1.5,
+        ),
+    )
+    env_cfg = dc.replace(base, dynamics=dyn)
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    assert p.fill_kind == "exomm"
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+
+    rng = np.random.default_rng(5)
+    n_ch = pallas_rollout.n_noise_channels(2, exomm=True, table=True)
+    assert n_ch == 7
+    channels = rng.uniform(size=(Tt, n_ch, Nn)).astype(np.float32)
+    channels[:, 4:] = rng.normal(size=(Tt, 3, Nn)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    outs1 = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=channels,
+        stats_only=True,
+    )
+    outs8 = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=channels,
+        stats_only=True, rows=8,
+    )
+    for a, b in zip(outs1, outs8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the exo channels must actually matter: different exo draws => the
+    # terminal cash differs (guards against the channels being dead)
+    other = channels.at[:, 5:7].set(-channels[:, 5:7])
+    alt = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=other,
+        stats_only=True, rows=8,
+    )
+    assert not np.array_equal(np.asarray(alt[0]), np.asarray(outs8[0]))
+
+
+def test_cj_depth_tables_inventory_neutral():
+    """PnL reward => the CJ agent is risk-neutral and quotes the CONSTANT
+    depth 1/kappa (BaselineAgents.py:96-98,110-112); the fused tables must
+    be constant too, not the inventory-dependent h-table with its
+    large-depth boundary overrides (round-4 self-review finding)."""
+    import dataclasses as dc
+
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.rewards import PnL
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    Nn, Tt = 256, 6
+    env_cfg = dc.replace(
+        cj_env_config(num_trajectories=Nn, n_steps=Tt, max_inventory=3.0),
+        reward_function=PnL(),
+    )
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    assert agent.inventory_neutral
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+    k = env_cfg.dynamics.fill_probability_model.fill_exponent
+    assert np.all(bid_tbl[:, :7] == np.float32(1.0 / k))
+    assert np.all(ask_tbl[:, :7] == np.float32(1.0 / k))
+
+    # end-to-end: fused streams equal the engine + the agent's actual
+    # (constant-quote) policy on the same draws
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    rng = np.random.default_rng(8)
+    channels = rng.uniform(size=(Tt, 5, Nn)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(Tt, Nn)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    obs_f, act_f, _, _, rew_f = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_rew = _xla_reference_table(
+        env_cfg, agent.policy(), channels
+    )
+    np.testing.assert_allclose(
+        np.asarray(act_f), np.asarray(ref_act).transpose(0, 2, 1), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
