@@ -1829,3 +1829,54 @@ def test_cj_depth_tables_inventory_neutral():
         np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fill_name", ["triangular", "power"])
+def test_fused_table_policy_other_fill_kinds(fill_name):
+    """Table policy composed with the non-default fill models (triangular
+    / power, elementwise-intent variants) — the depth table is a policy,
+    the fill model is orthogonal env machinery, and their composition
+    must match the XLA engine on the same draws."""
+    import dataclasses as dc
+
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.processes.fills import PowerFill, TriangularFill
+    from mbt_gym_tpu.utils.config import cj_env_config
+
+    Nn, Tt = 256, 8
+    fill = (
+        TriangularFill(max_fill_depth=1.5)
+        if fill_name == "triangular"
+        else PowerFill(fill_exponent=1.5, fill_multiplier=1.2)
+    )
+    base = cj_env_config(num_trajectories=Nn, n_steps=Tt, max_inventory=3.0)
+    env_cfg = dc.replace(
+        base, dynamics=dc.replace(base.dynamics, fill_probability_model=fill)
+    )
+    # the CJ h-table needs a fill exponent; build the agent from the
+    # exponential-fill base config and run its table on the other fill env
+    agent = CarteaJaimungalMmAgent.from_config(base)
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    assert p.fill_kind == fill_name
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+
+    rng = np.random.default_rng(13)
+    channels = rng.uniform(size=(Tt, 5, Nn)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(Tt, Nn)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    obs_f, act_f, _, _, rew_f = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, Nn, tile=128, interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_rew = _xla_reference_table(
+        env_cfg, agent.policy(), channels
+    )
+    np.testing.assert_allclose(
+        np.asarray(act_f), np.asarray(ref_act).transpose(0, 2, 1),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
