@@ -706,6 +706,68 @@ def _traj_episode_kernel(
     jax.lax.fori_loop(0, p.run_steps, body, _as_init(p, shape))
 
 
+def _traj_episode_kernel_chunked(
+    p: AsEpisodeParams, t_chunk: int, seed_ref,
+    cash_ref, inv_ref, price_ref, c_scr, i_scr, p_scr,
+):
+    """Time-chunked trajectory streaming (round 4): 2D grid = (env tiles,
+    T chunks) with the env-state carry in VMEM scratch across the chunk
+    dimension (the standard Pallas accumulate-over-grid pattern;
+    dimension_semantics ("parallel", "arbitrary") keeps a tile's chunks
+    consecutive on one core).  Output blocks are (t_chunk, rows, LANES)
+    regardless of the horizon, so ROW tiles STAY WIDE at any batch/T —
+    the TRAJ_ROWS=16 fallback's 2x-buffered full-T blocks were the
+    large-batch throughput cliff (4.6B at 1M lanes, BENCH_NOTES round 4).
+
+    PRNG: seeded per (env tile, chunk) — a different (still independent
+    per lane) stream than the 1D kernels'; streams are an implementation
+    detail, the AS ground-truth stats are the contract.  Mosaic caps
+    prng_seed at TWO components, so (tile, chunk) packs into one."""
+    j = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1) + j)
+    shape = cash_ref.shape[1:]  # (rows, LANES)
+
+    @pl.when(j == 0)
+    def _():
+        c0, i0, p0 = _as_init(p, shape)
+        c_scr[...] = c0
+        i_scr[...] = i0
+        p_scr[...] = p0
+
+    def body(i, carry):
+        g = j * t_chunk + i
+        t = p.start_time + g.astype(jnp.float32) * p.dt
+        cash, inv, price, _ = _as_step(p, carry, t, _hw_draws(shape))
+        cash_ref[i] = cash
+        inv_ref[i] = inv
+        price_ref[i] = price
+        return cash, inv, price
+
+    cash, inv, price = jax.lax.fori_loop(
+        0, t_chunk, body, (c_scr[...], i_scr[...], p_scr[...])
+    )
+    c_scr[...] = cash
+    i_scr[...] = inv
+    p_scr[...] = price
+
+
+def _traj_chunk_plan(run_steps: int, num_trajectories: int):
+    """(rows, t_chunk) for the chunked kernel: the widest row tile (<=128)
+    dividing the batch, then the largest T divisor whose double-buffered
+    (t_chunk, rows, LANES) f32 output blocks x3 stay under ~10 MB."""
+    rows = 128
+    while rows > 16 and num_trajectories % (rows * LANES):
+        rows //= 2
+    budget = 10 * 1024 * 1024
+    per_step = rows * LANES * 4 * 3 * 2
+    t_cap = max(1, budget // per_step)
+    t_chunk = 1
+    for d in range(1, run_steps + 1):
+        if run_steps % d == 0 and d <= t_cap:
+            t_chunk = d
+    return rows, t_chunk
+
+
 @partial(jax.jit, static_argnames=("params", "num_trajectories", "rows", "interpret"))
 def as_episode_trajectories_pallas(
     params: AsEpisodeParams,
@@ -727,13 +789,24 @@ def as_episode_trajectories_pallas(
     double-buffered output blocks, measured 4.96B vs 4.51B env-steps/s at
     the headline 16k-env/T=200 shape (round 3; multi-program rows 32/64
     FAIL to compile at T=200, their 2x-buffered (T, rows, 128) blocks
-    exceeding VMEM, so the fallback is the proven 16-row tiling).
+    exceeding VMEM).  Batches past the envelope use the TIME-CHUNKED 2D
+    grid (round 4, :func:`_traj_episode_kernel_chunked`): output blocks
+    are (t_chunk, rows, LANES) with the state carry in VMEM scratch, so
+    row tiles stay at 128 at any batch.  Raw-stream throughput is now
+    FLAT in batch: 11.9B env-steps/s at 1M lanes vs 11.7B at the 16k
+    grid=1 point (the 16-row fallback measured 10.5B raw; the remaining
+    large-batch gap in end-to-end Trajectory numbers is the XLA assembly
+    consumer — obs stacking / reward diffs over (T, N) arrays — not the
+    kernel; BENCH_NOTES round 4).
 
     NOTE (ADVICE r3): the ``run_steps * rows`` envelope extrapolates the
     (T=200, rows=128) hardware-proven point to other (T, rows) products —
     e.g. T=50/rows=512 compiles under the same VMEM budget model but was
     not individually measured; if a shape in the envelope fails to
-    compile, pass ``rows=TRAJ_ROWS`` explicitly."""
+    compile, pass ``rows=TRAJ_ROWS`` explicitly (the 1D proven tiling)."""
+    T = params.run_steps
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    chunked = False
     if rows is None:
         one_shot = num_trajectories // LANES
         if (
@@ -742,12 +815,39 @@ def as_episode_trajectories_pallas(
         ):
             rows = one_shot
         else:
-            rows = TRAJ_ROWS
+            rows, t_chunk = _traj_chunk_plan(T, num_trajectories)
+            chunked = True
+    if chunked:
+        tile = rows * LANES
+        assert num_trajectories % tile == 0, (num_trajectories, tile)
+        grid = (num_trajectories // tile, T // t_chunk)
+        out_shape = [
+            jax.ShapeDtypeStruct((T, grid[0] * rows, LANES), jnp.float32)
+        ] * 3
+        kernel = partial(_traj_episode_kernel_chunked, params, t_chunk)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[
+                pl.BlockSpec(
+                    (t_chunk, rows, LANES), lambda i, j: (j, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 3,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)] * 3,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")
+            ),
+            interpret=interpret,
+        )(seed_arr)
+        cash, inv, price = (o.reshape(T, -1) for o in outs)
+        return cash, inv, price
     tile = rows * LANES
     assert num_trajectories % tile == 0, (num_trajectories, tile)
     grid = num_trajectories // tile
-    T = params.run_steps
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     out_shape = [jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)] * 3
     kernel = partial(_traj_episode_kernel, params)
     outs = pl.pallas_call(

@@ -280,3 +280,34 @@ def test_oe_pallas_episode_hardware_stats():
     # deterministic schedule -> all envs share the terminal inventory
     np.testing.assert_allclose(np.asarray(inv), q_T, rtol=1e-3)
     assert np.asarray(perm).std() < 1e-6  # impact path is deterministic too
+
+
+def test_traj_chunked_matches_1d_tiling():
+    """The time-chunked 2D-grid trajectory kernel (round 4: (t_chunk,
+    rows, LANES) output blocks + VMEM-scratch state carry) must be
+    BITWISE equal to the proven 1D 16-row tiling under the Mosaic
+    interpreter (zero PRNG bits => both paths are deterministic and the
+    step math is shared, so any disagreement is a chunking/carry bug)."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mbt_gym_tpu.ops import pallas_episode as pe
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    interp = pltpu.InterpretParams()
+    cfg = as_env_config(num_trajectories=4096, n_steps=900)
+    p = pe.params_from_config(cfg, risk_aversion=0.1)
+    # past the grid=1 envelope: rows=None takes the chunked path
+    assert p.run_steps * (4096 // 128) > 200 * 128
+    rows, t_chunk = pe._traj_chunk_plan(p.run_steps, 4096)
+    assert rows == 32 and p.run_steps % t_chunk == 0
+    outs_1d = pe.as_episode_trajectories_pallas(
+        p, 3, 4096, rows=pe.TRAJ_ROWS, interpret=interp
+    )
+    outs_chunked = pe.as_episode_trajectories_pallas(
+        p, 3, 4096, rows=None, interpret=interp
+    )
+    for a, b in zip(outs_1d, outs_chunked):
+        assert a.shape == (900, 4096)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
