@@ -12,13 +12,15 @@ return ≈ 40 B/sample), keeps h1/h2 for a tile of samples in VMEM, and
 writes only the accumulated weight gradients — making the update
 FLOP-bound on the MXU instead.
 
-Scope: the shared-trunk actor-critic layout (``networks.init_actor_critic
-(shared_trunk=True)``) with any trunk depth/widths and any obs/action
-dims; diagonal-Gaussian policy with state-independent ``log_std``
-(identical loss to ``agents.ppo._ppo_loss``).  Separate pi/vf towers stay
-on the XLA path.  Gradient parity with ``jax.grad`` of the XLA loss is
-asserted in tests/test_fused_ppo.py (interpret mode runs on CPU — no
-hardware PRNG in this kernel).
+Scope: any actor-critic layout from ``networks.init_actor_critic`` —
+the shared trunk (``shared_trunk=True``) or the reference's separate
+pi/vf towers (run as a STACKED trunk with per-tower row slices, the
+round-4 ``split_at`` mode of :func:`ppo_fused_grads_T`) —
+with any trunk depth/widths and any obs/action dims; diagonal-Gaussian
+policy with state-independent ``log_std`` (identical loss to
+``agents.ppo._ppo_loss``).  Gradient parity with ``jax.grad`` of the XLA
+loss is asserted in tests/test_fused_ppo.py for both layouts (interpret
+mode runs on CPU — no hardware PRNG in this kernel).
 """
 from __future__ import annotations
 

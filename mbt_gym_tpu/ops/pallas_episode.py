@@ -755,8 +755,16 @@ def _traj_chunk_plan(run_steps: int, num_trajectories: int):
     """(rows, t_chunk) for the chunked kernel: the widest row tile (<=128)
     dividing the batch, then the largest T divisor whose double-buffered
     (t_chunk, rows, LANES) f32 output blocks x3 stay under ~10 MB."""
+    if num_trajectories % LANES:
+        # ADVICE r4: surface the batch-shape precondition here instead of
+        # the bare grid-divisibility assert downstream.
+        raise ValueError(
+            f"as_episode_trajectories_pallas: num_trajectories="
+            f"{num_trajectories} must be a multiple of {LANES} (lane "
+            f"width); pad the batch or pass rows= explicitly"
+        )
     rows = 128
-    while rows > 16 and num_trajectories % (rows * LANES):
+    while rows > 1 and num_trajectories % (rows * LANES):
         rows //= 2
     budget = 10 * 1024 * 1024
     per_step = rows * LANES * 4 * 3 * 2

