@@ -102,8 +102,9 @@ def n_noise_channels(
     policy-sample normals + 1 midprice normal (+ 2 exogenous best-depth
     OU normals for the exogenous-MM fill kind, + 1 second-midprice-state
     normal for the 2-dim midprice kinds: Heston variance / short-term
-    alpha).  The deterministic "table" policy draws no policy-sample
-    normals, so its channel layout drops the eps rows."""
+    alpha).  The deterministic policy kinds ("table"/"fixed") draw no
+    policy-sample normals, so their channel layout drops the eps rows —
+    pass ``table=True`` for either."""
     n_eps = 0 if table else max(a_dim, 2)
     return 4 + n_eps + 1 + (2 if exomm else 0) + (1 if mid2 else 0)
 
@@ -239,13 +240,20 @@ class MlpRolloutParams(NamedTuple):
     # reference money-pump exploit (tests/test_env_features.py).  Default
     # False preserves reference mechanics.
     mask_mo_at_max_inventory: bool = False
-    # Policy: "mlp" (the actor-critic forward above) or "table" (round 4:
+    # Policy: "mlp" (the actor-critic forward above), "table" (round 4:
     # a closed-form depth table indexed by (time step, inventory) — the
     # CarteaJaimungalMmAgent policy, BaselineAgents.py:86-170 — looked up
     # per step via a one-hot MXU contraction; limit dynamics only, no
     # action-box clipping, exactly like the XLA engine's closed-form
-    # policy path in agents/baseline.py).
+    # policy path in agents/baseline.py) or "fixed" (round 5: a constant
+    # per-column action — the FixedActionAgent, BaselineAgents.py:25-31 —
+    # on ANY dynamics family; the degenerate deterministic case that gives
+    # composite closed-form/fixed evaluations a Pallas lane).
     policy_kind: str = "mlp"
+    # "fixed" policy: the constant action, one float per action column (in
+    # normalised units when normalise_act, exactly what the policy returns
+    # on the engine path).
+    fixed_action: tuple = ()
     # "table" policy: true (unpadded) inventory-grid size 2*q_max + 1.
     table_size: int = 0
     # "table" policy lookup operand dtype.  "float32" (default) keeps the
@@ -803,6 +811,27 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         action = jnp.concatenate([bid_q, ask_q], axis=0)
         logp = jnp.zeros(inv.shape, jnp.float32)
         value = jnp.zeros(inv.shape, jnp.float32)
+    elif p.policy_kind == "fixed":
+        # --- constant-action policy (FixedActionAgent,
+        # BaselineAgents.py:25-31; round 5) --- each action column is a
+        # static scalar broadcast over the env planes.  Deterministic, so
+        # no eps channels and zero log-prob/value streams (like "table");
+        # no action-box clip (the engine never clips closed-form/fixed
+        # policy outputs), but the normalise_act mapping to model units
+        # matches env.step (TradingEnvironment.py:112-126).
+        raw = tuple(
+            jnp.full(inv.shape, float(c), jnp.float32) for c in p.fixed_action
+        )
+        if p.normalise_act:
+            exec_action = tuple(
+                (raw[c] + 1.0) * p.act_grad[c] + p.act_low[c]
+                for c in range(len(raw))
+            )
+        else:
+            exec_action = raw
+        action = raw[0] if len(raw) == 1 else jnp.concatenate(raw, axis=0)
+        logp = jnp.zeros(inv.shape, jnp.float32)
+        value = jnp.zeros(inv.shape, jnp.float32)
     else:
         # --- policy/value forward, transposed ---
         # bf16 matmuls are safe on normalised [-1, 1] observations;
@@ -1158,17 +1187,19 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
     use_inv0 = bool(p.inventory_range)
     use_t0 = p.random_start
     table = p.policy_kind == "table"
+    fixed = p.policy_kind == "fixed"
+    deterministic = table or fixed
     assert not (stats_only and use_t0), (
         "stats-only outputs with random start times are unsupported "
         "(nothing needs them; the streams mode freezes post-done lanes)"
     )
     # rows > 1 = sublane-packed env planes ((R, L) instead of (1, L), R=8
     # filling the VPU's native (8, 128) shape): full vector-unit
-    # utilization on the env update and the PRNG draws.  Table-policy
-    # stats mode only — the stream outputs and the MLP forward are laid
-    # out for (1, L) planes.
-    assert rows == 1 or (table and stats_only), (
-        "sublane-packed rows require the table policy's stats-only mode"
+    # utilization on the env update and the PRNG draws.  Deterministic-
+    # policy (table/fixed) stats mode only — the stream outputs and the
+    # MLP forward are laid out for (1, L) planes.
+    assert rows == 1 or (deterministic and stats_only), (
+        "sublane-packed rows require a deterministic policy's stats-only mode"
     )
 
     def kernel(*refs):
@@ -1182,6 +1213,8 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         if table:
             bid_tbl_ref, ask_tbl_ref = next(it), next(it)
             weight_refs = None
+        elif fixed:
+            weight_refs = None  # the constant action lives in static params
         else:
             trunk = [(next(it), next(it)) for _ in range(n_layers)]
             w_head_ref, b_head_ref, lstd_ref = next(it), next(it), next(it)
@@ -1207,8 +1240,8 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
         L = first_out.shape[-1]
         # policy-sample normal rows (channel layout); the deterministic
-        # table policy draws none
-        n_eps = 0 if table else max(a_dim, 2)
+        # policy kinds (table/fixed) draw none
+        n_eps = 0 if deterministic else max(a_dim, 2)
         use_exo = p.fill_kind == "exomm"
         use_mid2 = p.has_mid2
         # Box-Muller pairs covering n_eps action normals + 1 midprice
@@ -1303,9 +1336,15 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 )
             if stats_only:
                 # quoted spread = bid + ask depth (2x the mean half-spread
-                # of the results table, analytics.episode_stats)
+                # of the results table, analytics.episode_stats); zeros for
+                # 1-column actions (speed dynamics — the stat is NaN'd by
+                # the wrapper, matching mc_episode_stats' action_dim < 2
+                # convention)
                 rr = reward.shape[0]
-                spread = action[:rr] + action[rr : 2 * rr]
+                if a_dim >= 2:
+                    spread = action[:rr] + action[rr : 2 * rr]
+                else:
+                    spread = jnp.zeros_like(reward)
                 return new_carry + (racc + reward, sacc + spread)
             # Separate output buffers measured fastest (123 ms vs 174-198 ms
             # for packed-single-buffer variants at 262k envs); the 1-channel
@@ -1592,6 +1631,81 @@ def table_rollout_pallas(
         "random start times with the table policy are unsupported (the "
         "reference's CJ replication runs fixed-horizon episodes)"
     )
+    T = p.run_steps
+    bid_table = jnp.asarray(bid_table, jnp.float32)
+    ask_table = jnp.asarray(ask_table, jnp.float32)
+    assert bid_table.shape == ask_table.shape and bid_table.ndim == 2
+    assert bid_table.shape[0] >= round(p.start_time / p.dt) + T, (
+        "depth table must cover every executed step's time index",
+        bid_table.shape, T,
+    )
+    assert bid_table.shape[1] % LANES == 0 and bid_table.shape[1] >= p.table_size
+    return _det_rollout_pallas(
+        p, (bid_table, ask_table), seed, num_trajectories, tile, interpret,
+        noise, inv0, stats_only, rows, a_dim=2,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows"
+    ),
+)
+def fixed_rollout_pallas(
+    p: MlpRolloutParams,
+    seed,
+    num_trajectories: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    noise=None,
+    inv0=None,
+    stats_only: bool = False,
+    rows="auto",
+):
+    """Fused whole-episode rollout with a CONSTANT action (round 5) — the
+    degenerate deterministic policy (FixedActionAgent,
+    BaselineAgents.py:25-31 / ``agents.baseline.fixed_action_policy``) on
+    ANY dynamics family the kernel covers.  This gives composite
+    fixed-policy evaluations (e.g. the Hawkes + exogenous-MM + limit&market
+    suite config) a Pallas lane: the only model axis the MLP family needed
+    was the policy, and a constant needs neither weights nor eps draws.
+
+    ``p`` comes from :func:`fixed_rollout_params`; ``p.fixed_action`` holds
+    one float per action column (normalised units when ``p.normalise_act``
+    — exactly what the policy callable returns on the engine path).
+
+    Output modes, layouts, ``noise`` channel layout (the deterministic
+    ``n_noise_channels(a_dim, table=True)`` — no eps rows) and the
+    sublane-packed ``rows`` stats mode are exactly as
+    :func:`table_rollout_pallas`."""
+    assert p.policy_kind == "fixed" and len(p.fixed_action) >= 1
+    expected = {"limit": 2, "lam": 4, "touch": 2, "speed": 1}[p.dynamics_kind]
+    assert len(p.fixed_action) == expected, (
+        f"fixed_action has {len(p.fixed_action)} columns; {p.dynamics_kind} "
+        f"dynamics takes {expected}"
+    )
+    assert not p.random_start, (
+        "random start times with the fixed policy stay on the XLA engine "
+        "(rollout()'s random-start masking; the dispatcher reports this)"
+    )
+    return _det_rollout_pallas(
+        p, (), seed, num_trajectories, tile, interpret, noise, inv0,
+        stats_only, rows, a_dim=len(p.fixed_action),
+    )
+
+
+def _det_rollout_pallas(
+    p, tables, seed, num_trajectories, tile, interpret, noise, inv0,
+    stats_only, rows, a_dim,
+):
+    """Shared pallas_call assembly for the deterministic policy kinds
+    (``tables`` = the two resident depth tables for "table", () for
+    "fixed")."""
+    assert p.fill_kind != "exomm" or p.dynamics_kind in ("limit", "lam"), (
+        "exomm fills require limit/lam dynamics (the only branches that "
+        "advance the exogenous best-depth processes)"
+    )
     if rows == "auto":
         rows = 1
         if stats_only:
@@ -1604,20 +1718,11 @@ def table_rollout_pallas(
     n = num_trajectories
     cols = n // rows
     T = p.run_steps
-    a_dim = 2
-    bid_table = jnp.asarray(bid_table, jnp.float32)
-    ask_table = jnp.asarray(ask_table, jnp.float32)
-    assert bid_table.shape == ask_table.shape and bid_table.ndim == 2
-    assert bid_table.shape[0] >= round(p.start_time / p.dt) + T, (
-        "depth table must cover every executed step's time index",
-        bid_table.shape, T,
-    )
-    assert bid_table.shape[1] % LANES == 0 and bid_table.shape[1] >= p.table_size
     if tile is None:
-        # Same scoped-vmem envelope as auto_tile, with the two resident
-        # depth tables charged against the budget; stats mode has no
+        # Same scoped-vmem envelope as auto_tile, with any resident depth
+        # tables charged against the budget; stats mode has no
         # (T, ...) output blocks at all, so any horizon keeps wide tiles.
-        budget = 15 * 1024 * 1024 - 2 * int(bid_table.size) * 4
+        budget = 15 * 1024 * 1024 - sum(int(t.size) * 4 for t in tables)
         channels = 0 if stats_only else (_sublane_pad(len(p.obs_low)) + _sublane_pad(a_dim) + 3)
         if noise is not None:
             # The injected block is (T, n_ch * rows, tile) — packed once,
@@ -1641,10 +1746,14 @@ def table_rollout_pallas(
         if not fitting and 128 * per_lane > budget:
             # No candidate tile fits scoped VMEM — surface the precondition
             # instead of an opaque Mosaic compile error (ADVICE r4).
+            resident = (
+                f"depth tables {tables[0].shape} x{len(tables)} = "
+                f"{sum(int(t.size) * 4 for t in tables) // 1024} KiB resident, "
+                if tables else ""
+            )
             raise ValueError(
-                f"table_rollout_pallas: no lane tile fits the VMEM budget "
-                f"(depth tables {bid_table.shape} x2 = "
-                f"{2 * bid_table.size * 4 // 1024} KiB resident, horizon "
+                f"{p.policy_kind}_rollout_pallas: no lane tile fits the "
+                f"VMEM budget ({resident}horizon "
                 f"T={T}, rows={rows}, per-lane cost {per_lane} B, budget "
                 f"{budget} B); shrink the table/horizon, use "
                 f"stats_only=True, or pass tile= explicitly"
@@ -1687,8 +1796,9 @@ def table_rollout_pallas(
         in_specs.append(pl.BlockSpec((rows, tile), lambda i: (0, i)))
     else:
         assert inv0 is None, "inv0 only valid with inventory_range"
-    inputs += [bid_table, ask_table]
-    in_specs += [full(bid_table.shape), full(ask_table.shape)]
+    for t in tables:
+        inputs.append(t)
+        in_specs.append(full(t.shape))
 
     s_dim = len(p.obs_low)
     if stats_only:
@@ -1803,6 +1913,80 @@ def cj_rollout_params(cfg: EnvConfig, agent) -> MlpRolloutParams:
     CJ table policy (policy_kind="table" + the agent's inventory grid)."""
     p = rollout_params_from_config(cfg)
     return p._replace(policy_kind="table", table_size=2 * agent.max_inventory + 1)
+
+
+def fixed_rollout_params(cfg: EnvConfig, fixed_action) -> MlpRolloutParams:
+    """:func:`rollout_params_from_config` specialised to the constant-action
+    policy (FixedActionAgent, BaselineAgents.py:25-31): ``fixed_action`` is
+    one float per action column, in whatever units the policy would return
+    (normalised when ``cfg.normalise_action_space``)."""
+    import numpy as np
+
+    p = rollout_params_from_config(cfg)
+    action = tuple(float(x) for x in np.asarray(fixed_action).reshape(-1))
+    return p._replace(policy_kind="fixed", fixed_action=action)
+
+
+def fixed_mc_episode_stats_pallas(
+    cfg: EnvConfig, fixed_action, key, episodes: int = 1, rows="auto",
+    tile=None,
+):
+    """Drop-in throughput-mode counterpart of
+    :func:`mbt_gym_tpu.rollout.mc_episode_stats` for a constant-action
+    policy, on the fused fixed-policy kernel: the same summary dict without
+    materializing trajectories.  The action stats are exact (the action is
+    a constant): quote-valued families report ``mean_spread`` from the
+    denormalised first two columns; at-the-touch reports
+    ``mean_spread=NaN`` + ``post_rate``; 1-column (speed) actions report
+    NaN — matching the engine path's conventions.  Hardware-PRNG only
+    (TPU); use the streams mode + episode_stats for CPU runs."""
+    import numpy as np
+
+    from mbt_gym_tpu.dynamics import AtTheTouchDynamics
+
+    p = fixed_rollout_params(cfg, fixed_action)
+    n = cfg.num_trajectories
+    seed0 = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
+
+    def one(carry, s):
+        _, inv, _, rsum, _ = fixed_rollout_pallas(
+            p, s, n, stats_only=True, rows=rows, tile=tile
+        )
+        stats = jnp.stack([
+            rsum.mean(), (rsum**2).mean(), inv.mean(), (inv**2).mean(),
+        ])
+        return carry + stats, None
+
+    total, _ = jax.lax.scan(
+        one, jnp.zeros((4,), jnp.float32),
+        seed0 + jnp.arange(episodes, dtype=jnp.int32),
+    )
+    mean_r, mean_r2, mean_q, mean_q2 = total / episodes
+    action = np.asarray(p.fixed_action, np.float32)
+    if isinstance(cfg.dynamics, AtTheTouchDynamics):
+        spread_stats = {
+            "mean_spread": jnp.asarray(jnp.nan, jnp.float32),
+            "post_rate": jnp.asarray(action[:2].mean(), jnp.float32),
+        }
+    elif action.size >= 2:
+        quotes = action[:2]
+        if p.normalise_act:
+            grad = np.asarray(p.act_grad[:2], np.float32)
+            low = np.asarray(p.act_low[:2], np.float32)
+            quotes = (quotes + 1.0) * grad + low
+        spread_stats = {
+            "mean_spread": jnp.asarray(2.0 * quotes.mean(), jnp.float32)
+        }
+    else:
+        spread_stats = {"mean_spread": jnp.asarray(jnp.nan, jnp.float32)}
+    return {
+        "mean_pnl": mean_r,
+        "std_pnl": jnp.sqrt(jnp.maximum(mean_r2 - mean_r**2, 0.0)),
+        "mean_terminal_inventory": mean_q,
+        "std_terminal_inventory": jnp.sqrt(jnp.maximum(mean_q2 - mean_q**2, 0.0)),
+        **spread_stats,
+        "episodes": episodes * n,
+    }
 
 
 S_DIM = 4  # AS env state columns (cash, inventory, time, price)

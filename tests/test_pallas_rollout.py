@@ -1880,3 +1880,168 @@ def test_fused_table_policy_other_fill_kinds(fill_name):
         rtol=1e-5, atol=1e-5,
     )
     np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------- fixed policy (round 5)
+def _xla_reference_fixed(env_cfg, policy, channels, exomm=False):
+    """XLA engine + a constant-action policy on the same injected draws;
+    channel layout is the deterministic-policy one (no eps rows): 4 env
+    uniforms, the midprice normal at row 4, then 2 exo best-depth normals
+    when the fill kind is exomm."""
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    outs = []
+    for t in range(channels.shape[0]):
+        action = policy(None, obs, state)
+        if exomm:
+            noise = (
+                SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+                SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+                SlotNoise(normal=channels[t, 5:7].T, uniform=channels[t, 2:4].T),
+            )
+        else:
+            noise = (
+                SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+                SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+                SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+            )
+        res = env_lib.step(env_cfg, state, action, noise=noise)
+        outs.append((obs, action, res.reward))
+        state, obs = res.state, res.obs
+    return [jnp.stack(x) for x in zip(*outs)]
+
+
+def test_fused_fixed_policy_composite_matches_xla_engine():
+    """The constant-action policy kind (round 5) on the composite stress
+    family (suite config 4: Hawkes arrivals + exogenous-MM fills +
+    limit-and-market dynamics) must reproduce the XLA engine + the
+    fixed_action_policy baseline on the same draws — the one suite eval
+    workload that previously had no Pallas lane (VERDICT r4 item 5)."""
+    from mbt_gym_tpu.agents.baseline import fixed_action_policy
+    from mbt_gym_tpu.utils.config import composite_env_config
+
+    env_cfg = dataclasses.replace(
+        composite_env_config(num_trajectories=N), n_steps=T
+    )
+    action = [0.6, 0.6, 0.0, 1.0]  # quotes + a firing MO-sell column
+    policy = fixed_action_policy(action)
+    p = pallas_rollout.fixed_rollout_params(env_cfg, action)
+    assert (p.policy_kind, p.dynamics_kind, p.arrival_kind, p.fill_kind) == (
+        "fixed", "lam", "hawkes", "exomm"
+    )
+    n_ch = pallas_rollout.n_noise_channels(4, exomm=True, table=True)
+    assert n_ch == 7
+    rng = np.random.default_rng(31)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    obs_f, act_f, logp_f, val_f, rew_f = pallas_rollout.fixed_rollout_pallas(
+        p, 0, N, tile=128, interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_rew = _xla_reference_fixed(
+        env_cfg, policy, channels, exomm=True
+    )
+    # the MO-sell column must actually fire on the engine side
+    assert float(jnp.abs(jnp.diff(ref_obs[:, 0, 1])).max()) >= 1.0
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(act_f), np.asarray(ref_act).transpose(0, 2, 1),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(logp_f).max()) == 0.0
+    assert float(jnp.abs(val_f).max()) == 0.0
+
+    # stats mode (sublane-packed rows) must match the stream reductions
+    cash, inv, price, rsum, ssum = pallas_rollout.fixed_rollout_pallas(
+        p, 0, N, tile=128, interpret=True, noise=channels, stats_only=True,
+        rows=1,
+    )
+    np.testing.assert_allclose(np.asarray(rsum), np.asarray(rew_f.sum(0)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ssum), np.asarray(act_f[:, :2].sum(0).sum(0)),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_fused_fixed_policy_speed_dynamics_matches_xla_engine():
+    """Fixed policy on speed dynamics (1 action column): the OE family's
+    constant-speed baseline, exercising the a_dim=1 spread guard."""
+    from mbt_gym_tpu.agents.baseline import fixed_action_policy
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    env_cfg = dataclasses.replace(oe_env_config(num_trajectories=N), n_steps=T)
+    action = [-2.5]
+    policy = fixed_action_policy(action)
+    p = pallas_rollout.fixed_rollout_params(env_cfg, action)
+    assert (p.policy_kind, p.dynamics_kind) == ("fixed", "speed")
+    n_ch = pallas_rollout.n_noise_channels(1, table=True)
+    assert n_ch == 5
+    rng = np.random.default_rng(32)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(T, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    obs_f, act_f, _, _, rew_f = pallas_rollout.fixed_rollout_pallas(
+        p, 0, N, tile=128, interpret=True, noise=channels,
+    )
+    ref_obs, ref_act, ref_rew = _xla_reference_fixed(env_cfg, policy, channels)
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-4)
+
+    # stats mode: the a_dim=1 spread accumulator is zeros (wrapper NaNs it)
+    _, _, _, rsum, ssum = pallas_rollout.fixed_rollout_pallas(
+        p, 0, N, tile=128, interpret=True, noise=channels, stats_only=True,
+    )
+    np.testing.assert_allclose(np.asarray(rsum), np.asarray(rew_f.sum(0)), rtol=1e-5, atol=1e-4)
+    assert float(jnp.abs(ssum).max()) == 0.0
+
+
+def test_fixed_rollout_config_guard():
+    """Wrong column counts and random starts must be rejected clearly."""
+    from mbt_gym_tpu.utils.config import composite_env_config
+
+    env_cfg = dataclasses.replace(
+        composite_env_config(num_trajectories=N), n_steps=T
+    )
+    p = pallas_rollout.fixed_rollout_params(env_cfg, [0.6, 0.6])  # lam needs 4
+    with pytest.raises(AssertionError, match="lam dynamics takes 4"):
+        pallas_rollout.fixed_rollout_pallas(p, 0, N, tile=128, interpret=True)
+    rs_cfg = dataclasses.replace(env_cfg, start_time=("uniform", 0.0, 0.5))
+    p2 = pallas_rollout.fixed_rollout_params(rs_cfg, [0.6, 0.6, 0.0, 0.0])
+    with pytest.raises(AssertionError, match="random start"):
+        pallas_rollout.fixed_rollout_pallas(p2, 0, N, tile=128, interpret=True)
+
+
+def test_fixed_rollout_sublane_rows_bitwise():
+    """The fixed policy's sublane-packed stats layout must be BITWISE
+    equal to rows=1 on the same injected noise — the table-kind rows
+    guarantee carries over to the new deterministic kind (composite
+    family: Hawkes + exomm carries, 7-channel layout)."""
+    from mbt_gym_tpu.utils.config import composite_env_config
+
+    Nn, Tt = 1024, 8
+    env_cfg = dataclasses.replace(
+        composite_env_config(num_trajectories=Nn), n_steps=Tt
+    )
+    p = pallas_rollout.fixed_rollout_params(env_cfg, [0.6, 0.6, 0.0, 0.0])
+    rng = np.random.default_rng(5)
+    channels = rng.uniform(size=(Tt, 7, Nn)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(Tt, 3, Nn)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    outs1 = pallas_rollout.fixed_rollout_pallas(
+        p, 0, Nn, tile=128, interpret=True, noise=channels, stats_only=True,
+    )
+    outs8 = pallas_rollout.fixed_rollout_pallas(
+        p, 0, Nn, tile=128, interpret=True, noise=channels, stats_only=True,
+        rows=8,
+    )
+    for a, b in zip(outs1, outs8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
