@@ -38,6 +38,12 @@ import numpy as np
 
 WARMUP_CALLS = 4
 WINDOWS = 3
+# Per-lane max/min window-time ratio recorded by _timed_median; lanes above
+# DISPERSION_FLAG land in the JSON's "timing_dispersion" field (VERDICT r4
+# weak #5: a wedged relay window can move a median-of-3 lane ~40% with no
+# verify signal — flag, don't fail).
+DISPERSION = {}
+DISPERSION_FLAG = 1.3
 
 
 def _enable_compile_cache():
@@ -74,6 +80,7 @@ def _timed_median(call, iters: int, label: str) -> float:
         checksum = float(acc)
         per_call.append((time.time() - t0) / iters)
     med = statistics.median(per_call)
+    DISPERSION[label] = max(per_call) / max(min(per_call), 1e-12)
     print(
         f"{label}: median {med*1e3:.1f} ms/call over {WINDOWS} windows "
         f"(all: {[f'{x*1e3:.1f}' for x in per_call]}), checksum {checksum:.2f}",
@@ -104,7 +111,10 @@ def measure_engine(
         # trajectory buffer is still materialized and consumed on device so
         # nothing is dead-code-eliminated.
         def one(acc, key):
-            res = rollout(cfg, policy, None, key, unroll=4)
+            # backend="xla": this lane is the general ENGINE regression
+            # guard — the auto front door would route the AS closed form to
+            # the episode kernel (the pallas lane measures that).
+            res = rollout(cfg, policy, None, key, unroll=4, backend="xla")
             traj = res.trajectory
             return (
                 acc
@@ -300,11 +310,18 @@ def verify_pallas_hardware_stats(num_trajectories: int = 16384) -> str:
 
 
 def measure_fused_ppo(
-    num_trajectories: int = 1 << 18, iters: int = 3
+    num_trajectories: int = 1 << 18, iters: int = 3,
+    shared_trunk: bool = True, label: str = "fused-ppo",
 ) -> tuple:
     """Full fused PPO train iteration (bench_suite config 5: Pallas
     rollout -> GAE -> fused update, 52.4M transitions/iteration).  Returns
-    (env_steps_per_s, verify_msg)."""
+    (env_steps_per_s, verify_msg).
+
+    ``shared_trunk=False`` runs the REFERENCE's exact net_arch — separate
+    256x256 pi/vf towers (/root/reference experiments/helpers.py:71) — as
+    a stacked trunk on the same fused kernels (round 4): the lane that
+    checks the >=100M north star holds on the reference's own
+    architecture in every driver capture (VERDICT r4 item 4)."""
     import dataclasses
 
     import jax
@@ -325,7 +342,7 @@ def measure_fused_ppo(
     # fetch inside the timed loop, fixed in `call` below.)
     ppo_cfg = ppo.PPOConfig(
         hidden=(256, 256), n_epochs=1, n_minibatches=16, shuffle=False,
-        compute_dtype="bfloat16", shared_trunk=True, fused_update=True,
+        compute_dtype="bfloat16", shared_trunk=shared_trunk, fused_update=True,
         fused_rollout=True,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
@@ -344,7 +361,7 @@ def measure_fused_ppo(
         state["rewards"].append(m["mean_episode_reward"])
         return m["pg_loss"]
 
-    med = _timed_median(call, iters, "fused-ppo")
+    med = _timed_median(call, iters, label)
     m = {k: float(v) for k, v in state["metrics"].items()}
     rewards = [float(r) for r in state["rewards"]]
     # rewards[0] is the compile call; [1:1+WARMUP] the warmup burst; the
@@ -352,7 +369,7 @@ def measure_fused_ppo(
     early = float(np.mean(rewards[1 : 1 + WARMUP_CALLS]))
     late = float(np.mean(rewards[-iters:]))
     print(
-        f"fused-ppo metrics: {m} (reward means: early {early:.3f} -> "
+        f"{label} metrics: {m} (reward means: early {early:.3f} -> "
         f"late {late:.3f})",
         file=sys.stderr,
     )
@@ -434,6 +451,7 @@ def main():
     rates = {"engine": round(xla_rate, 1)}
     verify_msgs = []
     pallas_rate = fused_rate = None
+    towers_band = None
     try:
         pallas_rate = measure_pallas_trajectories()
         rates["pallas_episode"] = round(pallas_rate, 1)
@@ -466,6 +484,28 @@ def main():
         except Exception as exc:
             verify_msgs.append(
                 f"fused-ppo crashed: {type(exc).__name__}: {str(exc)[:200]}"
+            )
+        try:
+            towers_rate, msg = measure_fused_ppo(
+                shared_trunk=False, label="fused-ppo-towers"
+            )
+            rates["fused_ppo_towers"] = round(towers_rate, 1)
+            # Band verdict (flag, not fail): the >=100M north star should
+            # hold on the reference's own net_arch with margin (VERDICT r4
+            # item 4); the verdict ships in the JSON either way.
+            towers_band = (
+                "ok"
+                if towers_rate >= 110e6
+                else f"flag: {towers_rate / 1e6:.1f}M below the 110M margin "
+                "target (north star 100M)"
+            )
+            if msg:
+                verify_msgs.append(f"fused-ppo-towers: {msg}")
+        except Exception as exc:
+            towers_band = None
+            verify_msgs.append(
+                f"fused-ppo-towers crashed: {type(exc).__name__}: "
+                f"{str(exc)[:200]}"
             )
         try:
             cjp_rate = measure_cjp()
@@ -523,6 +563,18 @@ def main():
         "vs_baseline": round(value / ref, 2),
         **rates,
     }
+    if towers_band is not None:
+        out["towers_band"] = towers_band
+    flagged = {
+        label: round(x, 2)
+        for label, x in DISPERSION.items()
+        if x > DISPERSION_FLAG
+    }
+    if flagged:
+        # Informational (not a verify failure): these lanes' 3 timed
+        # windows spread more than DISPERSION_FLAG x, so the median may sit
+        # on relay jitter — re-run before trusting a regression.
+        out["timing_dispersion"] = flagged
     if on_tpu:
         out["verify"] = "ok" if not verify_msgs else "; ".join(verify_msgs)
     print(json.dumps(out))

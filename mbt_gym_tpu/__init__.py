@@ -17,6 +17,7 @@ from mbt_gym_tpu.types import (
     TIME_INDEX,
     Trajectory,
 )
+from mbt_gym_tpu.dispatch import DispatchDecision, dispatch_report
 from mbt_gym_tpu.env import EnvConfig, default_dynamics, reset, step, observe
 from mbt_gym_tpu.rollout import RolloutResult, episode_stats, jit_rollout, mc_episode_stats, rollout
 
@@ -27,6 +28,8 @@ __all__ = [
     "ASSET_PRICE_INDEX",
     "BID_INDEX",
     "CASH_INDEX",
+    "DispatchDecision",
+    "dispatch_report",
     "EnvConfig",
     "EnvState",
     "INVENTORY_INDEX",

@@ -33,14 +33,22 @@ def raw_obs_policy(cfg: EnvConfig, policy):
 
 
 def fixed_action_policy(fixed_action) -> Tuple:
-    """Constant action for every trajectory (BaselineAgents.py:25-31)."""
+    """Constant action for every trajectory (BaselineAgents.py:25-31).
+    Tagged for the dispatch front door: on eligible configs,
+    ``rollout(backend="auto")`` runs it on the fused fixed-policy kernel
+    (``ops.pallas_rollout.fixed_rollout_pallas``)."""
+    from mbt_gym_tpu.dispatch import tag_policy
+
     fixed = jnp.asarray(fixed_action)
 
     def policy(params, obs, state):
         n = obs.shape[0]
         return jnp.broadcast_to(fixed, (n, fixed.shape[-1]))
 
-    return policy
+    return tag_policy(
+        policy, kind="fixed",
+        action=tuple(float(x) for x in np.asarray(fixed_action).reshape(-1)),
+    )
 
 
 def fixed_spread_policy(half_spread: float = 1.0, offset: float = 0.0):
@@ -89,6 +97,16 @@ def no_market_order_policy(quote_policy):
         q = quote_policy(params, obs, state)
         return jnp.concatenate([q, jnp.zeros_like(q)], axis=1)
 
+    # A fixed inner policy stays fixed with zeroed MO columns — keep it
+    # dispatchable to the fused fixed-policy kernel.
+    from mbt_gym_tpu.dispatch import policy_meta, tag_policy
+
+    inner = policy_meta(quote_policy)
+    if inner is not None and inner.get("kind") == "fixed":
+        tag_policy(
+            policy, kind="fixed",
+            action=tuple(inner["action"]) + (0.0,) * len(inner["action"]),
+        )
     return policy
 
 
@@ -134,6 +152,8 @@ class AvellanedaStoikovAgent:
         )
 
     def policy(self):
+        from mbt_gym_tpu.dispatch import tag_policy
+
         gamma, sigma, k, T = self.risk_aversion, self.volatility, self.fill_exponent, self.terminal_time
 
         def policy_fn(params, obs, state):
@@ -146,7 +166,7 @@ class AvellanedaStoikovAgent:
                 spread = gamma * sigma**2 * (T - time) + (2.0 / gamma) * np.log(1 + gamma / k)
             return jnp.stack([skew + spread / 2, -skew + spread / 2], axis=1)
 
-        return policy_fn
+        return tag_policy(policy_fn, kind="as_closed_form", agent=self)
 
 
 # --------------------------------------------------------- Cartea-Jaimungal MM
@@ -233,6 +253,8 @@ class CarteaJaimungalMmAgent:
         return np.stack([bid, ask], axis=2)
 
     def policy(self):
+        from mbt_gym_tpu.dispatch import tag_policy
+
         if self.inventory_neutral:
             risk_neutral = 1.0 / self.kappa
 
@@ -240,7 +262,7 @@ class CarteaJaimungalMmAgent:
                 n = obs.shape[0]
                 return jnp.full((n, 2), risk_neutral, dtype=obs.dtype)
 
-            return policy_fn
+            return tag_policy(policy_fn, kind="cj_closed_form", agent=self)
 
         q_max = self.max_inventory
         dt = self.terminal_time / self.n_steps
@@ -273,7 +295,7 @@ class CarteaJaimungalMmAgent:
             rows = depth_tab[t_idx]  # (N, 2Q+1, 2)
             return jnp.einsum("ns,nsa->na", onehot, rows).astype(obs.dtype)
 
-        return policy_fn
+        return tag_policy(policy_fn, kind="cj_closed_form", agent=self)
 
     def true_value_function(self, obs) -> jax.Array:
         """Analytic value ``h(t, q) + cash + q * S`` — the CJP replication
@@ -325,6 +347,8 @@ class CarteaJaimungalOeAgent:
         )
 
     def policy(self):
+        from mbt_gym_tpu.dispatch import tag_policy
+
         gamma = np.sqrt(self.phi / self.temporary_impact)
         root = np.sqrt(self.temporary_impact * self.phi)
         zeta = (self.alpha - 0.5 * self.permanent_impact + root) / (
@@ -338,4 +362,4 @@ class CarteaJaimungalOeAgent:
             speed = gamma * q0 * (zeta * jnp.exp(gamma * time_left) + jnp.exp(-gamma * time_left)) / denom
             return (-np.sign(q0) * speed)[:, None]
 
-        return policy_fn
+        return tag_policy(policy_fn, kind="oe_schedule", agent=self)

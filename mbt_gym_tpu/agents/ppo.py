@@ -610,20 +610,67 @@ def deterministic_policy(env_cfg: EnvConfig):
     return policy
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def evaluate_policy(
-    env_cfg: EnvConfig, params, key: jax.Array, n_episodes: int = 1
+    env_cfg: EnvConfig, params, key: jax.Array, n_episodes: int = 1,
+    backend: str = "auto",
 ) -> jax.Array:
     """Mean episode reward of the deterministic policy over ``n_episodes``
     fresh episodes, in ONE dispatch (scan over episodes) — the on-device
     counterpart of SB3's ``evaluate_policy`` driving the reference's
-    EvalCallback model selection."""
+    EvalCallback model selection.
+
+    ``backend`` (round 5): "auto" (default) runs the episodes on the fused
+    MLP rollout kernel (``ops.pallas_rollout``) when the config is inside
+    its contract and a TPU is attached — the same kernel family PPO's
+    ``fused_rollout`` flag uses, ~10x the XLA engine at production batch.
+    Determinism on the fused path: the kernel samples actions, so the
+    policy std is forced to ``exp(-30)`` (~1e-13 — bitwise-negligible
+    against f32 action scales) rather than zeroed.  "xla" forces the
+    engine; "fused" raises with the disqualifying feature if ineligible."""
+    assert backend in ("auto", "xla", "fused"), backend
+    use_fused = False
+    if backend != "xla":
+        reason = ""
+        if jax.default_backend() != "tpu":
+            reason = (
+                "the fused rollout kernel's hardware PRNG requires a TPU "
+                f"backend (running on {jax.default_backend()})"
+            )
+        else:
+            try:
+                from mbt_gym_tpu.ops.pallas_rollout import (
+                    rollout_params_from_config,
+                )
+
+                rollout_params_from_config(env_cfg)
+                use_fused = env_cfg.num_trajectories % 128 == 0
+                if not use_fused:
+                    reason = "num_trajectories is not a multiple of 128"
+            except AssertionError as e:
+                reason = str(e)
+        if backend == "fused" and not use_fused:
+            raise ValueError(f"backend='fused' unavailable: {reason}")
+    if use_fused:
+        from mbt_gym_tpu.ops.pallas_rollout import collect_rollout_fused_T
+
+        det_params = dict(params, log_std=jnp.full_like(params["log_std"], -30.0))
+
+        def one_fused(acc, k):
+            tb = collect_rollout_fused_T(env_cfg, det_params, k)
+            return acc + tb.rewards.sum(axis=0).mean(), None
+
+        total, _ = jax.lax.scan(
+            one_fused, jnp.zeros(()), jax.random.split(key, n_episodes)
+        )
+        return total / n_episodes
+
     from mbt_gym_tpu.rollout import rollout
 
     policy = deterministic_policy(env_cfg)
 
     def one(acc, k):
-        res = rollout(env_cfg, policy, params, k)
+        res = rollout(env_cfg, policy, params, k, backend="xla")
         return acc + res.trajectory.rewards.sum(axis=0).mean(), None
 
     total, _ = jax.lax.scan(one, jnp.zeros(()), jax.random.split(key, n_episodes))

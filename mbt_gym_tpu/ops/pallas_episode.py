@@ -87,6 +87,14 @@ def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeP
     assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time), (
         "pallas fast path: fixed start time only"
     )
+    assert cfg.dtype == "float32", (
+        "the episode kernel computes in float32; float64 reference-parity "
+        "configs must use the XLA rollout"
+    )
+    assert cfg.reward_scaling is None, (
+        "reward_scaling is an XLA-engine feature; the kernel's telescoped "
+        "PnL assumes unscaled rewards"
+    )
     return AsEpisodeParams(
         n_steps=cfg.n_steps,
         dt=cfg.step_size,
@@ -441,6 +449,108 @@ def cj_episode_rewards_pallas(
     return pnl - p.phi * p.dt * sumq2 - p.alpha * inv**2
 
 
+def _episode_rows(n: int) -> int:
+    """Largest row tile in (64..1) whose (rows, 128) env tiles divide N —
+    lets the terminal-state kernels run at any batch that is a multiple of
+    128 (the dispatch front door's eligibility floor)."""
+    for r in (64, 32, 16, 8, 4, 2, 1):
+        if n % (r * LANES) == 0:
+            return r
+    raise ValueError(
+        f"num_trajectories={n} must be a multiple of {LANES} for the "
+        f"episode kernels"
+    )
+
+
+def as_mc_episode_stats_pallas(
+    cfg: EnvConfig, risk_aversion: float, key, episodes: int = 1, rows=None,
+):
+    """Drop-in throughput-mode counterpart of
+    :func:`mbt_gym_tpu.rollout.mc_episode_stats` for the closed-form AS
+    policy on the terminal-state episode kernel: the same summary dict
+    without materializing trajectories.  mean_pnl/std_pnl come from the
+    telescoped terminal mark-to-market; ``mean_spread`` is EXACT — the AS
+    closed form's quoted spread is a deterministic function of time alone
+    (the inventory skew cancels in bid + ask), so the step-average is
+    computed in closed form on the host.  Hardware-PRNG only (TPU)."""
+    import numpy as np
+
+    p = params_from_config(cfg, risk_aversion=risk_aversion)
+    n = cfg.num_trajectories
+    rows = rows if rows is not None else _episode_rows(n)
+    seed0 = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
+    initial_value = p.initial_cash + p.initial_inventory * p.initial_price
+
+    def one(carry, s):
+        cash, inv, price = as_episode_pallas(p, s, n, rows=rows)
+        pnl = cash + inv * price - initial_value
+        return carry + jnp.stack(
+            [pnl.mean(), (pnl**2).mean(), inv.mean(), (inv**2).mean()]
+        ), None
+
+    total, _ = jax.lax.scan(
+        one, jnp.zeros((4,), jnp.float32),
+        seed0 + jnp.arange(episodes, dtype=jnp.int32),
+    )
+    mean_r, mean_r2, mean_q, mean_q2 = total / episodes
+    times = p.start_time + np.arange(p.run_steps) * p.dt
+    if risk_aversion > 0:
+        g, s2, k = risk_aversion, p.volatility**2, p.fill_exponent
+        spread = g * s2 * (p.terminal_time - times) + (2.0 / g) * np.log1p(g / k)
+    else:
+        spread = np.full(p.run_steps, 2.0 / p.fill_exponent)
+    return {
+        "mean_pnl": mean_r,
+        "std_pnl": jnp.sqrt(jnp.maximum(mean_r2 - mean_r**2, 0.0)),
+        "mean_terminal_inventory": mean_q,
+        "std_terminal_inventory": jnp.sqrt(jnp.maximum(mean_q2 - mean_q**2, 0.0)),
+        "mean_spread": jnp.asarray(float(np.mean(spread)), jnp.float32),
+        "episodes": episodes * n,
+    }
+
+
+def oe_mc_episode_stats_pallas(
+    cfg: EnvConfig, agent, key, episodes: int = 1, rows=None,
+):
+    """Throughput-mode :func:`mbt_gym_tpu.rollout.mc_episode_stats`
+    counterpart for the closed-form CJ-OE schedule on the OE episode
+    kernel.  ``mean_spread`` is NaN — speed dynamics have a 1-column
+    action, matching the engine path's ``action_dim < 2`` convention.
+    Hardware-PRNG only (TPU)."""
+    p = oe_params_from_config(cfg)
+    table = oe_speed_table(cfg, agent)
+    n = cfg.num_trajectories
+    rows = rows if rows is not None else _episode_rows(n)
+    seed0 = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
+    initial_value = p.initial_cash + p.initial_inventory * p.initial_price
+    episode_length = p.terminal_time - p.start_time
+    const = p.run_steps * (p.initial_inventory**2) * episode_length
+
+    def one(carry, s):
+        cash, inv, price, _, sumq2, sum_sq = oe_episode_pallas(
+            p, table, s, n, rows=rows
+        )
+        pnl = cash + inv * price - initial_value
+        r = pnl - p.phi * p.dt * sumq2 - p.alpha * p.dt * (2.0 * sum_sq + const)
+        return carry + jnp.stack(
+            [r.mean(), (r**2).mean(), inv.mean(), (inv**2).mean()]
+        ), None
+
+    total, _ = jax.lax.scan(
+        one, jnp.zeros((4,), jnp.float32),
+        seed0 + jnp.arange(episodes, dtype=jnp.int32),
+    )
+    mean_r, mean_r2, mean_q, mean_q2 = total / episodes
+    return {
+        "mean_pnl": mean_r,
+        "std_pnl": jnp.sqrt(jnp.maximum(mean_r2 - mean_r**2, 0.0)),
+        "mean_terminal_inventory": mean_q,
+        "std_terminal_inventory": jnp.sqrt(jnp.maximum(mean_q2 - mean_q**2, 0.0)),
+        "mean_spread": jnp.asarray(jnp.nan, jnp.float32),
+        "episodes": episodes * n,
+    }
+
+
 def episode_stats_pallas(params: AsEpisodeParams, seed, num_trajectories: int = 16384, **kw):
     """Terminal-state summary stats (PnL telescopes: total reward = terminal
     mark-to-market minus initial)."""
@@ -503,6 +613,14 @@ def oe_params_from_config(cfg: EnvConfig) -> OeEpisodeParams:
     assert not cfg.normalise_action_space and not cfg.normalise_observation_space
     assert not isinstance(cfg.initial_inventory, tuple) and not callable(cfg.initial_inventory)
     assert not isinstance(cfg.start_time, tuple) and not callable(cfg.start_time)
+    assert cfg.dtype == "float32", (
+        "the OE episode kernel computes in float32; float64 reference-"
+        "parity configs must use the XLA rollout"
+    )
+    assert cfg.reward_scaling is None, (
+        "reward_scaling is an XLA-engine feature; the kernel's telescoped "
+        "reward assumes unscaled rewards"
+    )
     return OeEpisodeParams(
         n_steps=cfg.n_steps,
         dt=cfg.step_size,

@@ -721,6 +721,39 @@ def _mmT(w, x, compute_dtype=jnp.bfloat16):
     )
 
 
+def _obs_planes(p: MlpRolloutParams, carry, t_val):
+    """The (S, L) observation the policy sees (normalised per env flags),
+    assembled from the state carry's leading planes.
+
+    Column order = raw_observation: cash, inventory, time, then process
+    states in slot order: midprice price, arrival state (Hawkes 2-dim
+    intensity), fill state (exogenous best depths), impact state.
+    t_val is a traced scalar (fixed start) or a (1, L) per-env plane
+    (random start, clamped at terminal by the caller).  State planes are
+    (1, L) in the MLP family; the deterministic policies' sublane-packed
+    stats mode carries (R, L) planes (R=8 fills the VPU's native (8, 128)
+    shape) — every env-half op is elementwise, so the row count flows
+    through.  Also used to emit the TERMINAL observation from the final
+    carry (the streams ``final_obs`` output, round 5)."""
+    it = iter(carry)
+    cash, inv, price = next(it), next(it), next(it)
+    time_plane = jnp.broadcast_to(t_val, inv.shape).astype(jnp.float32)
+    planes = [cash, inv, time_plane, price]
+    if p.has_mid2:
+        planes.append(next(it))  # midprice state col 2 precedes arrival state
+    if p.arrival_kind == "hawkes":
+        planes += [next(it), next(it)]
+    if p.fill_kind == "exomm":
+        planes += [next(it), next(it)]
+    if p.dynamics_kind == "speed" and p.impact_kind != "power":
+        planes.append(next(it))  # stateless "power" impact has no state col
+    if p.normalise_obs:
+        planes = [
+            (x - p.obs_low[c]) / p.obs_grad[c] - 1.0 for c, x in enumerate(planes)
+        ]
+    return jnp.concatenate(planes, axis=0)  # (S, L)
+
+
 def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draws,
                   is_last=None, inv0=None, split_at=None, ep_len=None,
                   table_row=None):
@@ -750,31 +783,7 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
     L = cash.shape[-1]
     u_ab, u_aa, u_fb, u_fa, eps_all, n_mid, exo_n, mid2_n = draws
 
-    # --- observation the policy sees (normalised per env flags) ---
-    # Column order = raw_observation: cash, inventory, time, then process
-    # states in slot order: midprice price, arrival state (Hawkes 2-dim
-    # intensity), fill state (exogenous best depths), impact state.
-    # t_val is a traced scalar (fixed start) or a (1, L) per-env plane
-    # (random start, clamped at terminal by the caller).  State planes are
-    # (1, L) in the MLP family; the table policy's sublane-packed stats
-    # mode carries (R, L) planes (R=8 fills the VPU's native (8, 128)
-    # shape) — every env-half op below is elementwise, so the row count
-    # flows through.
-    time_plane = jnp.broadcast_to(t_val, inv.shape).astype(jnp.float32)
-    planes = [cash, inv, time_plane, price]
-    if p.has_mid2:
-        planes.append(mid2)  # midprice state col 2 precedes arrival state
-    if p.arrival_kind == "hawkes":
-        planes += [lam_b, lam_a]
-    if p.fill_kind == "exomm":
-        planes += [exo_b, exo_a]
-    if p.dynamics_kind == "speed" and p.impact_kind != "power":
-        planes.append(imp)  # stateless "power" impact has no state column
-    if p.normalise_obs:
-        planes = [
-            (x - p.obs_low[c]) / p.obs_grad[c] - 1.0 for c, x in enumerate(planes)
-        ]
-    X = jnp.concatenate(planes, axis=0)  # (S, L)
+    X = _obs_planes(p, carry, t_val)  # (S, L)
 
     if p.policy_kind == "table":
         # --- closed-form depth-table policy (BaselineAgents.py:86-170 via
@@ -1183,7 +1192,8 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
 
 
 def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool,
-                 split_at=None, stats_only: bool = False, rows: int = 1):
+                 split_at=None, stats_only: bool = False, rows: int = 1,
+                 final_obs: bool = False):
     use_inv0 = bool(p.inventory_range)
     use_t0 = p.random_start
     table = p.policy_kind == "table"
@@ -1231,6 +1241,7 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             obs_ref, act_ref, logp_ref, val_ref, rew_ref = (
                 next(it) for _ in range(5)
             )
+            fin_ref = next(it) if final_obs else None
             first_out = obs_ref
 
         if not use_noise:
@@ -1392,6 +1403,13 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
             price_out[:] = final[2]
             rsum_out[:] = final[-2]
             ssum_out[:] = final[-1]
+        elif final_obs:
+            # Terminal observation (the T-th row of the engine's (T+1)
+            # trajectory): the obs of the final carry at the terminal time
+            # — what rollout()'s Trajectory assembly needs (round 5).
+            assert not use_t0
+            t_term = p.start_time + p.run_steps * p.dt
+            fin_ref[:] = _obs_planes(p, final, t_term)
 
     return kernel
 
@@ -1564,7 +1582,8 @@ def mlp_rollout_pallas(
 @partial(
     jax.jit,
     static_argnames=(
-        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows"
+        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows",
+        "final_obs",
     ),
 )
 def table_rollout_pallas(
@@ -1579,6 +1598,7 @@ def table_rollout_pallas(
     inv0=None,
     stats_only: bool = False,
     rows="auto",
+    final_obs: bool = False,
 ):
     """Fused whole-episode rollout with a CLOSED-FORM depth-table policy
     (round 4) — the Pallas fast path for the Cartea-Jaimungal MM agent
@@ -1642,14 +1662,15 @@ def table_rollout_pallas(
     assert bid_table.shape[1] % LANES == 0 and bid_table.shape[1] >= p.table_size
     return _det_rollout_pallas(
         p, (bid_table, ask_table), seed, num_trajectories, tile, interpret,
-        noise, inv0, stats_only, rows, a_dim=2,
+        noise, inv0, stats_only, rows, a_dim=2, final_obs=final_obs,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows"
+        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows",
+        "final_obs",
     ),
 )
 def fixed_rollout_pallas(
@@ -1662,6 +1683,7 @@ def fixed_rollout_pallas(
     inv0=None,
     stats_only: bool = False,
     rows="auto",
+    final_obs: bool = False,
 ):
     """Fused whole-episode rollout with a CONSTANT action (round 5) — the
     degenerate deterministic policy (FixedActionAgent,
@@ -1691,17 +1713,20 @@ def fixed_rollout_pallas(
     )
     return _det_rollout_pallas(
         p, (), seed, num_trajectories, tile, interpret, noise, inv0,
-        stats_only, rows, a_dim=len(p.fixed_action),
+        stats_only, rows, a_dim=len(p.fixed_action), final_obs=final_obs,
     )
 
 
 def _det_rollout_pallas(
     p, tables, seed, num_trajectories, tile, interpret, noise, inv0,
-    stats_only, rows, a_dim,
+    stats_only, rows, a_dim, final_obs=False,
 ):
     """Shared pallas_call assembly for the deterministic policy kinds
     (``tables`` = the two resident depth tables for "table", () for
-    "fixed")."""
+    "fixed").  ``final_obs`` (streams mode): append a 6th ``(S, N)``
+    output carrying the TERMINAL observation — the T-th row of the
+    engine's (T+1)-row trajectory, which the auto-dispatching ``rollout``
+    front door needs to assemble a full :class:`Trajectory`."""
     assert p.fill_kind != "exomm" or p.dynamics_kind in ("limit", "lam"), (
         "exomm fills require limit/lam dynamics (the only branches that "
         "advance the exogenous best-depth processes)"
@@ -1802,6 +1827,7 @@ def _det_rollout_pallas(
 
     s_dim = len(p.obs_low)
     if stats_only:
+        assert not final_obs, "final_obs is a streams-mode output"
         flat1 = pl.BlockSpec((rows, tile), lambda i: (0, i))
         out_shape = [jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 5
         out_specs = [flat1] * 5
@@ -1819,9 +1845,12 @@ def _det_rollout_pallas(
             pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
             flat, flat, flat,
         ]
+        if final_obs:
+            out_shape.append(jax.ShapeDtypeStruct((s_dim, n), jnp.float32))
+            out_specs.append(pl.BlockSpec((s_dim, tile), lambda i: (0, i)))
     kernel = _make_kernel(
         p, 0, a_dim, use_noise=noise is not None, stats_only=stats_only,
-        rows=rows,
+        rows=rows, final_obs=final_obs,
     )
     interp = interpret
     if interpret is True and noise is None:

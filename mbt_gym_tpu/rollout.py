@@ -112,8 +112,23 @@ def rollout(
     start_time: Optional[float] = None,
     initial_inventory=None,
     predraw_noise="auto",
+    backend: str = "auto",
 ) -> RolloutResult:
     """Roll one full episode for all N trajectories.
+
+    ``backend`` (round 5): "auto" (default) routes eligible
+    (config, policy) pairs to the fused Pallas kernel families — the AS
+    whole-episode kernel, the CJ depth-table kernel, the fixed-action
+    kernel — reaching 5-10x the XLA engine on TPU hardware through this
+    same public entry point (the reference's single-front-door ergonomics,
+    generate_trajectory.py:8-38).  "xla" forces the general engine;
+    "fused" asserts eligibility (raises with the disqualifying feature
+    otherwise).  Inspect decisions with
+    :func:`mbt_gym_tpu.dispatch.dispatch_report`.  Fused results are
+    statistically — not bitwise — equal to XLA results (different
+    deterministic RNG streams); replay features (``noise``, reset
+    overrides) always run XLA, and ``final_state.clip_events`` reads 0 on
+    the fused path.
 
     ``noise``, if given, is a :class:`StepNoise` pytree with a leading
     time axis on every leaf (shape ``(T, N, k)``) — e.g. from
@@ -133,6 +148,22 @@ def rollout(
     Wrap in ``jax.jit(..., static_argnums=(0,))`` or use
     :func:`jit_rollout`; `cfg` and `policy` are static.
     """
+    assert backend in ("auto", "xla", "fused"), backend
+    if backend != "xla":
+        from mbt_gym_tpu import dispatch as _dispatch
+
+        if noise is not None or start_time is not None or initial_inventory is not None:
+            decision = _dispatch.DispatchDecision(
+                "xla", None,
+                "injected noise / reset overrides are XLA-path replay "
+                "features",
+            )
+        else:
+            decision = _dispatch.dispatch_report(cfg, policy, mode="rollout")
+        if decision.backend == "fused":
+            return _dispatch.fused_rollout(cfg, policy, policy_params, key, decision)
+        if backend == "fused":
+            raise ValueError(f"backend='fused' unavailable: {decision.reason}")
     state0, obs0 = env_lib.reset(
         cfg, key, start_time=start_time, initial_inventory=initial_inventory
     )
@@ -202,6 +233,7 @@ def mc_episode_stats(
     episodes: int = 1,
     unroll: int = 4,
     predraw_noise="auto",
+    backend: str = "auto",
 ) -> dict:
     """Monte-Carlo evaluation WITHOUT materializing trajectories — the
     throughput-mode path: only per-episode scalars (episode-return and
@@ -210,7 +242,24 @@ def mc_episode_stats(
     program with O(1) memory.  Use :func:`rollout` when per-step data is
     needed; this is ~8x faster at 16k envs on a v5e chip.  Noise is
     pre-drawn per episode when the cube fits the auto budget (see
-    :func:`native_noise_cube`; O(T*N) memory in that mode)."""
+    :func:`native_noise_cube`; O(T*N) memory in that mode).
+
+    ``backend`` (round 5): "auto" (default) routes eligible
+    (config, policy) pairs to the fused kernel families' stats modes —
+    including the OE episode kernel, whose terminal-state contract matches
+    exactly this entry point — at 4-10x the XLA engine's own throughput
+    mode on TPU.  Same semantics and knobs as :func:`rollout`'s backend."""
+    assert backend in ("auto", "xla", "fused"), backend
+    if backend != "xla":
+        from mbt_gym_tpu import dispatch as _dispatch
+
+        decision = _dispatch.dispatch_report(cfg, policy, mode="stats")
+        if decision.backend == "fused":
+            return _dispatch.fused_mc_episode_stats(
+                cfg, policy, key, episodes, decision
+            )
+        if backend == "fused":
+            raise ValueError(f"backend='fused' unavailable: {decision.reason}")
     n_scan = _episode_steps(cfg)
     random_start = isinstance(cfg.start_time, tuple)
     predraw = _should_predraw(cfg, n_scan, predraw_noise)

@@ -24,6 +24,8 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
  13. Config 3's optimal-execution workload on the whole-episode OE Pallas
      kernel (deterministic CJ-OE speed schedule as a per-step table;
      TPU only)
+ 14. Config 4's composite eval workload on the fused fixed-policy rollout
+     kernel (constant action, stats mode; TPU only — round 5)
 """
 from __future__ import annotations
 
@@ -339,6 +341,39 @@ def main():
         rows.append(measure_thunk(
             "13. OE closed-form on the episode Pallas kernel",
             oe_thunk, cfg13.num_trajectories, cfg13.n_steps, eps13,
+        ))
+
+    # Config 14: config 4's composite eval workload (Hawkes + exogenous-MM
+    # fills + limit&market, fixed quotes / no market orders) on the fused
+    # FIXED-policy rollout kernel (round 5, stats mode) — the last suite
+    # eval config without a Pallas lane (VERDICT r4 item 5).  Injected-
+    # noise parity vs the engine: tests/test_pallas_rollout.py
+    # test_fused_fixed_policy_composite_matches_xla_engine.  TPU-only.
+    if jax.default_backend() == "tpu":
+        from mbt_gym_tpu.ops import pallas_rollout as pr14
+
+        cfg14 = composite_env_config(num_trajectories=65536 // scale)
+        p14 = pr14.fixed_rollout_params(cfg14, [0.6, 0.6, 0.0, 0.0])
+        eps14 = 8
+
+        @jax.jit
+        def fixed_thunk(key):
+            seed0 = jax.random.randint(key, (), 0, 1 << 30, dtype=jnp.int32)
+
+            def one(acc, s):
+                _, inv, _, rsum, _ = pr14.fixed_rollout_pallas(
+                    p14, s, cfg14.num_trajectories, stats_only=True
+                )
+                return acc + rsum.mean() + inv.mean(), None
+
+            acc, _ = jax.lax.scan(
+                one, 0.0, seed0 + jnp.arange(eps14, dtype=jnp.int32)
+            )
+            return acc
+
+        rows.append(measure_thunk(
+            "14. Composite fixed-policy on the fused kernel",
+            fixed_thunk, cfg14.num_trajectories, cfg14.n_steps, eps14,
         ))
 
     if args.json:

@@ -1,0 +1,242 @@
+"""The auto-dispatching front door (round 5, VERDICT r4 item 1):
+dispatch_report must route each eligible (config, policy) family to its
+kernel and fall back to XLA with the disqualifying feature named."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbt_gym_tpu import dispatch
+from mbt_gym_tpu.agents.baseline import (
+    AvellanedaStoikovAgent,
+    CarteaJaimungalMmAgent,
+    CarteaJaimungalOeAgent,
+    fixed_action_policy,
+    fixed_spread_policy,
+    no_market_order_policy,
+)
+from mbt_gym_tpu.utils.config import (
+    as_env_config,
+    cj_env_config,
+    composite_env_config,
+    oe_env_config,
+)
+
+N = 256  # multiple of 128: inside every family's lane-batch floor
+
+
+def _as():
+    cfg = as_env_config(num_trajectories=N)
+    return cfg, AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+
+
+def _cj():
+    cfg = cj_env_config(num_trajectories=N, max_inventory=10.0)
+    return cfg, CarteaJaimungalMmAgent.from_config(cfg).policy()
+
+
+def _oe():
+    cfg = oe_env_config(num_trajectories=N)
+    return cfg, CarteaJaimungalOeAgent.from_config(cfg, alpha=0.01).policy()
+
+
+def _fixed():
+    cfg = composite_env_config(num_trajectories=N)
+    return cfg, fixed_action_policy([0.6, 0.6, 0.0, 0.0])
+
+
+# ------------------------------------------------ family routing (as-if-TPU)
+@pytest.mark.parametrize(
+    "build, family, modes",
+    [
+        (_as, "as_episode", ("rollout", "stats")),
+        (_cj, "cj_table", ("rollout", "stats")),
+        (_fixed, "fixed", ("rollout", "stats")),
+        (_oe, "oe_episode", ("stats",)),
+    ],
+)
+def test_eligible_families_route_fused(build, family, modes):
+    cfg, policy = build()
+    for mode in modes:
+        d = dispatch.dispatch_report(cfg, policy, mode=mode, platform="tpu")
+        assert d == dispatch.DispatchDecision(
+            "fused", family, f"config and policy match the {family} kernel contract"
+        ), (mode, d)
+
+
+def test_oe_rollout_mode_falls_back_with_streaming_reason():
+    cfg, policy = _oe()
+    d = dispatch.dispatch_report(cfg, policy, mode="rollout", platform="tpu")
+    assert d.backend == "xla" and "terminal state only" in d.reason
+
+
+def test_no_market_order_wrapper_stays_fixed():
+    """A fixed quote policy wrapped for limit+market envs keeps a fused
+    lane (action extended with zero MO columns)."""
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    cfg = lam_env_config(num_trajectories=N)
+    policy = no_market_order_policy(fixed_spread_policy(1.0))
+    d = dispatch.dispatch_report(cfg, policy, mode="rollout", platform="tpu")
+    assert (d.backend, d.family) == ("fused", "fixed")
+    assert dispatch.policy_meta(policy)["action"] == (1.0, 1.0, 0.0, 0.0)
+
+
+# --------------------------------------------------------- clean fallbacks
+def test_cpu_platform_falls_back_with_tpu_reason():
+    cfg, policy = _as()
+    d = dispatch.dispatch_report(cfg, policy)  # detected platform == cpu
+    assert d.backend == "xla"
+    assert "requires a TPU backend" in d.reason
+    assert "as_episode" in d.reason  # says WHAT would have been eligible
+
+
+def test_untagged_policy_falls_back():
+    cfg, _ = _as()
+
+    def custom(params, obs, state):
+        return jnp.ones((obs.shape[0], 2), obs.dtype)
+
+    d = dispatch.dispatch_report(cfg, custom, platform="tpu")
+    assert d.backend == "xla" and "no dispatch metadata" in d.reason
+
+
+def test_float64_config_falls_back():
+    cfg, policy = _as()
+    cfg64 = as_env_config(num_trajectories=N, dtype="float64")
+    d = dispatch.dispatch_report(
+        cfg64,
+        AvellanedaStoikovAgent.from_config(cfg64, risk_aversion=0.1).policy(),
+        platform="tpu",
+    )
+    assert d.backend == "xla" and "float64" in d.reason
+
+
+def test_callable_reset_spec_falls_back():
+    cfg, _ = _as()
+    cfg_cb = dataclasses.replace(cfg, start_time=lambda: 0.0)
+    policy = AvellanedaStoikovAgent.from_config(cfg_cb, risk_aversion=0.1).policy()
+    d = dispatch.dispatch_report(cfg_cb, policy, platform="tpu")
+    assert d.backend == "xla" and "start time" in d.reason
+
+
+def test_strict_bug_fill_falls_back():
+    from mbt_gym_tpu.processes.fills import TriangularFill
+
+    base = cj_env_config(num_trajectories=N, max_inventory=10.0)
+    agent = CarteaJaimungalMmAgent.from_config(base)
+    cfg = dataclasses.replace(
+        base,
+        dynamics=dataclasses.replace(
+            base.dynamics,
+            fill_probability_model=TriangularFill(
+                max_fill_depth=1.0, strict_reference_bug=True
+            ),
+        ),
+    )
+    d = dispatch.dispatch_report(cfg, agent.policy(), platform="tpu")
+    assert d.backend == "xla" and "strict_reference_bug" in d.reason
+
+
+def test_mismatched_agent_falls_back():
+    cfg, _ = _as()
+    other = dataclasses.replace(
+        as_env_config(num_trajectories=N), dynamics=cfg.dynamics
+    )
+    wrong = dataclasses.replace(
+        AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1),
+        volatility=99.0,
+    )
+    d = dispatch.dispatch_report(cfg, wrong.policy(), platform="tpu")
+    assert d.backend == "xla" and "differ from the env config" in d.reason
+
+
+def test_non_lane_batch_falls_back():
+    cfg = as_env_config(num_trajectories=1000)  # not a multiple of 128
+    policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+    d = dispatch.dispatch_report(cfg, policy, platform="tpu")
+    assert d.backend == "xla" and "multiple of" in d.reason
+
+
+def test_reward_scaling_falls_back():
+    cfg = dataclasses.replace(as_env_config(num_trajectories=N), reward_scaling=2.0)
+    policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+    d = dispatch.dispatch_report(cfg, policy, platform="tpu")
+    assert d.backend == "xla" and "reward_scaling" in d.reason
+
+
+# ------------------------------------------------- entry-point integration
+def test_rollout_auto_on_cpu_is_the_engine():
+    """On a CPU host auto falls back to XLA: bitwise-identical results to
+    backend='xla' (same engine path, same key)."""
+    from mbt_gym_tpu.rollout import rollout
+
+    cfg, policy = _as()
+    key = jax.random.PRNGKey(7)
+    auto = rollout(cfg, policy, None, key)  # backend defaults to auto
+    xla = rollout(cfg, policy, None, key, backend="xla")
+    for a, b in zip(auto.trajectory, xla.trajectory):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rollout_backend_fused_raises_on_cpu_with_reason():
+    from mbt_gym_tpu.rollout import mc_episode_stats, rollout
+
+    cfg, policy = _as()
+    with pytest.raises(ValueError, match="requires a TPU backend"):
+        rollout(cfg, policy, None, jax.random.PRNGKey(0), backend="fused")
+    with pytest.raises(ValueError, match="requires a TPU backend"):
+        mc_episode_stats(cfg, policy, None, jax.random.PRNGKey(0), backend="fused")
+
+
+def test_injected_noise_always_runs_xla():
+    from mbt_gym_tpu.rollout import native_noise_cube, rollout
+
+    cfg, policy = _as()
+    cube = native_noise_cube(cfg, jax.random.PRNGKey(1), cfg.n_steps)
+    res = rollout(cfg, policy, None, jax.random.PRNGKey(2), noise=cube)
+    assert res.trajectory.rewards.shape == (cfg.n_steps, N)
+
+
+def test_evaluate_policy_backend_fused_raises_on_cpu():
+    from mbt_gym_tpu.agents import ppo
+
+    cfg = dataclasses.replace(
+        as_env_config(num_trajectories=N, n_steps=8),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ts = ppo.init_train_state(cfg, ppo.PPOConfig(hidden=(8, 8)), jax.random.PRNGKey(0))
+    # auto on CPU runs the engine and returns a finite scalar
+    r = ppo.evaluate_policy(cfg, ts.params, jax.random.PRNGKey(1), 1)
+    assert np.isfinite(float(r))
+    with pytest.raises(ValueError, match="requires a TPU backend"):
+        ppo.evaluate_policy(cfg, ts.params, jax.random.PRNGKey(1), 1, "fused")
+
+
+# -------------------------------------------- fused execution (TPU-gated)
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fused execution needs the hardware PRNG; the decision logic "
+    "and the CPU fallback are covered above, kernel parity by the "
+    "injected-noise tests in test_pallas_*.py",
+)
+def test_auto_rollout_matches_engine_stats_on_hardware():
+    from mbt_gym_tpu.rollout import episode_stats, mc_episode_stats, rollout
+
+    cfg = as_env_config(num_trajectories=16384)
+    policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+    assert dispatch.dispatch_report(cfg, policy).backend == "fused"
+    res = jax.jit(
+        lambda k: rollout(cfg, policy, None, k), static_argnums=()
+    )(jax.random.PRNGKey(3))
+    stats = {k: float(v) for k, v in episode_stats(cfg, res.trajectory).items()}
+    assert abs(stats["mean_spread"] - 1.4918) < 0.02
+    assert abs(stats["mean_pnl"] - 64.87) < 2.5
+    mc = mc_episode_stats(cfg, policy, None, jax.random.PRNGKey(4), episodes=4)
+    assert abs(float(mc["mean_spread"]) - 1.4918) < 0.02
+    assert abs(float(mc["mean_pnl"]) - 64.87) < 2.5
+    # final_state is engine-shaped
+    assert res.final_state.cash.shape == (16384,)
+    assert float(res.final_state.time[0]) == pytest.approx(cfg.terminal_time)

@@ -2045,3 +2045,67 @@ def test_fixed_rollout_sublane_rows_bitwise():
     )
     for a, b in zip(outs1, outs8):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_det_streams_final_obs_matches_engine_terminal():
+    """The streams-mode ``final_obs`` output (round 5: the T-th row the
+    dispatch front door appends to build a (T+1)-row Trajectory) must
+    equal the engine's post-episode observation on the same draws — for
+    both deterministic kinds, including composite state planes."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalMmAgent
+    from mbt_gym_tpu.utils.config import cj_env_config, composite_env_config
+
+    # table kind on the CJ config
+    Tt = 12
+    env_cfg = cj_env_config(num_trajectories=N, n_steps=Tt, max_inventory=3.0)
+    agent = CarteaJaimungalMmAgent.from_config(env_cfg)
+    p = pallas_rollout.cj_rollout_params(env_cfg, agent)
+    bid_tbl, ask_tbl = pallas_rollout.cj_depth_tables(agent)
+    rng = np.random.default_rng(7)
+    channels = rng.uniform(size=(Tt, 5, N)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(Tt, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    *_, fin = pallas_rollout.table_rollout_pallas(
+        p, bid_tbl, ask_tbl, 0, N, tile=128, interpret=True, noise=channels,
+        final_obs=True,
+    )
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    policy = agent.policy()
+    for t in range(Tt):
+        noise = (
+            SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, policy(None, obs, state), noise=noise)
+        state, obs = res.state, res.obs
+    np.testing.assert_allclose(
+        np.asarray(fin), np.asarray(obs).T, rtol=1e-5, atol=1e-5
+    )
+
+    # fixed kind on the composite config (8-column observation)
+    ccfg = dataclasses.replace(composite_env_config(num_trajectories=N), n_steps=T)
+    from mbt_gym_tpu.agents.baseline import fixed_action_policy
+
+    action = [0.6, 0.6, 0.0, 0.0]
+    pf = pallas_rollout.fixed_rollout_params(ccfg, action)
+    n_ch = pallas_rollout.n_noise_channels(4, exomm=True, table=True)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    *_, fin = pallas_rollout.fixed_rollout_pallas(
+        pf, 0, N, tile=128, interpret=True, noise=channels, final_obs=True,
+    )
+    state, obs = env_lib.reset(ccfg, jax.random.PRNGKey(0))
+    fpol = fixed_action_policy(action)
+    for t in range(T):
+        noise = (
+            SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=channels[t, 5:7].T, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(ccfg, state, fpol(None, obs, state), noise=noise)
+        state, obs = res.state, res.obs
+    np.testing.assert_allclose(
+        np.asarray(fin), np.asarray(obs).T, rtol=1e-5, atol=1e-5
+    )
