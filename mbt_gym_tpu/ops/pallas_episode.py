@@ -824,6 +824,39 @@ def _traj_episode_kernel(
     jax.lax.fori_loop(0, p.run_steps, body, _as_init(p, shape))
 
 
+def _traj_episode_kernel_full(
+    p: AsEpisodeParams, seed_ref,
+    cash_ref, inv_ref, price_ref, rew_ref, bid_ref, ask_ref,
+):
+    """``emit="full"`` variant (round 5, VERDICT r4 item 3): also streams
+    the per-step PnL REWARD (mark-to-market delta, computed on the
+    VMEM-resident state — one multiply-add per step) and the closed-form
+    ACTIONS (_as_step already evaluates the quotes; previously dropped).
+    The XLA trajectory consumer then does pure layout work — no reward
+    diff pass, no action recompute over (T, N) HBM arrays."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    shape = cash_ref.shape[1:]  # (rows, LANES)
+    init = _as_init(p, shape)
+    value0 = init[0] + init[1] * init[2]
+
+    def body(i, carry):
+        (cash, inv, price), prev_value = carry[:3], carry[3]
+        t = p.start_time + i.astype(jnp.float32) * p.dt
+        cash, inv, price, (bid, ask) = _as_step(
+            p, (cash, inv, price), t, _hw_draws(shape)
+        )
+        value = cash + inv * price
+        cash_ref[i] = cash
+        inv_ref[i] = inv
+        price_ref[i] = price
+        rew_ref[i] = value - prev_value
+        bid_ref[i] = bid
+        ask_ref[i] = ask
+        return cash, inv, price, value
+
+    jax.lax.fori_loop(0, p.run_steps, body, init + (value0,))
+
+
 def _traj_episode_kernel_chunked(
     p: AsEpisodeParams, t_chunk: int, seed_ref,
     cash_ref, inv_ref, price_ref, c_scr, i_scr, p_scr,
@@ -869,10 +902,57 @@ def _traj_episode_kernel_chunked(
     p_scr[...] = price
 
 
-def _traj_chunk_plan(run_steps: int, num_trajectories: int):
+def _traj_episode_kernel_chunked_full(
+    p: AsEpisodeParams, t_chunk: int, seed_ref,
+    cash_ref, inv_ref, price_ref, rew_ref, bid_ref, ask_ref,
+    c_scr, i_scr, p_scr, v_scr,
+):
+    """Time-chunked ``emit="full"`` variant: the 6-stream kernel with the
+    state carry (+ previous mark-to-market value for the reward delta) in
+    VMEM scratch across the chunk grid dimension — same structure as
+    :func:`_traj_episode_kernel_chunked`."""
+    j = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1) + j)
+    shape = cash_ref.shape[1:]  # (rows, LANES)
+
+    @pl.when(j == 0)
+    def _():
+        c0, i0, p0 = _as_init(p, shape)
+        c_scr[...] = c0
+        i_scr[...] = i0
+        p_scr[...] = p0
+        v_scr[...] = c0 + i0 * p0
+
+    def body(i, carry):
+        (cash, inv, price), prev_value = carry[:3], carry[3]
+        g = j * t_chunk + i
+        t = p.start_time + g.astype(jnp.float32) * p.dt
+        cash, inv, price, (bid, ask) = _as_step(
+            p, (cash, inv, price), t, _hw_draws(shape)
+        )
+        value = cash + inv * price
+        cash_ref[i] = cash
+        inv_ref[i] = inv
+        price_ref[i] = price
+        rew_ref[i] = value - prev_value
+        bid_ref[i] = bid
+        ask_ref[i] = ask
+        return cash, inv, price, value
+
+    cash, inv, price, value = jax.lax.fori_loop(
+        0, t_chunk, body, (c_scr[...], i_scr[...], p_scr[...], v_scr[...])
+    )
+    c_scr[...] = cash
+    i_scr[...] = inv
+    p_scr[...] = price
+    v_scr[...] = value
+
+
+def _traj_chunk_plan(run_steps: int, num_trajectories: int, n_streams: int = 3):
     """(rows, t_chunk) for the chunked kernel: the widest row tile (<=128)
     dividing the batch, then the largest T divisor whose double-buffered
-    (t_chunk, rows, LANES) f32 output blocks x3 stay under ~10 MB."""
+    (t_chunk, rows, LANES) f32 output blocks x ``n_streams`` stay under
+    ~10 MB."""
     if num_trajectories % LANES:
         # ADVICE r4: surface the batch-shape precondition here instead of
         # the bare grid-divisibility assert downstream.
@@ -885,7 +965,7 @@ def _traj_chunk_plan(run_steps: int, num_trajectories: int):
     while rows > 1 and num_trajectories % (rows * LANES):
         rows //= 2
     budget = 10 * 1024 * 1024
-    per_step = rows * LANES * 4 * 3 * 2
+    per_step = rows * LANES * 4 * n_streams * 2
     t_cap = max(1, budget // per_step)
     t_chunk = 1
     for d in range(1, run_steps + 1):
@@ -894,16 +974,21 @@ def _traj_chunk_plan(run_steps: int, num_trajectories: int):
     return rows, t_chunk
 
 
-@partial(jax.jit, static_argnames=("params", "num_trajectories", "rows", "interpret"))
+@partial(jax.jit, static_argnames=("params", "num_trajectories", "rows", "interpret", "emit"))
 def as_episode_trajectories_pallas(
     params: AsEpisodeParams,
     seed,
     num_trajectories: int = 16384,
     rows: int | None = None,
     interpret: bool = False,
+    emit: str = "state",
 ):
     """Full AS episode with trajectory streams: returns post-step
-    (cash, inventory, price) each (T, N).
+    (cash, inventory, price) each (T, N) — or, with ``emit="full"``
+    (round 5), six streams (cash, inventory, price, reward, bid, ask):
+    the per-step PnL reward and the closed-form quotes computed inside the
+    kernel on VMEM-resident state, so trajectory materialization
+    (:func:`as_trajectory_from_pallas_full`) is pure layout work.
 
     Per-step actions, PnL rewards, and the (T+1, N, 4) observation matrix
     are exact functions of these streams plus the known initial state — see
@@ -930,18 +1015,24 @@ def as_episode_trajectories_pallas(
     e.g. T=50/rows=512 compiles under the same VMEM budget model but was
     not individually measured; if a shape in the envelope fails to
     compile, pass ``rows=TRAJ_ROWS`` explicitly (the 1D proven tiling)."""
+    assert emit in ("state", "full"), emit
+    n_streams = 3 if emit == "state" else 6
     T = params.run_steps
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     chunked = False
     if rows is None:
         one_shot = num_trajectories // LANES
+        # proven one-shot envelope (T=200, rows=128, 3 streams); the
+        # 6-stream full mode doubles the output-block footprint, so it
+        # gets half the envelope under the same VMEM budget model
+        envelope = 200 * 128 if emit == "state" else 100 * 128
         if (
             num_trajectories % LANES == 0
-            and params.run_steps * one_shot <= 200 * 128  # proven envelope
+            and params.run_steps * one_shot <= envelope
         ):
             rows = one_shot
         else:
-            rows, t_chunk = _traj_chunk_plan(T, num_trajectories)
+            rows, t_chunk = _traj_chunk_plan(T, num_trajectories, n_streams)
             chunked = True
     if chunked:
         tile = rows * LANES
@@ -949,8 +1040,13 @@ def as_episode_trajectories_pallas(
         grid = (num_trajectories // tile, T // t_chunk)
         out_shape = [
             jax.ShapeDtypeStruct((T, grid[0] * rows, LANES), jnp.float32)
-        ] * 3
-        kernel = partial(_traj_episode_kernel_chunked, params, t_chunk)
+        ] * n_streams
+        if emit == "state":
+            kernel = partial(_traj_episode_kernel_chunked, params, t_chunk)
+            n_scratch = 3
+        else:
+            kernel = partial(_traj_episode_kernel_chunked_full, params, t_chunk)
+            n_scratch = 4  # + previous mark-to-market value
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -961,21 +1057,25 @@ def as_episode_trajectories_pallas(
                     memory_space=pltpu.VMEM,
                 )
             ]
-            * 3,
+            * n_streams,
             out_shape=out_shape,
-            scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)] * 3,
+            scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)] * n_scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")
             ),
             interpret=interpret,
         )(seed_arr)
-        cash, inv, price = (o.reshape(T, -1) for o in outs)
-        return cash, inv, price
+        return tuple(o.reshape(T, -1) for o in outs)
     tile = rows * LANES
     assert num_trajectories % tile == 0, (num_trajectories, tile)
     grid = num_trajectories // tile
-    out_shape = [jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)] * 3
-    kernel = partial(_traj_episode_kernel, params)
+    out_shape = [
+        jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)
+    ] * n_streams
+    kernel = partial(
+        _traj_episode_kernel if emit == "state" else _traj_episode_kernel_full,
+        params,
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -983,12 +1083,39 @@ def as_episode_trajectories_pallas(
         out_specs=[
             pl.BlockSpec((T, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         ]
-        * 3,
+        * n_streams,
         out_shape=out_shape,
         interpret=interpret,
     )(seed_arr)
-    cash, inv, price = (o.reshape(T, -1) for o in outs)
-    return cash, inv, price
+    return tuple(o.reshape(T, -1) for o in outs)
+
+
+def as_trajectory_from_pallas_full(params: AsEpisodeParams, streams):
+    """Assemble a :class:`mbt_gym_tpu.types.Trajectory` from the
+    ``emit="full"`` six-stream kernel output — PURE LAYOUT work: the
+    rewards and actions arrive kernel-computed, so the only XLA ops are
+    the initial-row concat, the deterministic time plane, and the
+    obs/action stacks (round 5, VERDICT r4 item 3)."""
+    from mbt_gym_tpu.types import Trajectory
+
+    cash, inv, price, reward, bid, ask = streams
+    T, n = cash.shape
+    cash_full = jnp.concatenate(
+        [jnp.full((1, n), params.initial_cash, cash.dtype), cash], axis=0
+    )
+    inv_full = jnp.concatenate(
+        [jnp.full((1, n), params.initial_inventory, cash.dtype), inv], axis=0
+    )
+    price_full = jnp.concatenate(
+        [jnp.full((1, n), params.initial_price), price], axis=0
+    )
+    times = jnp.broadcast_to(
+        (params.start_time + jnp.arange(T + 1, dtype=cash.dtype) * params.dt)[:, None],
+        (T + 1, n),
+    )
+    obs = jnp.stack([cash_full, inv_full, times, price_full], axis=2)
+    actions = jnp.stack([bid, ask], axis=2)
+    return Trajectory(observations=obs, actions=actions, rewards=reward)
 
 
 def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price):

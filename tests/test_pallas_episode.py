@@ -311,3 +311,41 @@ def test_traj_chunked_matches_1d_tiling():
     for a, b in zip(outs_1d, outs_chunked):
         assert a.shape == (900, 4096)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_traj_full_emit_matches_state_emit_assembly():
+    """emit="full" (round 5: kernel-computed rewards + closed-form actions)
+    must reproduce the state-mode + XLA-assembly Trajectory exactly, in
+    BOTH tilings (one-shot grid=1 and the time-chunked 2D grid) under the
+    Mosaic interpreter (zero PRNG bits => deterministic)."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mbt_gym_tpu.ops import pallas_episode as pe
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    interp = pltpu.InterpretParams()
+    for n, steps in ((256, 20), (512, 900)):  # one-shot; chunked
+        cfg = as_env_config(num_trajectories=n, n_steps=steps)
+        p = pe.params_from_config(cfg, risk_aversion=0.1)
+        state_streams = pe.as_episode_trajectories_pallas(
+            p, 3, n, interpret=interp
+        )
+        ref = pe.as_trajectory_from_pallas(p, *state_streams)
+        full_streams = pe.as_episode_trajectories_pallas(
+            p, 3, n, interpret=interp, emit="full"
+        )
+        got = pe.as_trajectory_from_pallas_full(p, full_streams)
+        # state streams are shared math: bitwise
+        for a, b in zip(state_streams, full_streams[:3]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            np.asarray(got.observations), np.asarray(ref.observations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.actions), np.asarray(ref.actions), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.rewards), np.asarray(ref.rewards), rtol=1e-6, atol=1e-5
+        )
