@@ -300,10 +300,12 @@ def fused_rollout(cfg: EnvConfig, policy, policy_params, key, decision):
 
         agent = meta["agent"]
         p = pe.params_from_config(cfg, risk_aversion=agent.risk_aversion)
-        cash, inv, price = pe.as_episode_trajectories_pallas(
-            p, _seed_from(key), cfg.num_trajectories
+        # emit="full": rewards + closed-form actions come kernel-computed,
+        # so the Trajectory assembly is pure layout work (round 5).
+        streams = pe.as_episode_trajectories_pallas(
+            p, _seed_from(key), cfg.num_trajectories, emit="full"
         )
-        traj = pe.as_trajectory_from_pallas(p, cash, inv, price)
+        traj = pe.as_trajectory_from_pallas_full(p, streams)
         traj = Trajectory(
             observations=traj.observations.astype(cfg.jdtype),
             actions=traj.actions.astype(cfg.jdtype),

@@ -948,6 +948,83 @@ def _traj_episode_kernel_chunked_full(
     v_scr[...] = value
 
 
+CONTAINER_PLANES = 7  # cash, inventory, time, price, bid, ask, reward
+
+
+def _traj_episode_kernel_container(p: AsEpisodeParams, seed_ref, out_ref):
+    """``emit="container"`` (round 5): ONE (7, T, rows, LANES) output block
+    holding every per-step trajectory plane (CONTAINER_PLANES order) —
+    written kernel-direct, so a materialized full trajectory costs exactly
+    its own HBM bytes: zero XLA assembly ops, zero extra copies (XLA
+    stacks of the stream outputs measured ~380 GB/s and OOM at 1M lanes;
+    BENCH_NOTES round 5)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    shape = out_ref.shape[2:]  # (rows, LANES)
+    init = _as_init(p, shape)
+    value0 = init[0] + init[1] * init[2]
+
+    def body(i, carry):
+        (cash, inv, price), prev_value = carry[:3], carry[3]
+        t = p.start_time + i.astype(jnp.float32) * p.dt
+        cash, inv, price, (bid, ask) = _as_step(
+            p, (cash, inv, price), t, _hw_draws(shape)
+        )
+        value = cash + inv * price
+        out_ref[0, i] = cash
+        out_ref[1, i] = inv
+        out_ref[2, i] = jnp.full(shape, 0.0, jnp.float32) + (t + p.dt)
+        out_ref[3, i] = price
+        out_ref[4, i] = bid
+        out_ref[5, i] = ask
+        out_ref[6, i] = value - prev_value
+        return cash, inv, price, value
+
+    jax.lax.fori_loop(0, p.run_steps, body, init + (value0,))
+
+
+def _traj_episode_kernel_chunked_container(
+    p: AsEpisodeParams, t_chunk: int, seed_ref, out_ref,
+    c_scr, i_scr, p_scr, v_scr,
+):
+    """Time-chunked container variant (2D grid, state carry in scratch)."""
+    j = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * pl.num_programs(1) + j)
+    shape = out_ref.shape[2:]
+
+    @pl.when(j == 0)
+    def _():
+        c0, i0, p0 = _as_init(p, shape)
+        c_scr[...] = c0
+        i_scr[...] = i0
+        p_scr[...] = p0
+        v_scr[...] = c0 + i0 * p0
+
+    def body(i, carry):
+        (cash, inv, price), prev_value = carry[:3], carry[3]
+        g = j * t_chunk + i
+        t = p.start_time + g.astype(jnp.float32) * p.dt
+        cash, inv, price, (bid, ask) = _as_step(
+            p, (cash, inv, price), t, _hw_draws(shape)
+        )
+        value = cash + inv * price
+        out_ref[0, i] = cash
+        out_ref[1, i] = inv
+        out_ref[2, i] = jnp.full(shape, 0.0, jnp.float32) + (t + p.dt)
+        out_ref[3, i] = price
+        out_ref[4, i] = bid
+        out_ref[5, i] = ask
+        out_ref[6, i] = value - prev_value
+        return cash, inv, price, value
+
+    cash, inv, price, value = jax.lax.fori_loop(
+        0, t_chunk, body, (c_scr[...], i_scr[...], p_scr[...], v_scr[...])
+    )
+    c_scr[...] = cash
+    i_scr[...] = inv
+    p_scr[...] = price
+    v_scr[...] = value
+
+
 def _traj_chunk_plan(run_steps: int, num_trajectories: int, n_streams: int = 3):
     """(rows, t_chunk) for the chunked kernel: the widest row tile (<=128)
     dividing the batch, then the largest T divisor whose double-buffered
@@ -989,6 +1066,11 @@ def as_episode_trajectories_pallas(
     the per-step PnL reward and the closed-form quotes computed inside the
     kernel on VMEM-resident state, so trajectory materialization
     (:func:`as_trajectory_from_pallas_full`) is pure layout work.
+    ``emit="container"`` goes one further: ONE kernel-direct
+    ``(7, T, N)`` buffer holding every per-step plane (cash, inventory,
+    time, price, bid, ask, reward) — the zero-XLA-ops materialized full
+    trajectory (:func:`trajectory_planes_view`); works at 1M lanes where
+    XLA-assembled containers OOM (BENCH_NOTES round 5).
 
     Per-step actions, PnL rewards, and the (T+1, N, 4) observation matrix
     are exact functions of these streams plus the known initial state — see
@@ -1015,17 +1097,18 @@ def as_episode_trajectories_pallas(
     e.g. T=50/rows=512 compiles under the same VMEM budget model but was
     not individually measured; if a shape in the envelope fails to
     compile, pass ``rows=TRAJ_ROWS`` explicitly (the 1D proven tiling)."""
-    assert emit in ("state", "full"), emit
-    n_streams = 3 if emit == "state" else 6
+    assert emit in ("state", "full", "container"), emit
+    n_streams = {"state": 3, "full": 6, "container": CONTAINER_PLANES}[emit]
+    container = emit == "container"
     T = params.run_steps
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     chunked = False
     if rows is None:
         one_shot = num_trajectories // LANES
         # proven one-shot envelope (T=200, rows=128, 3 streams); the
-        # 6-stream full mode doubles the output-block footprint, so it
-        # gets half the envelope under the same VMEM budget model
-        envelope = 200 * 128 if emit == "state" else 100 * 128
+        # 6/7-plane modes scale it down by their output-block footprint
+        # under the same VMEM budget model
+        envelope = (200 * 128 * 3) // n_streams
         if (
             num_trajectories % LANES == 0
             and params.run_steps * one_shot <= envelope
@@ -1038,26 +1121,41 @@ def as_episode_trajectories_pallas(
         tile = rows * LANES
         assert num_trajectories % tile == 0, (num_trajectories, tile)
         grid = (num_trajectories // tile, T // t_chunk)
-        out_shape = [
-            jax.ShapeDtypeStruct((T, grid[0] * rows, LANES), jnp.float32)
-        ] * n_streams
-        if emit == "state":
-            kernel = partial(_traj_episode_kernel_chunked, params, t_chunk)
-            n_scratch = 3
+        if container:
+            out_shape = jax.ShapeDtypeStruct(
+                (CONTAINER_PLANES, T, grid[0] * rows, LANES), jnp.float32
+            )
+            out_specs = pl.BlockSpec(
+                (CONTAINER_PLANES, t_chunk, rows, LANES),
+                lambda i, j: (0, j, i, 0), memory_space=pltpu.VMEM,
+            )
+            kernel = partial(
+                _traj_episode_kernel_chunked_container, params, t_chunk
+            )
+            n_scratch = 4
         else:
-            kernel = partial(_traj_episode_kernel_chunked_full, params, t_chunk)
-            n_scratch = 4  # + previous mark-to-market value
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=[
+            out_shape = [
+                jax.ShapeDtypeStruct((T, grid[0] * rows, LANES), jnp.float32)
+            ] * n_streams
+            out_specs = [
                 pl.BlockSpec(
                     (t_chunk, rows, LANES), lambda i, j: (j, i, 0),
                     memory_space=pltpu.VMEM,
                 )
-            ]
-            * n_streams,
+            ] * n_streams
+            if emit == "state":
+                kernel = partial(_traj_episode_kernel_chunked, params, t_chunk)
+                n_scratch = 3
+            else:
+                kernel = partial(
+                    _traj_episode_kernel_chunked_full, params, t_chunk
+                )
+                n_scratch = 4  # + previous mark-to-market value
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32)] * n_scratch,
             compiler_params=pltpu.CompilerParams(
@@ -1065,28 +1163,42 @@ def as_episode_trajectories_pallas(
             ),
             interpret=interpret,
         )(seed_arr)
+        if container:
+            return outs.reshape(CONTAINER_PLANES, T, -1)
         return tuple(o.reshape(T, -1) for o in outs)
     tile = rows * LANES
     assert num_trajectories % tile == 0, (num_trajectories, tile)
     grid = num_trajectories // tile
-    out_shape = [
-        jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)
-    ] * n_streams
-    kernel = partial(
-        _traj_episode_kernel if emit == "state" else _traj_episode_kernel_full,
-        params,
-    )
+    if container:
+        out_shape = jax.ShapeDtypeStruct(
+            (CONTAINER_PLANES, T, grid * rows, LANES), jnp.float32
+        )
+        out_specs = pl.BlockSpec(
+            (CONTAINER_PLANES, T, rows, LANES), lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = partial(_traj_episode_kernel_container, params)
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((T, grid * rows, LANES), jnp.float32)
+        ] * n_streams
+        out_specs = [
+            pl.BlockSpec((T, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        ] * n_streams
+        kernel = partial(
+            _traj_episode_kernel if emit == "state" else _traj_episode_kernel_full,
+            params,
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[
-            pl.BlockSpec((T, rows, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-        ]
-        * n_streams,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(seed_arr)
+    if container:
+        return outs.reshape(CONTAINER_PLANES, T, -1)
     return tuple(o.reshape(T, -1) for o in outs)
 
 
@@ -1116,6 +1228,52 @@ def as_trajectory_from_pallas_full(params: AsEpisodeParams, streams):
     obs = jnp.stack([cash_full, inv_full, times, price_full], axis=2)
     actions = jnp.stack([bid, ask], axis=2)
     return Trajectory(observations=obs, actions=actions, rewards=reward)
+
+
+def trajectory_planes_view(params: AsEpisodeParams, data):
+    """Named views into the ``emit="container"`` buffer ``data (7, T, N)``.
+
+    Returns a dict of DEVICE VIEWS — consumed inside a jit they fuse for
+    free; sliced standalone each costs one copy of just that plane.  The
+    post-step convention matches the state streams: row t is the state
+    AFTER step t (obs row t+1 of the (T+1)-row time-major Trajectory; the
+    t=0 observation is the config's known initial state)."""
+    return {
+        "cash": data[0], "inventory": data[1], "time": data[2],
+        "price": data[3], "bid": data[4], "ask": data[5], "reward": data[6],
+    }
+
+
+def as_trajectory_t_from_pallas(params: AsEpisodeParams, streams):
+    """Assemble the feature-major :class:`mbt_gym_tpu.types.TrajectoryT`
+    from the ``emit="full"`` streams — the large-batch materialization
+    path (round 5): minor dims stay (time, envs), so the assembly is one
+    pad-free copy pass and the result crosses jit boundaries at stream
+    rate (BENCH_NOTES round 5; the time-major :class:`Trajectory` pads
+    32x as a jit output and cannot exist at 1M lanes)."""
+    from mbt_gym_tpu.types import TrajectoryT
+
+    cash, inv, price, reward, bid, ask = streams
+    T, n = cash.shape
+
+    def with_init(x, v0):
+        return jnp.concatenate([jnp.full((1, n), v0, x.dtype), x], axis=0)
+
+    times = jnp.broadcast_to(
+        (params.start_time + jnp.arange(T + 1, dtype=cash.dtype) * params.dt)[:, None],
+        (T + 1, n),
+    )
+    obs_t = jnp.stack(
+        [
+            with_init(cash, params.initial_cash),
+            with_init(inv, params.initial_inventory),
+            times,
+            with_init(price, params.initial_price),
+        ],
+        axis=0,
+    )  # (S, T+1, N)
+    actions_t = jnp.stack([bid, ask], axis=0)  # (A, T, N)
+    return TrajectoryT(observations_t=obs_t, actions_t=actions_t, rewards=reward)
 
 
 def as_trajectory_from_pallas(params: AsEpisodeParams, cash, inv, price):

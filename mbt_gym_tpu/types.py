@@ -81,8 +81,51 @@ class Trajectory(NamedTuple):
     The reference preallocates trajectory-major ``(N, S, T+1)`` buffers
     (helpers/generate_trajectory.py:11-15); time-major is the natural `scan`
     layout.  Use :func:`mbt_gym_tpu.rollout.to_reference_layout` for parity.
+
+    MATERIALIZATION caveat (measured, round 5): consumed inside one jit
+    these arrays fuse and cost nothing extra, but as a *jit output* the
+    trailing S/A dims land on the lane axis of XLA's (8, 128) TPU tiling —
+    obs (T+1, N, 4) pads 32x in HBM (0.3B env-steps/s materialization rate;
+    does not even compile at 1M envs: the padded buffer is 103 GB).  For
+    large-batch materialized trajectories use :class:`TrajectoryT`
+    (feature-major, pad-free) and convert views as needed.
     """
 
     observations: jax.Array  # (T+1, N, S)
     actions: jax.Array  # (T, N, A)
     rewards: jax.Array  # (T, N)
+
+
+class TrajectoryT(NamedTuple):
+    """Feature-major trajectory: the TPU-native MATERIALIZATION layout
+    (round 5).  Minor dims are (time, envs), so XLA's (8, 128) tiling pads
+    nothing at any batch — the layout the fused kernels already write and
+    the one to cross jit boundaries with at scale (see
+    :class:`Trajectory`'s caveat; same convention as the fused-PPO
+    ``TRolloutBatch``).
+
+    ``observations_t[c, t, i]`` == ``Trajectory.observations[t, i, c]``.
+    """
+
+    observations_t: jax.Array  # (S, T+1, N)
+    actions_t: jax.Array  # (A, T, N)
+    rewards: jax.Array  # (T, N)
+
+    def to_time_major(self) -> "Trajectory":
+        """Transpose to the time-major :class:`Trajectory` view.  Cheap
+        inside a jit (layout change fuses into consumers); as a jit output
+        it pays the 32x-padded HBM cost documented on Trajectory."""
+        return Trajectory(
+            observations=jax.numpy.transpose(self.observations_t, (1, 2, 0)),
+            actions=jax.numpy.transpose(self.actions_t, (1, 2, 0)),
+            rewards=self.rewards,
+        )
+
+    def to_reference_layout(self):
+        """The reference's trajectory-major buffers (obs (N, S, T+1),
+        actions (N, A, T), rewards (N, 1, T) — generate_trajectory.py:11-15)."""
+        return (
+            jax.numpy.transpose(self.observations_t, (2, 0, 1)),
+            jax.numpy.transpose(self.actions_t, (2, 0, 1)),
+            jax.numpy.transpose(self.rewards, (1, 0))[:, None, :],
+        )

@@ -28,6 +28,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 from mbt_gym_tpu.ops import pallas_episode as pe
 from mbt_gym_tpu.rollout import to_reference_layout
 from mbt_gym_tpu.utils.config import as_env_config

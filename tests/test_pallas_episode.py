@@ -349,3 +349,37 @@ def test_traj_full_emit_matches_state_emit_assembly():
         np.testing.assert_allclose(
             np.asarray(got.rewards), np.asarray(ref.rewards), rtol=1e-6, atol=1e-5
         )
+
+
+def test_traj_container_matches_full_streams():
+    """emit="container" (round 5: one kernel-direct (7, T, N) buffer) must
+    hold exactly the emit="full" streams plus the post-step time plane, in
+    both tilings, under the Mosaic interpreter."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mbt_gym_tpu.ops import pallas_episode as pe
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    interp = pltpu.InterpretParams()
+    for n, steps in ((256, 20), (512, 900)):  # one-shot; chunked
+        cfg = as_env_config(num_trajectories=n, n_steps=steps)
+        p = pe.params_from_config(cfg, risk_aversion=0.1)
+        full = pe.as_episode_trajectories_pallas(p, 3, n, interpret=interp, emit="full")
+        data = pe.as_episode_trajectories_pallas(
+            p, 3, n, interpret=interp, emit="container"
+        )
+        assert data.shape == (pe.CONTAINER_PLANES, steps, n)
+        v = pe.trajectory_planes_view(p, data)
+        for name, idx in (("cash", 0), ("inventory", 1), ("price", 2),
+                          ("reward", 3), ("bid", 4), ("ask", 5)):
+            np.testing.assert_array_equal(
+                np.asarray(v[{"cash": "cash", "inventory": "inventory",
+                              "price": "price", "reward": "reward",
+                              "bid": "bid", "ask": "ask"}[name]]),
+                np.asarray(full[idx]), err_msg=name,
+            )
+        times = np.asarray(v["time"])
+        want = (p.start_time + (np.arange(steps) + 1) * p.dt).astype(np.float32)
+        np.testing.assert_allclose(times, np.broadcast_to(want[:, None], (steps, n)), rtol=1e-6)
