@@ -28,11 +28,10 @@ family          kernel                                   rollout   stats
 as_episode      ops.pallas_episode (AS closed form)      yes       yes
 cj_table        ops.pallas_rollout table policy          yes       yes
 fixed           ops.pallas_rollout fixed policy          yes       yes
-oe_episode      ops.pallas_episode OE kernel             no [1]_   yes
+oe_episode      ops.pallas_episode OE kernel (stats) /   yes       yes
+                ops.pallas_rollout schedule kernel
+                (full trajectories)
 ==============  =======================================  ========  =====
-
-.. [1] terminal-state only — trajectory materialization for the OE
-   family runs on the XLA engine (the kernel streams no per-step data).
 
 Semantics: every fused family is validated against the XLA engine
 step-for-step on injected noise and statistically on hardware PRNG
@@ -177,17 +176,17 @@ def _check_oe(cfg: EnvConfig, meta: dict, mode: str) -> None:
     from mbt_gym_tpu.agents.baseline import CarteaJaimungalOeAgent
     from mbt_gym_tpu.ops import pallas_episode as pe
 
-    if mode == "rollout":
-        raise _Ineligible(
-            "the OE episode kernel streams terminal state only; trajectory "
-            "materialization for the CJ-OE schedule runs on the XLA engine"
-        )
     agent = meta["agent"]
     try:
         pe.oe_params_from_config(cfg)
         reference = CarteaJaimungalOeAgent.from_config(
             cfg, phi=agent.phi, alpha=agent.alpha
         )
+        if mode == "rollout":
+            # full trajectories run on the fused SCHEDULE kernel (round 5)
+            from mbt_gym_tpu.ops import pallas_rollout as pr
+
+            pr.schedule_rollout_params(cfg)
     except AssertionError as e:
         raise _Ineligible(str(e))
     if agent != reference:
@@ -319,7 +318,15 @@ def fused_rollout(cfg: EnvConfig, policy, policy_params, key, decision):
 
     from mbt_gym_tpu.ops import pallas_rollout as pr
 
-    if decision.family == "cj_table":
+    if decision.family == "oe_episode":
+        # full trajectories via the per-step-schedule kernel (the OE
+        # terminal-state kernel serves the stats mode)
+        p = pr.schedule_rollout_params(cfg)
+        table = pr.schedule_table_from_policy(cfg, policy)
+        run = lambda seed, inv0: pr.schedule_rollout_pallas(  # noqa: E731
+            p, table, seed, cfg.num_trajectories, inv0=inv0, final_obs=True
+        )
+    elif decision.family == "cj_table":
         agent = meta["agent"]
         p = pr.cj_rollout_params(cfg, agent)
         tables = tuple(jnp.asarray(t) for t in pr.cj_depth_tables(agent))

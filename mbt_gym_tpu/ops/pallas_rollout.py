@@ -820,16 +820,21 @@ def _rollout_step(p: MlpRolloutParams, n_layers, a_dim, refs, carry, t_val, draw
         action = jnp.concatenate([bid_q, ask_q], axis=0)
         logp = jnp.zeros(inv.shape, jnp.float32)
         value = jnp.zeros(inv.shape, jnp.float32)
-    elif p.policy_kind == "fixed":
-        # --- constant-action policy (FixedActionAgent,
-        # BaselineAgents.py:25-31; round 5) --- each action column is a
-        # static scalar broadcast over the env planes.  Deterministic, so
-        # no eps channels and zero log-prob/value streams (like "table");
-        # no action-box clip (the engine never clips closed-form/fixed
+    elif p.policy_kind in ("fixed", "schedule"):
+        # --- constant/per-step-scheduled action policies (round 5) ---
+        # "fixed": each action column is a STATIC scalar
+        # (FixedActionAgent, BaselineAgents.py:25-31); "schedule": this
+        # step's row of a precomputed (T, A) action table — any
+        # deterministic time-only policy, e.g. the closed-form CJ-OE
+        # speed schedule (BaselineAgents.py:173-210) — arriving as traced
+        # SMEM scalars in ``table_row``.  Deterministic, so no eps
+        # channels and zero log-prob/value streams (like "table"); no
+        # action-box clip (the engine never clips closed-form/fixed
         # policy outputs), but the normalise_act mapping to model units
         # matches env.step (TradingEnvironment.py:112-126).
+        vals = p.fixed_action if p.policy_kind == "fixed" else table_row
         raw = tuple(
-            jnp.full(inv.shape, float(c), jnp.float32) for c in p.fixed_action
+            jnp.zeros(inv.shape, jnp.float32) + c for c in vals
         )
         if p.normalise_act:
             exec_action = tuple(
@@ -1198,7 +1203,8 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
     use_t0 = p.random_start
     table = p.policy_kind == "table"
     fixed = p.policy_kind == "fixed"
-    deterministic = table or fixed
+    schedule = p.policy_kind == "schedule"
+    deterministic = table or fixed or schedule
     assert not (stats_only and use_t0), (
         "stats-only outputs with random start times are unsupported "
         "(nothing needs them; the streams mode freezes post-done lanes)"
@@ -1222,6 +1228,9 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         t0_ref = next(it) if use_t0 else None
         if table:
             bid_tbl_ref, ask_tbl_ref = next(it), next(it)
+            weight_refs = None
+        elif schedule:
+            sched_ref = next(it)  # SMEM (T_total, A) per-step action table
             weight_refs = None
         elif fixed:
             weight_refs = None  # the constant action lives in static params
@@ -1293,10 +1302,10 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
         )
         t0_row = t0_ref[:] if use_t0 else None  # (1, L)
         ep_len = (p.terminal_time - t0_row) if use_t0 else None
-        # table row index base: a late fixed start begins deeper into the
-        # (n_steps + 1)-row depth table, exactly like the engine policy's
-        # round(t / dt) time index (agents/baseline.py)
-        t_off = round(p.start_time / p.dt) if table else 0
+        # table/schedule row index base: a late fixed start begins deeper
+        # into the (n_steps + 1)-row table, exactly like the engine
+        # policy's round(t / dt) time index (agents/baseline.py)
+        t_off = round(p.start_time / p.dt) if (table or schedule) else 0
 
         def body(i, carry):
             if stats_only:
@@ -1332,6 +1341,11 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                     [bid_tbl_ref[pl.ds(r0, 1), :], ask_tbl_ref[pl.ds(r0, 1), :]],
                     axis=0,
                 )  # (2, Q_pad)
+            elif schedule:
+                # this step's action row as SMEM scalar reads
+                table_row = tuple(
+                    sched_ref[t_off + i, c] for c in range(a_dim)
+                )
             else:
                 table_row = None
             new_carry, (X, action, logp, value, reward) = _rollout_step(
@@ -1717,9 +1731,90 @@ def fixed_rollout_pallas(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "p", "num_trajectories", "tile", "interpret", "stats_only", "rows",
+        "final_obs",
+    ),
+)
+def schedule_rollout_pallas(
+    p: MlpRolloutParams,
+    action_table,
+    seed,
+    num_trajectories: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    noise=None,
+    inv0=None,
+    stats_only: bool = False,
+    rows="auto",
+    final_obs: bool = False,
+):
+    """Fused whole-episode rollout with a PER-STEP ACTION SCHEDULE
+    (round 5): any deterministic time-only policy — e.g. the closed-form
+    CJ-OE execution schedule (BaselineAgents.py:173-210) — precomputed as
+    an ``(n_steps_total, A)`` f32 table and read per step as SMEM scalars
+    (the shared clock means one action row per step,
+    TradingEnvironment.py:218-220).  This is what gives the OE family a
+    fused FULL-TRAJECTORY lane (the OE episode kernel streams terminal
+    state only); the dispatch front door routes ``rollout()`` here.
+
+    ``p`` comes from :func:`schedule_rollout_params`; ``action_table``
+    rows are indexed by absolute step (a late fixed start begins deeper
+    into the table, like the engine's round(t/dt) lookup).  Output modes
+    and layouts exactly as :func:`table_rollout_pallas`; the noise layout
+    is the deterministic one (``n_noise_channels(a_dim, table=True)``)."""
+    assert p.policy_kind == "schedule"
+    expected = {"limit": 2, "lam": 4, "touch": 2, "speed": 1}[p.dynamics_kind]
+    action_table = jnp.asarray(action_table, jnp.float32)
+    assert action_table.ndim == 2 and action_table.shape[1] == expected, (
+        f"action_table must be (steps, {expected}) for {p.dynamics_kind} "
+        f"dynamics; got {action_table.shape}"
+    )
+    assert not p.random_start, (
+        "random start times with a schedule policy run on the XLA engine"
+    )
+    T = p.run_steps
+    assert action_table.shape[0] >= round(p.start_time / p.dt) + T, (
+        "action table must cover every executed step's time index",
+        action_table.shape, T,
+    )
+    return _det_rollout_pallas(
+        p, (), seed, num_trajectories, tile, interpret, noise, inv0,
+        stats_only, rows, a_dim=expected, final_obs=final_obs,
+        smem_tables=(action_table,),
+    )
+
+
+def schedule_rollout_params(cfg: EnvConfig) -> MlpRolloutParams:
+    """:func:`rollout_params_from_config` specialised to a per-step action
+    schedule (policy_kind="schedule")."""
+    return rollout_params_from_config(cfg)._replace(policy_kind="schedule")
+
+
+def schedule_table_from_policy(cfg: EnvConfig, policy) -> jax.Array:
+    """Evaluate a TIME-ONLY policy on the episode step grid, producing the
+    kernel's (n_steps, A) action table.  The policy is called with
+    observations whose non-time columns are zero (state=None), so it must
+    depend on the time column alone — the closed-form schedules do
+    (CarteaJaimungalOeAgent.policy reads only TIME_INDEX)."""
+    assert not cfg.normalise_observation_space, (
+        "schedule tables are built from raw-time observations; the "
+        "closed-form schedules run on unnormalised configs"
+    )
+    from mbt_gym_tpu.types import TIME_INDEX
+
+    n_steps = cfg.n_steps
+    times = jnp.arange(n_steps, dtype=jnp.float32) * cfg.step_size
+    obs = jnp.zeros((n_steps, cfg.state_dim), jnp.float32)
+    obs = obs.at[:, TIME_INDEX].set(times)
+    return jnp.asarray(policy(None, obs, None), jnp.float32)
+
+
 def _det_rollout_pallas(
     p, tables, seed, num_trajectories, tile, interpret, noise, inv0,
-    stats_only, rows, a_dim, final_obs=False,
+    stats_only, rows, a_dim, final_obs=False, smem_tables=(),
 ):
     """Shared pallas_call assembly for the deterministic policy kinds
     (``tables`` = the two resident depth tables for "table", () for
@@ -1824,6 +1919,9 @@ def _det_rollout_pallas(
     for t in tables:
         inputs.append(t)
         in_specs.append(full(t.shape))
+    for t in smem_tables:
+        inputs.append(t)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     s_dim = len(p.obs_low)
     if stats_only:

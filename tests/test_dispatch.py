@@ -54,7 +54,7 @@ def _fixed():
         (_as, "as_episode", ("rollout", "stats")),
         (_cj, "cj_table", ("rollout", "stats")),
         (_fixed, "fixed", ("rollout", "stats")),
-        (_oe, "oe_episode", ("stats",)),
+        (_oe, "oe_episode", ("rollout", "stats")),
     ],
 )
 def test_eligible_families_route_fused(build, family, modes):
@@ -66,10 +66,12 @@ def test_eligible_families_route_fused(build, family, modes):
         ), (mode, d)
 
 
-def test_oe_rollout_mode_falls_back_with_streaming_reason():
+def test_oe_rollout_mode_routes_to_schedule_kernel():
+    """Round 5: OE full trajectories run on the fused schedule kernel
+    (the terminal-state episode kernel keeps the stats mode)."""
     cfg, policy = _oe()
     d = dispatch.dispatch_report(cfg, policy, mode="rollout", platform="tpu")
-    assert d.backend == "xla" and "terminal state only" in d.reason
+    assert (d.backend, d.family) == ("fused", "oe_episode")
 
 
 def test_no_market_order_wrapper_stays_fixed():

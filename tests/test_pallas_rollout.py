@@ -2109,3 +2109,68 @@ def test_det_streams_final_obs_matches_engine_terminal():
     np.testing.assert_allclose(
         np.asarray(fin), np.asarray(obs).T, rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_schedule_policy_matches_xla_engine():
+    """The per-step action-schedule policy kind (round 5) running the
+    closed-form CJ-OE execution schedule must reproduce the XLA engine +
+    the agents.baseline policy on the same draws — including the obs
+    impact-state column and the CjOe reward, plus the final_obs output
+    and stats-mode reductions."""
+    from mbt_gym_tpu.agents.baseline import CarteaJaimungalOeAgent
+    from mbt_gym_tpu.utils.config import oe_env_config
+
+    env_cfg = dataclasses.replace(
+        oe_env_config(num_trajectories=N, initial_inventory=20.0), n_steps=T
+    )
+    agent = CarteaJaimungalOeAgent.from_config(env_cfg, alpha=0.01)
+    policy = agent.policy()
+    p = pallas_rollout.schedule_rollout_params(env_cfg)
+    assert (p.policy_kind, p.dynamics_kind) == ("schedule", "speed")
+    table = pallas_rollout.schedule_table_from_policy(env_cfg, policy)
+    assert table.shape == (T, 1)
+    assert float(jnp.abs(table).min()) > 0  # a real, nonzero schedule
+
+    rng = np.random.default_rng(41)
+    n_ch = pallas_rollout.n_noise_channels(1, table=True)
+    channels = rng.uniform(size=(T, n_ch, N)).astype(np.float32)
+    channels[:, 4] = rng.normal(size=(T, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+
+    obs_f, act_f, logp_f, val_f, rew_f, fin = pallas_rollout.schedule_rollout_pallas(
+        p, table, 0, N, tile=128, interpret=True, noise=channels,
+        final_obs=True,
+    )
+    ref_obs, ref_act, ref_rew = _xla_reference_fixed(env_cfg, policy, channels)
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(ref_obs).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(act_f), np.asarray(ref_act).transpose(0, 2, 1),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(rew_f), np.asarray(ref_rew), rtol=1e-4, atol=1e-3)
+    assert float(jnp.abs(logp_f).max()) == 0.0
+    assert float(jnp.abs(val_f).max()) == 0.0
+    # terminal obs: run the engine one episode and compare the final obs
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    for t in range(T):
+        noise = (
+            SlotNoise(normal=channels[t, 4][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, policy(None, obs, state), noise=noise)
+        state, obs = res.state, res.obs
+    np.testing.assert_allclose(
+        np.asarray(fin), np.asarray(obs).T, rtol=1e-5, atol=1e-4
+    )
+
+    # stats mode reductions match the stream sums
+    _, _, _, rsum, ssum = pallas_rollout.schedule_rollout_pallas(
+        p, table, 0, N, tile=128, interpret=True, noise=channels,
+        stats_only=True,
+    )
+    np.testing.assert_allclose(np.asarray(rsum), np.asarray(rew_f.sum(0)), rtol=1e-5, atol=1e-3)
+    assert float(jnp.abs(ssum).max()) == 0.0  # a_dim=1: spread sum zeroed
