@@ -1410,6 +1410,21 @@ def _make_kernel(p: MlpRolloutParams, n_layers: int, a_dim: int, use_noise: bool
                 jnp.zeros((rows, L), jnp.float32),
                 jnp.zeros((rows, L), jnp.float32),
             )
+        if not use_noise and deterministic and p.dynamics_kind == "speed":
+            # Mosaic layout fix (cf. ops/pallas_episode._oe_episode_kernel,
+            # found by the round-3 hardware run): with a deterministic
+            # policy on SPEED dynamics, cash/inventory stay REPLICATED
+            # vregs (no lane-varying uniforms enter them) while price
+            # becomes lane-varying after the first noise draw, and Mosaic
+            # cannot relayout non-replicated -> replicated at the
+            # fori_loop boundary.  A runtime-random jitter ~1e-42
+            # (absorbed to exact equality by the first f32 add with any
+            # normal-scale operand) makes every carry lane-varying.  The
+            # other dynamics kinds mix arrival/fill uniforms into every
+            # carry, and the MLP policy's eps draws vary the action — only
+            # this combination needs it.
+            jitter = _uniform_from_bits(pltpu.prng_random_bits((rows, L))) * 1e-42
+            init = tuple(x + jitter for x in init)
         final = jax.lax.fori_loop(0, p.run_steps, body, init)
         if stats_only:
             cash_out[:] = final[0]

@@ -341,12 +341,26 @@ def mc_episode_stats(
     }
 
 
-def episode_stats(cfg: EnvConfig, traj: Trajectory) -> dict:
+def episode_stats(cfg: EnvConfig, traj) -> dict:
     """The AS-replication summary table (helpers/plotting.py:94-110):
     mean spread (2x mean half-spread over all actions), mean/std total
-    reward, mean/std terminal inventory."""
-    total_rewards = traj.rewards.sum(axis=0)  # (N,)
-    terminal_inventory = traj.observations[-1, :, 1]
+    reward, mean/std terminal inventory.
+
+    Accepts either the time-major :class:`Trajectory` or the feature-major
+    :class:`~mbt_gym_tpu.types.TrajectoryT` (round 5 — reads the planes
+    directly, no transpose)."""
+    from mbt_gym_tpu.types import TrajectoryT
+
+    if isinstance(traj, TrajectoryT):
+        total_rewards = traj.rewards.sum(axis=0)
+        terminal_inventory = traj.observations_t[1, -1]
+        actions = jnp.moveaxis(traj.actions_t, 0, -1)  # (T, N, A) view
+        traj = Trajectory(
+            observations=None, actions=actions, rewards=traj.rewards
+        )
+    else:
+        total_rewards = traj.rewards.sum(axis=0)  # (N,)
+        terminal_inventory = traj.observations[-1, :, 1]
     if cfg.normalise_observation_space:
         low, high = cfg.observation_bounds()
         terminal_inventory = (terminal_inventory + 1.0) * (high[1] - low[1]) / 2 + low[1]

@@ -383,3 +383,25 @@ def test_traj_container_matches_full_streams():
         times = np.asarray(v["time"])
         want = (p.start_time + (np.arange(steps) + 1) * p.dt).astype(np.float32)
         np.testing.assert_allclose(times, np.broadcast_to(want[:, None], (steps, n)), rtol=1e-6)
+
+
+def test_episode_stats_accepts_trajectory_t():
+    """episode_stats must read the feature-major TrajectoryT identically
+    to the time-major Trajectory built from the same streams."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mbt_gym_tpu.ops import pallas_episode as pe
+    from mbt_gym_tpu.rollout import episode_stats
+    from mbt_gym_tpu.utils.config import as_env_config
+
+    cfg = as_env_config(num_trajectories=256, n_steps=20)
+    p = pe.params_from_config(cfg, risk_aversion=0.1)
+    streams = pe.as_episode_trajectories_pallas(
+        p, 3, 256, interpret=pltpu.InterpretParams(), emit="full"
+    )
+    a = episode_stats(cfg, pe.as_trajectory_from_pallas_full(p, streams))
+    b = episode_stats(cfg, pe.as_trajectory_t_from_pallas(p, streams))
+    for k in a:
+        np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-6)
