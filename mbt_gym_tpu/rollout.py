@@ -352,6 +352,13 @@ def episode_stats(cfg: EnvConfig, traj) -> dict:
     from mbt_gym_tpu.types import TrajectoryT
 
     if isinstance(traj, TrajectoryT):
+        # TrajectoryT producers (the episode kernels' full-emit assembly)
+        # carry RAW state planes; the normalise-denormalise below would
+        # corrupt them (their configs assert normalisation off anyway).
+        assert not cfg.normalise_observation_space, (
+            "TrajectoryT planes are raw-unit; this config's observations "
+            "are normalised — pass the time-major Trajectory instead"
+        )
         total_rewards = traj.rewards.sum(axis=0)
         terminal_inventory = traj.observations_t[1, -1]
         actions = jnp.moveaxis(traj.actions_t, 0, -1)  # (T, N, A) view
