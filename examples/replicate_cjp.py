@@ -23,7 +23,7 @@ PARAM_SETS = [
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--trajectories", type=int, default=1000)
+    parser.add_argument("--trajectories", type=int, default=1024)  # lane-aligned: the rollout front door runs the fused table kernel on TPU
     parser.add_argument("--seed", type=int, default=410)
     args = parser.parse_args()
 

@@ -143,6 +143,16 @@ def _check_cj(cfg: EnvConfig, meta: dict, mode: str) -> None:
             "random initial inventory is unsupported by the table stats "
             "kernel wrapper; use backend='xla' or mode='rollout'"
         )
+    if mode == "rollout":
+        q_pad = -(-(2 * agent.max_inventory + 1) // 128) * 128
+        tables_bytes = 2 * (cfg.n_steps + 1) * q_pad * 4
+        if not pr.det_streams_feasible(p, 2, tables_bytes):
+            raise _Ineligible(
+                f"the {cfg.n_steps}-step horizon's trajectory-stream "
+                "blocks exceed VMEM for the table kernel; full "
+                "trajectories run on the XLA engine (stats mode stays "
+                "fused)"
+            )
     _require_lane_batch(cfg)
 
 
@@ -169,6 +179,12 @@ def _check_fixed(cfg: EnvConfig, meta: dict, mode: str) -> None:
             "random initial inventory is unsupported by the fixed stats "
             "kernel wrapper; use backend='xla' or mode='rollout'"
         )
+    if mode == "rollout" and not pr.det_streams_feasible(p, expected):
+        raise _Ineligible(
+            f"the {cfg.n_steps}-step horizon's trajectory-stream blocks "
+            "exceed VMEM for the fixed-policy kernel; full trajectories "
+            "run on the XLA engine (stats mode stays fused)"
+        )
     _require_lane_batch(cfg)
 
 
@@ -186,7 +202,14 @@ def _check_oe(cfg: EnvConfig, meta: dict, mode: str) -> None:
             # full trajectories run on the fused SCHEDULE kernel (round 5)
             from mbt_gym_tpu.ops import pallas_rollout as pr
 
-            pr.schedule_rollout_params(cfg)
+            p = pr.schedule_rollout_params(cfg)
+            if not pr.det_streams_feasible(p, 1):
+                raise _Ineligible(
+                    f"the {cfg.n_steps}-step horizon's trajectory-stream "
+                    "blocks exceed VMEM for the schedule kernel; full "
+                    "trajectories run on the XLA engine (stats mode stays "
+                    "fused)"
+                )
     except AssertionError as e:
         raise _Ineligible(str(e))
     if agent != reference:

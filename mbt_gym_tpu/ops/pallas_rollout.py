@@ -1827,6 +1827,18 @@ def schedule_table_from_policy(cfg: EnvConfig, policy) -> jax.Array:
     return jnp.asarray(policy(None, obs, None), jnp.float32)
 
 
+def det_streams_feasible(p, a_dim: int, tables_bytes: int = 0) -> bool:
+    """Whether the deterministic-policy STREAMS mode can fit even its
+    narrowest (128-lane) tile under the scoped-VMEM budget — the horizon's
+    double-buffered (T, ...) output blocks are the binding term (e.g. the
+    2000-step CJP replication config does NOT fit; its stats mode and the
+    XLA engine do).  The dispatch front door pre-checks this so rollout()
+    falls back with a reason instead of raising mid-call."""
+    channels = _sublane_pad(len(p.obs_low)) + _sublane_pad(a_dim) + 3
+    per_lane = 2 * p.run_steps * 4 * channels + 12 * 4
+    return 128 * per_lane <= 15 * 1024 * 1024 - tables_bytes
+
+
 def _det_rollout_pallas(
     p, tables, seed, num_trajectories, tile, interpret, noise, inv0,
     stats_only, rows, a_dim, final_obs=False, smem_tables=(),

@@ -242,3 +242,16 @@ def test_auto_rollout_matches_engine_stats_on_hardware():
     # final_state is engine-shaped
     assert res.final_state.cash.shape == (16384,)
     assert float(res.final_state.time[0]) == pytest.approx(cfg.terminal_time)
+
+
+def test_long_horizon_table_rollout_falls_back_to_xla():
+    """A horizon whose (T, ...) stream blocks exceed VMEM (the 2000-step
+    CJP replication configs) must fall back with a reason in rollout mode
+    while the stats mode stays fused — found by running
+    examples/replicate_cjp.py through the front door on hardware."""
+    cfg = cj_env_config(num_trajectories=N, max_inventory=100.0, n_steps=2000)
+    policy = CarteaJaimungalMmAgent.from_config(cfg, max_inventory=100).policy()
+    d = dispatch.dispatch_report(cfg, policy, mode="rollout", platform="tpu")
+    assert d.backend == "xla" and "exceed VMEM" in d.reason
+    d2 = dispatch.dispatch_report(cfg, policy, mode="stats", platform="tpu")
+    assert (d2.backend, d2.family) == ("fused", "cj_table")
