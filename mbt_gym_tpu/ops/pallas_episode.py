@@ -75,7 +75,14 @@ def params_from_config(cfg: EnvConfig, risk_aversion: float = 0.1) -> AsEpisodeP
     from mbt_gym_tpu.rewards import PnL
 
     d = cfg.dynamics
-    assert isinstance(d, LimitOrderDynamics), "pallas fast path: limit-order dynamics only"
+    # exact 2-action limit-order contract: LimitAndMarketOrderDynamics
+    # SUBCLASSES LimitOrderDynamics (round-5 review finding — a lam+PnL
+    # config would otherwise run here with its market orders silently
+    # ignored), so gate on action_dim like rollout_params_from_config
+    assert isinstance(d, LimitOrderDynamics) and d.action_dim == 2, (
+        "pallas fast path: pure limit-order dynamics only (lam's market "
+        "orders are not simulated by this kernel)"
+    )
     assert isinstance(d.midprice_model, BrownianMotionMidprice)
     assert isinstance(d.arrival_model, PoissonArrivals)
     assert isinstance(d.fill_probability_model, ExponentialFill)
@@ -306,7 +313,10 @@ def cj_params_from_config(cfg: EnvConfig) -> CjEpisodeParams:
     from mbt_gym_tpu.rewards import CjMmCriterion
 
     d = cfg.dynamics
-    assert isinstance(d, LimitOrderDynamics)
+    assert isinstance(d, LimitOrderDynamics) and d.action_dim == 2, (
+        "pallas fast path: pure limit-order dynamics only (lam subclasses "
+        "LimitOrderDynamics but adds market orders this kernel ignores)"
+    )
     assert isinstance(d.midprice_model, BrownianMotionMidprice)
     assert isinstance(d.arrival_model, PoissonArrivals)
     assert isinstance(d.fill_probability_model, ExponentialFill)

@@ -255,3 +255,18 @@ def test_long_horizon_table_rollout_falls_back_to_xla():
     assert d.backend == "xla" and "exceed VMEM" in d.reason
     d2 = dispatch.dispatch_report(cfg, policy, mode="stats", platform="tpu")
     assert (d2.backend, d2.family) == ("fused", "cj_table")
+
+
+def test_lam_config_with_as_agent_falls_back():
+    """LimitAndMarketOrderDynamics SUBCLASSES LimitOrderDynamics; the AS
+    episode kernel must reject lam configs (its limit-only step would
+    silently ignore market orders — round-5 review finding)."""
+    from mbt_gym_tpu import rewards as rw
+    from mbt_gym_tpu.utils.config import lam_env_config
+
+    cfg = dataclasses.replace(
+        lam_env_config(num_trajectories=N), reward_function=rw.PnL()
+    )
+    policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
+    d = dispatch.dispatch_report(cfg, policy, platform="tpu")
+    assert d.backend == "xla" and "pure limit-order" in d.reason
