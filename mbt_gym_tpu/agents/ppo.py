@@ -640,13 +640,29 @@ def evaluate_policy(
         else:
             try:
                 from mbt_gym_tpu.ops.pallas_rollout import (
-                    rollout_params_from_config,
+                    mlp_streams_feasible, rollout_params_from_config,
                 )
 
-                rollout_params_from_config(env_cfg)
-                use_fused = env_cfg.num_trajectories % 128 == 0
-                if not use_fused:
+                p = rollout_params_from_config(env_cfg)
+                h_width = max(
+                    (layer["w"].shape[1] for layer in params.get("shared", ())),
+                    default=0,
+                ) or 2 * max(
+                    layer["w"].shape[1] for layer in params["pi"][:-1]
+                )
+                if env_cfg.num_trajectories % 128:
                     reason = "num_trajectories is not a multiple of 128"
+                elif not mlp_streams_feasible(p, h_width=h_width):
+                    # long horizons: the (T, ...) stream blocks exceed VMEM
+                    # even at 128 lanes — fall back instead of letting
+                    # Mosaic fail the compile (review finding, round 5)
+                    reason = (
+                        f"the {env_cfg.n_steps}-step horizon's rollout "
+                        "stream blocks exceed VMEM; evaluating on the XLA "
+                        "engine"
+                    )
+                else:
+                    use_fused = True
             except AssertionError as e:
                 reason = str(e)
         if backend == "fused" and not use_fused:

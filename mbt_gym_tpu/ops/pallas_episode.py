@@ -532,16 +532,12 @@ def oe_mc_episode_stats_pallas(
     n = cfg.num_trajectories
     rows = rows if rows is not None else _episode_rows(n)
     seed0 = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
-    initial_value = p.initial_cash + p.initial_inventory * p.initial_price
-    episode_length = p.terminal_time - p.start_time
-    const = p.run_steps * (p.initial_inventory**2) * episode_length
 
     def one(carry, s):
         cash, inv, price, _, sumq2, sum_sq = oe_episode_pallas(
             p, table, s, n, rows=rows
         )
-        pnl = cash + inv * price - initial_value
-        r = pnl - p.phi * p.dt * sumq2 - p.alpha * p.dt * (2.0 * sum_sq + const)
+        r = oe_rewards_from_terminal(p, cash, inv, price, sumq2, sum_sq)
         return carry + jnp.stack(
             [r.mean(), (r**2).mean(), inv.mean(), (inv**2).mean()]
         ), None
@@ -776,30 +772,43 @@ def oe_episode_pallas(
 
 
 def oe_speed_table(cfg: EnvConfig, agent) -> "jnp.ndarray":
-    """The CJ-OE closed-form speed schedule evaluated on the step grid
-    (agents.baseline.CarteaJaimungalOeAgent.policy on obs times)."""
+    """The CJ-OE closed-form speed schedule evaluated on the step grid —
+    (run_steps,) rows indexed FROM the (quantised) start time, the OE
+    episode kernel's convention.  Delegates to the shared time-only-policy
+    evaluator (``pallas_rollout.schedule_table_from_policy``, full-horizon
+    rows indexed from 0 — the schedule kernel's ``t_off`` convention) so
+    the two lanes cannot drift (review finding, round 5)."""
+    from mbt_gym_tpu.ops.pallas_rollout import schedule_table_from_policy
+
     p = oe_params_from_config(cfg)
-    times = p.start_time + jnp.arange(p.run_steps, dtype=jnp.float32) * p.dt
-    obs = jnp.zeros((p.run_steps, 4), jnp.float32).at[:, 2].set(times)
-    return agent.policy()(None, obs, None)[:, 0]
+    full = schedule_table_from_policy(cfg, agent.policy())  # (n_steps, 1)
+    start_steps = p.n_steps - p.run_steps
+    return full[start_steps:, 0]
 
 
-def oe_episode_rewards_pallas(cfg: EnvConfig, agent, seed, num_trajectories: int = 8192, **kw):
-    """Total CjOe episode rewards from the kernel's terminal state: the PnL
-    telescopes to terminal-minus-initial mark-to-market; the running
+def oe_rewards_from_terminal(p: OeEpisodeParams, cash, inv, price, sumq2, sum_sq):
+    """Total CjOe episode reward from the OE kernel's terminal state: the
+    PnL telescopes to terminal-minus-initial mark-to-market; the running
     penalty is ``phi*dt*sum q_t^2``; the pathwise terminal-aversion term is
     ``alpha*dt*(2*sum speed_t*q_{t-1} + run_steps*q0^2*T_ep)``
-    (RewardFunctions.py:55-70 with inventory exponent 2)."""
-    p = oe_params_from_config(cfg)
-    table = oe_speed_table(cfg, agent)
-    cash, inv, price, perm, sumq2, sum_sq = oe_episode_pallas(
-        p, table, seed, num_trajectories, **kw
-    )
+    (RewardFunctions.py:55-70 with inventory exponent 2).  THE identity —
+    shared by the rewards and mc-stats lanes so they cannot drift."""
     initial_value = p.initial_cash + p.initial_inventory * p.initial_price
     pnl = cash + inv * price - initial_value
     episode_length = p.terminal_time - p.start_time
     const = p.run_steps * (p.initial_inventory**2) * episode_length
     return pnl - p.phi * p.dt * sumq2 - p.alpha * p.dt * (2.0 * sum_sq + const)
+
+
+def oe_episode_rewards_pallas(cfg: EnvConfig, agent, seed, num_trajectories: int = 8192, **kw):
+    """Total CjOe episode rewards for the closed-form schedule (see
+    :func:`oe_rewards_from_terminal` for the identity)."""
+    p = oe_params_from_config(cfg)
+    table = oe_speed_table(cfg, agent)
+    cash, inv, price, perm, sumq2, sum_sq = oe_episode_pallas(
+        p, table, seed, num_trajectories, **kw
+    )
+    return oe_rewards_from_terminal(p, cash, inv, price, sumq2, sum_sq)
 
 
 # ------------------------------------------------------------------
@@ -1240,14 +1249,15 @@ def as_trajectory_from_pallas_full(params: AsEpisodeParams, streams):
     return Trajectory(observations=obs, actions=actions, rewards=reward)
 
 
-def trajectory_planes_view(params: AsEpisodeParams, data):
+def trajectory_planes_view(data):
     """Named views into the ``emit="container"`` buffer ``data (7, T, N)``.
 
     Returns a dict of DEVICE VIEWS — consumed inside a jit they fuse for
     free; sliced standalone each costs one copy of just that plane.  The
     post-step convention matches the state streams: row t is the state
     AFTER step t (obs row t+1 of the (T+1)-row time-major Trajectory; the
-    t=0 observation is the config's known initial state)."""
+    t=0 observation is the config's known initial state, available from
+    the :class:`AsEpisodeParams` the kernel ran with)."""
     return {
         "cash": data[0], "inventory": data[1], "time": data[2],
         "price": data[3], "bid": data[4], "ask": data[5], "reward": data[6],

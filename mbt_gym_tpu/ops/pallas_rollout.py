@@ -1454,6 +1454,39 @@ def _sublane_pad(d: int) -> int:
     return d if d & (d - 1) == 0 else (4 if d == 3 else 8)
 
 
+def _mlp_per_lane_bytes(
+    run_steps: int, has_noise: bool, s_dim: int, a_dim: int,
+    exomm: bool, mid2: bool, h_width: int,
+) -> int:
+    """Per-lane scoped-VMEM cost of the MLP streams mode (auto_tile's and
+    mlp_streams_feasible's shared model)."""
+    channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
+    if has_noise:
+        channels += _sublane_pad(n_noise_channels(a_dim, exomm=exomm, mid2=mid2))
+    per_lane = 2 * run_steps * 4 * channels
+    # Live forward activations beyond the calibrated production width
+    # (shared-trunk h=256): separate towers carry a STACKED (2H, L)
+    # activation, so charge ~2 live f32 copies of the extra rows per lane
+    # (round 4; keeps the hardware-proven points unchanged at h<=256).
+    per_lane += 2 * 4 * max(0, h_width - 256)
+    return per_lane
+
+
+def mlp_streams_feasible(
+    p: MlpRolloutParams, h_width: int = 256, has_noise: bool = False,
+) -> bool:
+    """Whether the MLP rollout streams mode fits even its narrowest
+    (128-lane) tile under the scoped-VMEM budget — long horizons do not
+    (auto_tile's fallback returns 128 regardless, which then dies as an
+    opaque Mosaic compile error; callers choosing fused-vs-XLA, e.g.
+    evaluate_policy's auto backend, pre-check here and fall back)."""
+    per_lane = _mlp_per_lane_bytes(
+        p.run_steps, has_noise, len(p.obs_low), len(p.act_low),
+        p.fill_kind == "exomm", p.has_mid2, h_width,
+    )
+    return 128 * per_lane <= 15 * 1024 * 1024
+
+
 def auto_tile(
     n: int, run_steps: int, has_noise: bool, s_dim: int = 4, a_dim: int = 2,
     exomm: bool = False, mid2: bool = False, h_width: int = 256,
@@ -1465,15 +1498,9 @@ def auto_tile(
     vs 165.4 ms at 512 for the 52.4M-step config-5 rollout
     (scripts/exp_rollout_kernel.py); 2048 exceeds scoped vmem at T=200."""
     budget = 15 * 1024 * 1024
-    channels = _sublane_pad(s_dim) + _sublane_pad(a_dim) + 3
-    if has_noise:
-        channels += _sublane_pad(n_noise_channels(a_dim, exomm=exomm, mid2=mid2))
-    per_lane = 2 * run_steps * 4 * channels
-    # Live forward activations beyond the calibrated production width
-    # (shared-trunk h=256): separate towers carry a STACKED (2H, L)
-    # activation, so charge ~2 live f32 copies of the extra rows per lane
-    # (round 4; keeps the hardware-proven points unchanged at h<=256).
-    per_lane += 2 * 4 * max(0, h_width - 256)
+    per_lane = _mlp_per_lane_bytes(
+        run_steps, has_noise, s_dim, a_dim, exomm, mid2, h_width
+    )
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= n and n % cand == 0 and cand * per_lane <= budget:
             return cand

@@ -371,7 +371,7 @@ def test_traj_container_matches_full_streams():
             p, 3, n, interpret=interp, emit="container"
         )
         assert data.shape == (pe.CONTAINER_PLANES, steps, n)
-        v = pe.trajectory_planes_view(p, data)
+        v = pe.trajectory_planes_view(data)
         for name, idx in (("cash", 0), ("inventory", 1), ("price", 2),
                           ("reward", 3), ("bid", 4), ("ask", 5)):
             np.testing.assert_array_equal(
