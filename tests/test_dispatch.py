@@ -270,3 +270,26 @@ def test_lam_config_with_as_agent_falls_back():
     policy = AvellanedaStoikovAgent.from_config(cfg, risk_aversion=0.1).policy()
     d = dispatch.dispatch_report(cfg, policy, platform="tpu")
     assert d.backend == "xla" and "pure limit-order" in d.reason
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware PRNG required; both kernels' CPU parity is covered "
+    "by the injected-noise tests",
+)
+def test_oe_kernels_agree_on_hardware():
+    """The two independent fused OE lanes — the terminal-state episode
+    kernel (stats mode) and the schedule rollout kernel (trajectory mode)
+    — must produce the same episode-reward distribution on hardware
+    (different kernels, different PRNG streams, one contract)."""
+    from mbt_gym_tpu.rollout import mc_episode_stats, rollout
+
+    cfg = oe_env_config(num_trajectories=65536, initial_inventory=20.0)
+    agent = CarteaJaimungalOeAgent.from_config(cfg, alpha=0.01)
+    pol = agent.policy()
+    mc = mc_episode_stats(cfg, pol, None, jax.random.PRNGKey(5), episodes=4)
+    res = jax.jit(lambda k: rollout(cfg, pol, None, k))(jax.random.PRNGKey(6))
+    r_mean = float(res.trajectory.rewards.sum(axis=0).mean())
+    mc_mean = float(mc["mean_pnl"])
+    se = float(mc["std_pnl"]) / (65536 * 4) ** 0.5 + float(mc["std_pnl"]) / 65536**0.5
+    assert abs(r_mean - mc_mean) < max(8 * se, 0.5), (r_mean, mc_mean, se)
