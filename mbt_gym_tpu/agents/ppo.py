@@ -596,7 +596,15 @@ def deterministic_policy(env_cfg: EnvConfig):
     """The trained actor's MEAN action, clipped to the action space — the
     counterpart of SB3 ``model.predict(deterministic=True)`` that the
     reference's SbAgent/EvalCallback workflow evaluates with
-    (SbAgent.py:19-23, experiments/helpers.py:87-95)."""
+    (SbAgent.py:19-23, experiments/helpers.py:87-95).
+
+    Tagged for the dispatch front door (round 5): on eligible configs,
+    ``rollout(cfg, policy, params, key)`` / ``mc_episode_stats(...)``
+    run it on the fused MLP rollout kernel with an effectively
+    deterministic std (``exp(-30)``) and the recorded actions clipped to
+    the box — matching this policy's semantics."""
+    from mbt_gym_tpu.dispatch import tag_policy
+
     if env_cfg.normalise_action_space:
         low, high = -1.0, 1.0
     else:
@@ -607,7 +615,7 @@ def deterministic_policy(env_cfg: EnvConfig):
         mean = networks.policy_mean(params, obs)
         return jnp.clip(mean, low, high)
 
-    return policy
+    return tag_policy(policy, kind="mlp_deterministic", env_cfg=env_cfg)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))

@@ -1509,7 +1509,7 @@ def auto_tile(
 
 @partial(
     jax.jit,
-    static_argnames=("p", "num_trajectories", "tile", "interpret"),
+    static_argnames=("p", "num_trajectories", "tile", "interpret", "final_obs"),
 )
 def mlp_rollout_pallas(
     p: MlpRolloutParams,
@@ -1521,6 +1521,7 @@ def mlp_rollout_pallas(
     noise=None,
     inv0=None,
     t0=None,
+    final_obs: bool = False,
 ):
     """Run one full episode for all envs with the MLP policy fused in.
 
@@ -1616,15 +1617,21 @@ def mlp_rollout_pallas(
         pl.BlockSpec((T, a_dim, tile), lambda i: (0, 0, i)),
         flat, flat, flat,
     ]
+    if final_obs:
+        # terminal observation (the T-th trajectory row; round 5) — the
+        # same 6th output the deterministic kinds emit
+        assert not p.random_start, "final_obs with random starts: use XLA"
+        out_shape.append(jax.ShapeDtypeStruct((s_dim, n), jnp.float32))
+        out_specs.append(pl.BlockSpec((s_dim, tile), lambda i: (0, i)))
     kernel = _make_kernel(p, n_layers, a_dim, use_noise=noise is not None,
-                          split_at=split_at)
+                          split_at=split_at, final_obs=final_obs)
     # The plain HLO interpreter has no lowering for prng_seed; the hardware-
     # PRNG path on CPU needs the Mosaic TPU interpreter (which stubs random
     # bits to zeros — smoke-run only; use noise= for exact CPU validation).
     interp = interpret
     if interpret is True and noise is None:
         interp = pltpu.InterpretParams()
-    obs_t, actions_t, log_probs, values, rewards = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
@@ -1632,7 +1639,7 @@ def mlp_rollout_pallas(
         out_shape=out_shape,
         interpret=interp,
     )(*inputs)
-    return obs_t, actions_t, log_probs, values, rewards
+    return outs  # 5 streams (+ the (S, N) terminal obs when final_obs)
 
 
 @partial(

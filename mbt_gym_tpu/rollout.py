@@ -159,7 +159,9 @@ def rollout(
                 "features",
             )
         else:
-            decision = _dispatch.dispatch_report(cfg, policy, mode="rollout")
+            decision = _dispatch.dispatch_report(
+                cfg, policy, mode="rollout", policy_params=policy_params
+            )
         if decision.backend == "fused":
             return _dispatch.fused_rollout(cfg, policy, policy_params, key, decision)
         if backend == "fused":
@@ -253,10 +255,12 @@ def mc_episode_stats(
     if backend != "xla":
         from mbt_gym_tpu import dispatch as _dispatch
 
-        decision = _dispatch.dispatch_report(cfg, policy, mode="stats")
+        decision = _dispatch.dispatch_report(
+            cfg, policy, mode="stats", policy_params=policy_params
+        )
         if decision.backend == "fused":
             return _dispatch.fused_mc_episode_stats(
-                cfg, policy, key, episodes, decision
+                cfg, policy, policy_params, key, episodes, decision
             )
         if backend == "fused":
             raise ValueError(f"backend='fused' unavailable: {decision.reason}")

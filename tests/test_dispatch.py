@@ -293,3 +293,114 @@ def test_oe_kernels_agree_on_hardware():
     mc_mean = float(mc["mean_pnl"])
     se = float(mc["std_pnl"]) / (65536 * 4) ** 0.5 + float(mc["std_pnl"]) / 65536**0.5
     assert abs(r_mean - mc_mean) < max(8 * se, 0.5), (r_mean, mc_mean, se)
+
+
+def test_mlp_deterministic_policy_routes_fused():
+    """ppo.deterministic_policy is tagged; both modes route to the MLP
+    rollout family, the env-config mismatch and long horizons fall back."""
+    from mbt_gym_tpu.agents import ppo
+
+    cfg = dataclasses.replace(
+        as_env_config(num_trajectories=N),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ts = ppo.init_train_state(cfg, ppo.PPOConfig(hidden=(16, 16)), jax.random.PRNGKey(0))
+    pol = ppo.deterministic_policy(cfg)
+    for mode in ("rollout", "stats"):
+        d = dispatch.dispatch_report(
+            cfg, pol, mode=mode, platform="tpu", policy_params=ts.params
+        )
+        assert (d.backend, d.family) == ("fused", "mlp_rollout"), (mode, d)
+    # policy built for a DIFFERENT config: bounds baked in -> fallback
+    other = dataclasses.replace(cfg, num_trajectories=2 * N)
+    d = dispatch.dispatch_report(other, pol, platform="tpu", policy_params=ts.params)
+    assert d.backend == "xla" and "different env config" in d.reason
+    # long horizon: VMEM pre-check names the feature
+    long_cfg = dataclasses.replace(cfg, n_steps=4000)
+    d = dispatch.dispatch_report(
+        long_cfg, ppo.deterministic_policy(long_cfg), platform="tpu",
+        policy_params=ts.params,
+    )
+    assert d.backend == "xla" and "exceed VMEM" in d.reason
+
+
+def test_mlp_final_obs_matches_engine_terminal():
+    """The MLP streams kernel's new final_obs output must equal the
+    engine's post-episode observation on the same draws (the terminal row
+    the mlp_rollout dispatch family appends)."""
+    from mbt_gym_tpu import env as env_lib
+    from mbt_gym_tpu.agents import networks
+    from mbt_gym_tpu.ops import pallas_rollout
+    from mbt_gym_tpu.types import SlotNoise
+
+    T = 6
+    env_cfg = dataclasses.replace(
+        as_env_config(num_trajectories=N, n_steps=T),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    params = networks.init_actor_critic(
+        jax.random.PRNGKey(3), env_cfg.state_dim, env_cfg.action_dim,
+        hidden=(16, 16), shared_trunk=True,
+    )
+    p = pallas_rollout.rollout_params_from_config(env_cfg)
+    rng = np.random.default_rng(9)
+    channels = rng.uniform(size=(T, 7, N)).astype(np.float32)
+    channels[:, 4:7] = rng.normal(size=(T, 3, N)).astype(np.float32)
+    channels = jnp.asarray(channels)
+    *_, fin = pallas_rollout.mlp_rollout_pallas(
+        p, params, 0, N, tile=128, interpret=True, noise=channels,
+        final_obs=True,
+    )
+    state, obs = env_lib.reset(env_cfg, jax.random.PRNGKey(0))
+    std = jnp.exp(params["log_std"])
+    for t in range(T):
+        mean, _ = networks.policy_value(params, obs)
+        action = mean + std * channels[t, 4:6].T
+        clipped = jnp.clip(action, -1.0, 1.0)
+        noise = (
+            SlotNoise(normal=channels[t, 6][:, None], uniform=None),
+            SlotNoise(normal=None, uniform=channels[t, 0:2].T),
+            SlotNoise(normal=None, uniform=channels[t, 2:4].T),
+        )
+        res = env_lib.step(env_cfg, state, clipped, noise=noise)
+        state, obs = res.state, res.obs
+    np.testing.assert_allclose(
+        np.asarray(fin), np.asarray(obs).T, rtol=2e-4, atol=5e-4
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware PRNG required; decision logic and final-obs parity "
+    "are covered on CPU above",
+)
+def test_mlp_front_door_matches_engine_on_hardware():
+    """Deterministic trained-policy evaluation through the PUBLIC
+    mc_episode_stats/rollout must agree between the fused MLP lane and
+    the XLA engine (different RNG streams; statistical bands)."""
+    from mbt_gym_tpu.agents import ppo
+    from mbt_gym_tpu.rollout import mc_episode_stats, rollout
+
+    cfg = dataclasses.replace(
+        as_env_config(num_trajectories=16384),
+        normalise_observation_space=True, normalise_action_space=True,
+    )
+    ts = ppo.init_train_state(
+        cfg, ppo.PPOConfig(hidden=(256, 256)), jax.random.PRNGKey(0)
+    )
+    pol = ppo.deterministic_policy(cfg)
+    d = dispatch.dispatch_report(cfg, pol, mode="stats", policy_params=ts.params)
+    assert (d.backend, d.family) == ("fused", "mlp_rollout")
+    mc_f = mc_episode_stats(cfg, pol, ts.params, jax.random.PRNGKey(1), episodes=4)
+    mc_x = mc_episode_stats(
+        cfg, pol, ts.params, jax.random.PRNGKey(2), episodes=4, backend="xla"
+    )
+    for k in ("mean_pnl", "mean_spread", "mean_terminal_inventory"):
+        a, b = float(mc_f[k]), float(mc_x[k])
+        band = 4 * float(mc_x["std_pnl"]) / (4 * 16384) ** 0.5 + 0.05 * abs(b) + 0.05
+        assert abs(a - b) < max(band, 0.5), (k, a, b)
+    res = jax.jit(lambda k: rollout(cfg, pol, ts.params, k))(jax.random.PRNGKey(3))
+    r = float(res.trajectory.rewards.sum(axis=0).mean())
+    assert abs(r - float(mc_x["mean_pnl"])) < max(
+        8 * float(mc_x["std_pnl"]) / 16384**0.5, 1.0
+    ), (r, float(mc_x["mean_pnl"]))

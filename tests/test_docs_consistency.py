@@ -95,4 +95,6 @@ def test_dispatch_families_documented_in_module():
     families = {fam for fam, _ in dispatch._FAMILIES.values()}
     for fam in families:
         assert fam in doc, fam
-    assert families == {"as_episode", "cj_table", "fixed", "oe_episode"}
+    assert families == {
+        "as_episode", "cj_table", "fixed", "oe_episode", "mlp_rollout",
+    }
