@@ -628,17 +628,18 @@ def evaluate_policy(
     counterpart of SB3's ``evaluate_policy`` driving the reference's
     EvalCallback model selection.
 
-    ``backend`` (round 5): "auto" (default) runs the episodes on the fused
-    MLP rollout kernel (``ops.pallas_rollout``) when the config is inside
-    its contract and a TPU is attached — the same kernel family PPO's
-    ``fused_rollout`` flag uses, ~10x the XLA engine at production batch.
-    Determinism on the fused path: the kernel samples actions, so the
-    policy std is forced to ``exp(-30)`` (~1e-13 — bitwise-negligible
-    against f32 action scales) rather than zeroed.  "xla" forces the
-    engine; "fused" raises with the disqualifying feature if ineligible."""
+    ``backend`` (round 5): "auto" (default) runs the XLA engine — MEASURED
+    faster than the fused MLP kernel for deterministic evaluation (529M vs
+    345M env-steps/s at 16k envs, 450M vs 288M at 262k; the kernel
+    computes the full training streams while the engine runs a lean
+    mean-only forward — BENCH_NOTES round 5).  "fused" explicitly opts
+    into the kernel (training-identical data path; the policy std is
+    forced to ``exp(-30)``, ~1e-13 — bitwise-negligible against f32
+    action scales) and raises with the disqualifying feature if the
+    config is outside its contract."""
     assert backend in ("auto", "xla", "fused"), backend
     use_fused = False
-    if backend != "xla":
+    if backend == "fused":
         reason = ""
         if jax.default_backend() != "tpu":
             reason = (

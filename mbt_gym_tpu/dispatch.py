@@ -31,10 +31,17 @@ fixed           ops.pallas_rollout fixed policy          yes       yes
 oe_episode      ops.pallas_episode OE kernel (stats) /   yes       yes
                 ops.pallas_rollout schedule kernel
                 (full trajectories)
-mlp_rollout     ops.pallas_rollout MLP kernel with an    yes       yes
-                effectively deterministic std
-                (ppo.deterministic_policy + params)
+mlp_rollout     ppo.deterministic_policy — registered,   no [1]_   no [1]_
+                decides XLA by MEASUREMENT
 ==============  =======================================  ========  =====
+
+.. [1] measured reversal (BENCH_NOTES round 5): the XLA engine beats the
+   fused MLP kernel for deterministic evaluation (529M vs 345M
+   env-steps/s at 16k envs; 450M vs 288M at 262k) — the kernel computes
+   full training streams, the engine a lean mean-only forward.  The
+   family stays registered so ``dispatch_report`` explains this; the
+   kernel remains an explicit opt-in
+   (``ppo.evaluate_policy(backend="fused")``).
 
 Semantics: every fused family is validated against the XLA engine
 step-for-step on injected noise and statistically on hardware PRNG
@@ -223,41 +230,22 @@ def _check_oe(cfg: EnvConfig, meta: dict, mode: str) -> None:
     _require_lane_batch(cfg)
 
 
-def _mlp_h_width(policy_params) -> int:
-    """Widest trunk layer of an actor-critic params pytree (the VMEM
-    budget term; separate towers run stacked, hence the 2x)."""
-    if policy_params is None:
-        return 256  # the calibrated production width
-    if "shared" in policy_params:
-        return max(layer["w"].shape[1] for layer in policy_params["shared"])
-    return 2 * max(layer["w"].shape[1] for layer in policy_params["pi"][:-1])
-
-
 def _check_mlp(cfg: EnvConfig, meta: dict, mode: str, policy_params=None) -> None:
-    from mbt_gym_tpu.ops import pallas_rollout as pr
-
-    if meta["env_cfg"] != cfg:
-        raise _Ineligible(
-            "the deterministic policy was built for a different env config "
-            "(its action-box clip bounds would not match; rebuild with "
-            "ppo.deterministic_policy(cfg))"
-        )
-    try:
-        p = pr.rollout_params_from_config(cfg)
-    except AssertionError as e:
-        raise _Ineligible(str(e))
-    if p.random_start:
-        raise _Ineligible(
-            "random start times with the deterministic MLP policy run on "
-            "the XLA engine (the fused lane has no terminal-obs output "
-            "under per-env start masking)"
-        )
-    if not pr.mlp_streams_feasible(p, h_width=_mlp_h_width(policy_params)):
-        raise _Ineligible(
-            f"the {cfg.n_steps}-step horizon's rollout stream blocks "
-            "exceed VMEM for the MLP kernel; running on the XLA engine"
-        )
-    _require_lane_batch(cfg)
+    # MEASURED reversal (BENCH_NOTES round 5): for DETERMINISTIC MLP
+    # evaluation the XLA engine beats the fused rollout kernel — 529M vs
+    # 345M env-steps/s at 16k envs, 450M vs 288M at 262k — because the
+    # kernel computes the full training streams (value head, log-probs,
+    # five outputs) while the engine runs a lean mean-only forward.  The
+    # front door's promise is "auto = fastest", so this family decides
+    # XLA by measurement, not by capability (the kernel lane exists:
+    # ppo.evaluate_policy(backend="fused") / collect_rollout_fused_T).
+    raise _Ineligible(
+        "the XLA engine measured FASTER than the fused MLP kernel for "
+        "deterministic evaluation (529M vs 345M env-steps/s at 16k, 450M "
+        "vs 288M at 262k — the kernel computes full training streams; "
+        "the engine runs a lean mean-only forward), so auto runs XLA; "
+        "force the kernel with ppo.evaluate_policy(backend='fused')"
+    )
 
 
 _FAMILIES = {
@@ -359,64 +347,12 @@ def _seed_from(key) -> jax.Array:
     return jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
 
-def _run_mlp_deterministic(cfg: EnvConfig, policy_params, key):
-    """One fused-MLP episode with an effectively deterministic policy
-    (std = exp(-30), bitwise-negligible against f32 action scales) and the
-    recorded actions CLIPPED to the box — matching
-    ``ppo.deterministic_policy``'s semantics.  Returns (params-struct,
-    clipped actions_t, obs_t, rewards, terminal obs, q0-per-env, key)."""
-    from mbt_gym_tpu.ops import pallas_rollout as pr
-
-    p = pr.rollout_params_from_config(cfg)
-    det = dict(
-        policy_params,
-        log_std=jnp.full_like(policy_params["log_std"], -30.0),
-    )
-    if p.inventory_range:
-        key, inv_key = jax.random.split(key)
-        lo, hi = p.inventory_range
-        inv0 = jax.random.randint(
-            inv_key, (cfg.num_trajectories,), lo, hi
-        ).astype(jnp.float32)
-        q0 = inv0
-    else:
-        inv0 = None
-        q0 = p.initial_inventory
-    obs_t, act_t, _, _, rew, fin = pr.mlp_rollout_pallas(
-        p, det, _seed_from(key), cfg.num_trajectories, inv0=inv0,
-        final_obs=True,
-    )
-    if p.normalise_act:
-        act_t = jnp.clip(act_t, -1.0, 1.0)
-    else:
-        low = jnp.asarray(p.act_low, jnp.float32)[None, :, None]
-        high = low + 2.0 * jnp.asarray(p.act_grad, jnp.float32)[None, :, None]
-        act_t = jnp.clip(act_t, low, high)
-    return p, act_t, obs_t, rew, fin, q0, key
-
-
 def fused_rollout(cfg: EnvConfig, policy, policy_params, key, decision):
     """Execute a fused-family rollout and assemble the engine-compatible
     :class:`RolloutResult` (Trajectory + final EnvState)."""
     from mbt_gym_tpu.rollout import RolloutResult
 
     meta = policy_meta(policy)
-    if decision.family == "mlp_rollout":
-        p, act_t, obs_t, rew, fin, q0, key = _run_mlp_deterministic(
-            cfg, policy_params, key
-        )
-        observations = jnp.concatenate(
-            [jnp.swapaxes(obs_t, 1, 2), jnp.swapaxes(fin, 0, 1)[None]], axis=0
-        ).astype(cfg.jdtype)
-        traj = Trajectory(
-            observations=observations,
-            actions=jnp.swapaxes(act_t, 1, 2).astype(cfg.jdtype),
-            rewards=rew.astype(cfg.jdtype),
-        )
-        final = _final_state_from_obs(
-            cfg, observations[-1], key, p.run_steps, q0, p.start_time,
-        )
-        return RolloutResult(trajectory=traj, final_state=final)
     if decision.family == "as_episode":
         from mbt_gym_tpu.ops import pallas_episode as pe
 
@@ -493,8 +429,6 @@ def fused_mc_episode_stats(
     """Execute a fused-family throughput-mode evaluation, returning the
     :func:`mc_episode_stats` summary dict."""
     meta = policy_meta(policy)
-    if decision.family == "mlp_rollout":
-        return _fused_mlp_mc_stats(cfg, policy_params, key, episodes)
     if decision.family == "as_episode":
         from mbt_gym_tpu.ops.pallas_episode import as_mc_episode_stats_pallas
 
@@ -513,59 +447,3 @@ def fused_mc_episode_stats(
     from mbt_gym_tpu.ops.pallas_rollout import fixed_mc_episode_stats_pallas
 
     return fixed_mc_episode_stats_pallas(cfg, meta["action"], key, episodes)
-
-
-def _fused_mlp_mc_stats(cfg: EnvConfig, policy_params, key, episodes):
-    """:func:`mc_episode_stats` dict for a deterministic MLP policy on the
-    fused rollout kernel — the reference's EvalCallback/results-table
-    workflow for trained policies at kernel rates."""
-    from mbt_gym_tpu.dynamics import AtTheTouchDynamics
-
-    a_dim = cfg.action_dim
-    touch = isinstance(cfg.dynamics, AtTheTouchDynamics)
-
-    def one(carry, k):
-        p, act_t, _, rew, fin, _, _ = _run_mlp_deterministic(
-            cfg, policy_params, k
-        )
-        r = rew.sum(axis=0)  # (N,)
-        inv_term = fin[1]
-        if cfg.normalise_observation_space:
-            low, high = cfg.observation_bounds()
-            inv_term = (inv_term + 1.0) * (high[1] - low[1]) / 2 + low[1]
-        if touch:
-            quote_mean = act_t[:, :2].mean()
-        elif a_dim >= 2:
-            quotes = act_t[:, :2]  # (T, 2, N), clipped policy units
-            if p.normalise_act:
-                grad = jnp.asarray(p.act_grad[:2], jnp.float32)[None, :, None]
-                low_a = jnp.asarray(p.act_low[:2], jnp.float32)[None, :, None]
-                quotes = (quotes + 1.0) * grad + low_a
-            quote_mean = quotes.mean()
-        else:
-            quote_mean = jnp.asarray(jnp.nan, jnp.float32)
-        stats = jnp.stack([
-            r.mean(), (r**2).mean(), inv_term.mean(), (inv_term**2).mean(),
-            quote_mean,
-        ])
-        return carry + stats, None
-
-    total, _ = jax.lax.scan(
-        one, jnp.zeros((5,), jnp.float32), jax.random.split(key, episodes)
-    )
-    mean_r, mean_r2, mean_q, mean_q2, mean_a = total / episodes
-    if touch:
-        spread_stats = {
-            "mean_spread": jnp.asarray(jnp.nan, jnp.float32),
-            "post_rate": mean_a,
-        }
-    else:
-        spread_stats = {"mean_spread": 2.0 * mean_a}
-    return {
-        "mean_pnl": mean_r,
-        "std_pnl": jnp.sqrt(jnp.maximum(mean_r2 - mean_r**2, 0.0)),
-        "mean_terminal_inventory": mean_q,
-        "std_terminal_inventory": jnp.sqrt(jnp.maximum(mean_q2 - mean_q**2, 0.0)),
-        **spread_stats,
-        "episodes": episodes * cfg.num_trajectories,
-    }

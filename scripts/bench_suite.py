@@ -26,6 +26,9 @@ Configs (BASELINE.json "configs"; 6 is a repo addition):
      TPU only)
  14. Config 4's composite eval workload on the fused fixed-policy rollout
      kernel (constant action, stats mode; TPU only — round 5)
+ 15. Trained-policy deterministic evaluation through the public
+     mc_episode_stats front door (auto -> the XLA engine, which MEASURED
+     faster than the fused MLP kernel for deterministic eval; TPU only)
 """
 from __future__ import annotations
 
@@ -374,6 +377,39 @@ def main():
         rows.append(measure_thunk(
             "14. Composite fixed-policy on the fused kernel",
             fixed_thunk, cfg14.num_trajectories, cfg14.n_steps, eps14,
+        ))
+
+    # Config 15: trained-policy deterministic evaluation through the
+    # PUBLIC front door (round 5): ppo.deterministic_policy +
+    # mc_episode_stats(backend="auto") — the reference's EvalCallback/
+    # results-table workflow.  Auto runs the XLA engine here BY
+    # MEASUREMENT (450M vs the fused MLP kernel's 288M at this batch:
+    # the kernel computes full training streams, the engine a lean
+    # mean-only forward — BENCH_NOTES round 5).  TPU-only.
+    if jax.default_backend() == "tpu":
+        from mbt_gym_tpu.agents import ppo as ppo15
+        from mbt_gym_tpu.rollout import mc_episode_stats
+
+        cfg15 = dataclasses.replace(
+            as_env_config(num_trajectories=262144 // scale),
+            normalise_observation_space=True, normalise_action_space=True,
+        )
+        ts15 = ppo15.init_train_state(
+            cfg15, ppo15.PPOConfig(hidden=(256, 256)), jax.random.PRNGKey(0)
+        )
+        pol15 = ppo15.deterministic_policy(cfg15)
+        eps15 = 2
+
+        @jax.jit
+        def eval_thunk(key):
+            stats = mc_episode_stats(
+                cfg15, pol15, ts15.params, key, episodes=eps15
+            )
+            return stats["mean_pnl"] + stats["mean_terminal_inventory"]
+
+        rows.append(measure_thunk(
+            "15. Deterministic MLP eval via the public front door",
+            eval_thunk, cfg15.num_trajectories, cfg15.n_steps, eps15,
         ))
 
     if args.json:
