@@ -422,10 +422,12 @@ def measure_reference_numpy(num_trajectories: int = 16384, n_steps: int = 25) ->
     return num_trajectories / per_step
 
 
-def _with_retry(fn, label, attempts=2, cooldown_s=45):
+def _with_retry(fn, label, attempts=3, cooldowns=(45, 90)):
     """The axon relay intermittently wedges a session's first dispatches
-    (BENCH_NOTES 'Environment reliability'); one cooled-down retry rescues
-    a transiently wedged driver capture instead of losing the round."""
+    (BENCH_NOTES 'Environment reliability'); cooled-down retries with an
+    escalating backoff rescue a transiently wedged driver capture instead
+    of losing the round (a wedged claim clears in ~60 s, so the second
+    cooldown crosses that window even when the first does not)."""
     for attempt in range(attempts):
         try:
             return fn()
@@ -437,7 +439,7 @@ def _with_retry(fn, label, attempts=2, cooldown_s=45):
             )
             if attempt + 1 == attempts:
                 raise
-            time.sleep(cooldown_s)
+            time.sleep(cooldowns[min(attempt, len(cooldowns) - 1)])
 
 
 def main():
@@ -446,10 +448,28 @@ def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices()) or (
         jax.default_backend() not in ("cpu", "gpu")
     )
-    xla_rate = _with_retry(measure_engine, "engine")
-    value = xla_rate
-    rates = {"engine": round(xla_rate, 1)}
+    value = 0.0
+    rates = {}
     verify_msgs = []
+    xla_rate = None
+    try:
+        # The engine lane issues this process's first TPU dispatches; a
+        # wedged claim that survives all retries must not kill the whole
+        # capture — the headline `value` is max-of-lanes, so the Pallas
+        # lanes below still produce a valid JSON line with the failure
+        # recorded in `verify`.
+        xla_rate = _with_retry(measure_engine, "engine")
+        value = xla_rate
+        rates["engine"] = round(xla_rate, 1)
+    except Exception as exc:
+        print(
+            f"engine lane failed after retries: {type(exc).__name__}: "
+            f"{str(exc)[:200]}",
+            file=sys.stderr,
+        )
+        verify_msgs.append(
+            f"engine crashed: {type(exc).__name__}: {str(exc)[:160]}"
+        )
     pallas_rate = fused_rate = None
     towers_band = None
     try:
@@ -548,19 +568,25 @@ def main():
                 f"cjp-pallas crashed: {type(exc).__name__}: {str(exc)[:200]}"
             )
     print(
-        f"general engine {xla_rate/1e6:.1f}M"
+        (f"general engine {xla_rate/1e6:.1f}M" if xla_rate else "engine FAILED")
         + (f" | pallas fused-episode {pallas_rate/1e6:.1f}M" if pallas_rate else "")
         + (f" | fused PPO iteration {fused_rate/1e6:.1f}M" if fused_rate else "")
         + " steps/s",
         file=sys.stderr,
     )
-    ref = measure_reference_numpy()
-    print(f"reference numpy: {ref/1e6:.2f}M steps/s", file=sys.stderr)
+    try:
+        ref = measure_reference_numpy()
+        print(f"reference numpy: {ref/1e6:.2f}M steps/s", file=sys.stderr)
+    except Exception as exc:  # host-side NumPy loop; never lose the capture
+        ref = None
+        verify_msgs.append(
+            f"reference-numpy crashed: {type(exc).__name__}: {str(exc)[:160]}"
+        )
     out = {
         "metric": "env_steps_per_s_per_chip_as16k",
         "value": round(value, 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(value / ref, 2),
+        "vs_baseline": round(value / ref, 2) if ref else None,
         **rates,
     }
     if towers_band is not None:

@@ -19,10 +19,9 @@ def test_bench_emits_the_documented_lane_keys():
     src = _read("bench.py")
     keys = set(re.findall(r'rates\["(\w+)"\]\s*=', src))
     assert keys == {
-        "pallas_episode", "fused_ppo", "fused_ppo_towers", "cjp",
+        "engine", "pallas_episode", "fused_ppo", "fused_ppo_towers", "cjp",
         "cjp_pallas",
     }, keys
-    assert '{"engine": round(' in src  # the lane the dict is seeded with
     # the towers band verdict and the dispersion guard ship in the JSON
     assert 'out["towers_band"]' in src
     assert 'out["timing_dispersion"]' in src
